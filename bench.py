@@ -1,0 +1,51 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from flink_learning_practise_spark.registry import all_queries
+from flink_learning_practise_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="flp-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    qs = {n: q for n, q in all_queries().items() if q.headline}
+    # warm up the JVM/codegen once with the cheapest plan
+    next(iter(qs.values())).fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in qs.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = df.count() if "limit" not in name else len(df.collect())
+        _ = n
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

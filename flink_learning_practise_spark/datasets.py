@@ -1,0 +1,54 @@
+"""Table loaders for the driver-generated parquet test data.
+
+Spark-side analog of the reference's source registration
+(``flink_source_utils.py:130`` create_kafka_table_source_ddl /
+``flink_table_api_utils.py:298`` register_temporary_table): each table
+is a schema'd parquet scan registered as a temp view, so SQL and
+DataFrame plans both get column pruning + predicate pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# fixes region=5 / nation=25 rows; customer/supplier/part grow with SF but
+# stay tiny relative to lineitem — broadcastability decided by AQE + the
+# explicit hints in plans/).
+SMALL_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan one table. Lazy — nothing is read until an action runs."""
+    if table not in TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for spark.sql plans)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,25 @@
+"""Replicates the driver's correctness gate: every registered query with
+an oracle must hash-match DuckDB on the same parquet data (row count,
+schema, order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_learning_practise_spark.oracle import check_query
+from flink_learning_practise_spark.registry import all_queries
+
+NAMES = sorted(all_queries())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_parity_sf001(spark, sf_medium, name):
+    errors = check_query(spark, name, sf_medium)
+    assert not errors, f"{name}: " + "; ".join(errors)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_runs_and_returns_rows(spark, sf_small, name):
+    q = all_queries()[name]
+    rows = q.fn(spark, sf_small).collect()
+    assert rows is not None
