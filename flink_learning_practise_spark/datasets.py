@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -36,10 +37,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Scan one table. Lazy — nothing is read until an action runs."""
+    """Scan one table. Lazy — nothing is read until an action runs.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long (runtime-settable
+    conf, set here defensively so any caller-provided session works) and
+    rebuild a microsecond timestamp JVM-side — lossless for µs-precision
+    data, and the integer `div` keeps full precision (a double division
+    would corrupt epoch-nanos > 2^53).
+    """
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,83 @@
+"""Row-level transforms — Spark analog of the reference's
+``flink_transform_utils.py`` (map/filter/flatMap/keyBy/null-filter/
+validation/side-output, file:92-320).
+
+Design: every transform is expressed with built-in Column expressions so
+it stays inside whole-stage codegen — the reference's ``map_func``/
+``filter_func`` Python callables would be row-at-a-time Python on Spark
+(10-100x slower at scale), so the API takes Columns, not lambdas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def select_fields(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """select/map (ref transform_utils map_transform:92,
+    select_fields_table_api:322). Column pruning reaches the scan."""
+    return df.select(*cols)
+
+
+def with_columns(df: DataFrame, mapping: Mapping[str, Column]) -> DataFrame:
+    """1:1 map with computed fields (ref map_transform:92)."""
+    return df.withColumns(dict(mapping))
+
+
+def filter_rows(df: DataFrame, condition: Column) -> DataFrame:
+    """filter (ref filter_data:122 / filter_table_api:352). Predicates on
+    scanned columns push down to parquet."""
+    return df.filter(condition)
+
+
+def flatmap_split(df: DataFrame, col: str, sep: str, out: str = "item") -> DataFrame:
+    """1:N flatMap via explode (ref flatmap_transform:147) — JVM-side,
+    no Python, safe to run over billions of rows."""
+    return df.select(
+        "*", F.explode(F.split(F.col(col), sep)).alias(out)
+    ).filter(F.col(out) != "")
+
+
+def keyby_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """keyBy + aggregate (ref key_by_field:177 + window_utils
+    window_aggregate:294). groupBy gives map-side partial aggregation;
+    only (key, partial) pairs shuffle."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def filter_nulls(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """null-filter (ref filter_null_values:202)."""
+    return df.dropna(subset=list(cols) if cols else None)
+
+
+def validate_rows(df: DataFrame, condition: Column) -> DataFrame:
+    """format validation (ref validate_data_format:229)."""
+    return df.filter(condition)
+
+
+def split_valid_errors(
+    df: DataFrame, error_reason: Column
+) -> tuple[DataFrame, DataFrame]:
+    """Error side-output (ref handle_errors_with_side_output:261).
+
+    ``error_reason`` is a CASE expression: NULL ⇒ valid row, otherwise a
+    tag naming the failure. Single tagged pass; Catalyst prunes the tag
+    column from whichever branch doesn't use it, so each output is one
+    scan with the complementary predicate — no double-materialization.
+    """
+    tagged = df.withColumn("error_reason", error_reason)
+    valid = tagged.filter(F.col("error_reason").isNull()).drop("error_reason")
+    errors = tagged.filter(F.col("error_reason").isNotNull())
+    return valid, errors
+
+
+def parse_json_col(df: DataFrame, col: str, schema: str) -> DataFrame:
+    """JSON-string parsing (ref flink5_parse_walmart_order.py:208
+    parse_walmart_order_json_string) via ``from_json`` — JVM-side Jackson
+    parse, vs the reference's per-record Python ``json.loads``."""
+    return df.withColumn(f"{col}_parsed", F.from_json(F.col(col), schema))

@@ -1,0 +1,480 @@
+"""Event-stream analytics plans (batch twins of the reference's
+DataStream transforms and window pipelines), each paired with a DuckDB
+oracle. The ``events`` table plays the reference's Kafka order stream
+(``order2_push_order_to_kafka.py`` topic) — event_id/ts/user_id/
+event_type/value/props(JSON).
+
+Every plan uses only built-in expressions (whole-stage codegen; no
+Python) and deterministic numeric aggregation (see ``num.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datasets import load
+from ..num import DEC, davg, dsum, sql_davg, sql_dsum
+from ..operators import joins, transforms, windows
+
+# ---------------------------------------------------------------------------
+# #1 select/map
+
+
+def select_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return transforms.select_fields(
+        li,
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.year("l_shipdate").alias("ship_year"),
+    )
+
+
+SELECT_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       CAST(extract(year FROM l_shipdate) AS INTEGER) AS ship_year
+FROM lineitem
+"""
+
+# ---------------------------------------------------------------------------
+# #2 filter with pushdown (TPC-H Q6 shape)
+
+
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    filtered = transforms.filter_rows(
+        li,
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24),
+    )
+    return filtered.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+FILTER_PUSHDOWN_SQL = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------------------
+# #3 flatMap via explode
+
+
+def flatmap_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = transforms.flatmap_split(docs, "text", " ", out="word")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_count"))
+        .orderBy(F.desc("word_count"), "word")
+        .limit(50)
+    )
+
+
+FLATMAP_WORDS_SQL = """
+SELECT word, COUNT(*) AS word_count
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY word_count DESC, word
+LIMIT 50
+"""
+
+# ---------------------------------------------------------------------------
+# #4 keyBy + aggregate
+
+
+def keyby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return transforms.keyby_agg(
+        ev,
+        ["user_id", "event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ],
+    )
+
+
+KEYBY_AGG_SQL = f"""
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "sum_value")},
+       {sql_davg("value", "avg_value")},
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+# ---------------------------------------------------------------------------
+# #5 validation / cleaning
+
+
+def validate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cleaned = transforms.filter_nulls(ev, ["user_id", "value", "event_type"])
+    valid = transforms.validate_rows(
+        cleaned, (F.col("value") >= 1.0) & (F.col("event_type") != "error")
+    )
+    return valid.select("event_id", "user_id", "event_type", "value")
+
+
+VALIDATE_CLEAN_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  AND value >= 1.0 AND event_type <> 'error'
+"""
+
+# ---------------------------------------------------------------------------
+# #6 error side-output
+
+
+def side_output_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    reason = (
+        F.when(F.col("event_type") == "error", F.lit("error_event"))
+        .when(F.col("value") < 1.0, F.lit("value_too_small"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    _valid, errors = transforms.split_valid_errors(ev, reason)
+    return errors.select("event_id", "user_id", "error_reason")
+
+
+SIDE_OUTPUT_ERRORS_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'error' THEN 'error_event'
+            WHEN value < 1.0 THEN 'value_too_small' END AS error_reason
+FROM events
+WHERE event_type = 'error' OR value < 1.0
+"""
+
+# ---------------------------------------------------------------------------
+# #20 JSON ETL (walmart-order parse analog on events.props)
+
+
+def json_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+JSON_ETL_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(k) AS sum_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# #10 tumbling window
+
+
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return windows.tumbling_window(
+        ev,
+        "ts",
+        "1 minute",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+
+
+TUMBLING_WINDOW_SQL = f"""
+SELECT date_trunc('minute', ts) AS window_start,
+       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# #11 sliding (HOP) window
+
+
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return windows.sliding_window(
+        ev,
+        "ts",
+        "5 minutes",
+        "1 minute",
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+
+
+SLIDING_WINDOW_SQL = f"""
+SELECT ws AS window_start,
+       ws + INTERVAL 5 MINUTE AS window_end,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "sum_value")}
+FROM (
+  SELECT unnest(generate_series(
+           date_trunc('minute', ts) - INTERVAL 4 MINUTE,
+           date_trunc('minute', ts),
+           INTERVAL 1 MINUTE)) AS ws,
+         value
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# #12 session window (batch gaps-and-islands)
+
+SESSION_GAP = "4 HOURS"
+
+
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return windows.session_window_batch(
+        ev,
+        "ts",
+        SESSION_GAP,
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+        tiebreak=["event_id"],
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "sum_value")}
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+# ---------------------------------------------------------------------------
+# #13 tumbling count window
+
+COUNT_WINDOW_N = 20
+
+
+def count_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return windows.tumbling_count_window(
+        ev,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        count=COUNT_WINDOW_N,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        ],
+    )
+
+
+COUNT_WINDOW_TUMBLING_SQL = f"""
+WITH numbered AS (
+  SELECT user_id, ts, value,
+         CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                    / {COUNT_WINDOW_N}.0) AS BIGINT) AS window_id
+  FROM events
+)
+SELECT user_id, window_id,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "sum_value")},
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM numbered
+GROUP BY user_id, window_id
+"""
+
+# ---------------------------------------------------------------------------
+# #14 sliding count window (rolling frame)
+
+
+def count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    rolled = windows.sliding_count_window(
+        ev,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        count=4,
+        rolling={
+            "rolling_n": F.count(F.lit(1)),
+            "rolling_sum_dec": F.sum(F.col("value").cast(DEC)),
+        },
+    )
+    return rolled.select(
+        "event_id",
+        "user_id",
+        "rolling_n",
+        F.col("rolling_sum_dec").cast("double").alias("rolling_sum"),
+    )
+
+
+COUNT_WINDOW_SLIDING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS rolling_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rolling_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+# ---------------------------------------------------------------------------
+# #17 stream-stream window join
+
+
+def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = joins.window_join(
+        views, purchases, "v_ts", "p_ts", "10 minutes", on=[("user_id", "p_user")]
+    )
+    return joined.select("window_start", "user_id", "view_id", "purchase_id")
+
+
+WINDOW_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id,
+         make_timestamp((epoch_ms(ts) // 600000) * 600000000) AS window_start
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id AS purchase_id,
+         make_timestamp((epoch_ms(ts) // 600000) * 600000000) AS window_start
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.window_start AS window_start, v.user_id AS user_id, view_id, purchase_id
+FROM v JOIN p ON v.user_id = p.user_id AND v.window_start = p.window_start
+"""
+
+# ---------------------------------------------------------------------------
+# #18 interval join
+
+
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = joins.interval_join(
+        purchases,
+        clicks,
+        "purchase_ts",
+        "click_ts",
+        lower="30 MINUTES",
+        upper="0 SECONDS",
+        on=[("p_user", "c_user")],
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )
+
+
+INTERVAL_JOIN_SQL = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
+
+# ---------------------------------------------------------------------------
+# #19 as-of join
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    return joins.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        value_cols=["click_id", "click_ts", "click_value"],
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""

@@ -1,0 +1,212 @@
+"""Order statistics plans — batch twins of the reference's stage2
+windowed statistics (``flink_order_real_time/stage2_window_statistics/
+order_statistics.py`` + ``window_aggregators.py``: per-minute/hour order
+count & amount, per-user order stats, per-item sales stats, order status
+distribution) and the stage1 lookup-join enrichment.
+
+The ``orders``/``lineitem`` tables play the parsed Walmart order stream;
+order-date granularity is daily, so the "per-minute" stats become
+per-day tumbling windows — same operator, same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datasets import load
+from ..num import davg, dsum, sql_davg, sql_dsum
+from ..operators import joins, windows
+
+# ---------------------------------------------------------------------------
+# #21 per-period order count & amount (tumbling window on order date)
+
+
+def order_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return windows.tumbling_window(
+        orders,
+        "o_orderdate",
+        "1 day",
+        keys=["o_orderstatus"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_amount"),
+            davg("o_totalprice", "avg_amount"),
+        ],
+    )
+
+
+ORDER_STATS_DAILY_SQL = f"""
+SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_amount")},
+       {sql_davg("o_totalprice", "avg_amount")}
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# #22 per-user order stats
+
+
+def user_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_spent"),
+        davg("o_totalprice", "avg_spent"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+USER_ORDER_STATS_SQL = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_spent")},
+       {sql_davg("o_totalprice", "avg_spent")},
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# #23 per-item sales stats
+
+
+def item_sales_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity", "sum_qty"),
+        dsum(revenue, "revenue"),
+    )
+    return joins.lookup_join(per_part, part, per_part.l_partkey == part.p_partkey).select(
+        "l_partkey", "p_brand", "n_lines", "sum_qty", "revenue"
+    )
+
+
+ITEM_SALES_STATS_SQL = f"""
+SELECT l_partkey, p_brand,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l_quantity", "sum_qty")},
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY l_partkey, p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# #24 order status distribution (share of total)
+
+
+def status_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_amount"),
+    )
+    total = Window.partitionBy()
+    return counts.withColumn(
+        "share_pct",
+        F.col("n_orders").cast("double") * 100.0 / F.sum("n_orders").over(total),
+    )
+
+
+STATUS_DISTRIBUTION_SQL = f"""
+WITH counts AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n_orders,
+         {sql_dsum("o_totalprice", "total_amount")}
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_orders, total_amount,
+       CAST(n_orders AS DOUBLE) * 100.0 / SUM(n_orders) OVER () AS share_pct
+FROM counts
+"""
+
+# ---------------------------------------------------------------------------
+# #16 lookup join (dim enrichment, broadcast)
+
+
+def lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = joins.lookup_join(
+        orders, cust, orders.o_custkey == cust.c_custkey
+    )
+    enriched = joins.lookup_join(
+        enriched, nation, enriched.c_nationkey == nation.n_nationkey
+    )
+    return enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_amount"),
+    )
+
+
+LOOKUP_JOIN_SQL = f"""
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_amount")}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# #9 top-N per key (ranking window)
+
+TOP_N = 3
+
+
+def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    enriched = joins.lookup_join(
+        li, orders, li.l_orderkey == orders.o_orderkey
+    )
+    enriched = joins.lookup_join(
+        enriched, cust, enriched.o_custkey == cust.c_custkey
+    )
+    per_part = enriched.groupBy("c_mktsegment", "l_partkey").agg(
+        dsum(revenue, "revenue")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_N)
+        .select("c_mktsegment", "rank", "l_partkey", "revenue")
+    )
+
+
+TOP_PARTS_PER_SEGMENT_SQL = f"""
+WITH per_part AS (
+  SELECT c_mktsegment, l_partkey,
+         {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, l_partkey
+), ranked AS (
+  SELECT c_mktsegment, l_partkey, revenue,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue DESC, l_partkey) AS rank
+  FROM per_part
+)
+SELECT c_mktsegment, rank, l_partkey, revenue
+FROM ranked
+WHERE rank <= {TOP_N}
+"""

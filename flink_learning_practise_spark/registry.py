@@ -60,6 +60,8 @@ def _populate() -> None:
         return
     _POPULATED = True
 
+    from .plans import events_analytics as ea
+    from .plans import order_stats as os_
     from .plans import tpch
 
     register(
@@ -80,3 +82,32 @@ def _populate() -> None:
         tpch.LOCAL_SUPPLIER_VOLUME_SQL,
         headline=True,
     )
+
+    # relational core (SURVEY §2 #1-6, #20)
+    register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
+    register("q_filter_pushdown", ea.filter_pushdown, ea.FILTER_PUSHDOWN_SQL)
+    register("q_flatmap_words", ea.flatmap_words, ea.FLATMAP_WORDS_SQL)
+    register("q_keyby_agg", ea.keyby_agg, ea.KEYBY_AGG_SQL)
+    register("q_validate_clean", ea.validate_clean, ea.VALIDATE_CLEAN_SQL)
+    register("q_side_output_errors", ea.side_output_errors, ea.SIDE_OUTPUT_ERRORS_SQL)
+    register("q_json_etl", ea.json_etl, ea.JSON_ETL_SQL, headline=True)
+
+    # windows (#10-14)
+    register("q_tumbling_window", ea.tumbling_window, ea.TUMBLING_WINDOW_SQL, headline=True)
+    register("q_sliding_window", ea.sliding_window, ea.SLIDING_WINDOW_SQL, headline=True)
+    register("q_session_window", ea.session_window, ea.SESSION_WINDOW_SQL, headline=True)
+    register("q_count_window_tumbling", ea.count_window_tumbling, ea.COUNT_WINDOW_TUMBLING_SQL)
+    register("q_count_window_sliding", ea.count_window_sliding, ea.COUNT_WINDOW_SLIDING_SQL)
+
+    # joins (#16-19)
+    register("q_lookup_join", os_.lookup_join, os_.LOOKUP_JOIN_SQL, headline=True)
+    register("q_window_join", ea.window_join, ea.WINDOW_JOIN_SQL)
+    register("q_interval_join", ea.interval_join, ea.INTERVAL_JOIN_SQL, headline=True)
+    register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
+
+    # order statistics (#9, #21-24)
+    register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
+    register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
+    register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
+    register("q_status_distribution", os_.status_distribution, os_.STATUS_DISTRIBUTION_SQL)
+    register("q_top_parts_per_segment", os_.top_parts_per_segment, os_.TOP_PARTS_PER_SEGMENT_SQL)
