@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure built-in expressions (regexp/array functions — whole-stage
+codegen, no Python), so each operator is a single projection over the
+scan: at 100 TB these run at I/O speed with zero shuffle.
+
+The regex subset used (character classes, alternation, ``\\b``) behaves
+identically in Java regex (Spark) and RE2 (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword profiles for the language-ID heuristic (tiny on purpose: the
+# classifier is a deterministic density argmax, not a model).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "los", "las", "y", "es", "de", "que"),
+    "fr": ("le", "les", "et", "est", "une", "dans", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他"),
+}
+LANGS = tuple(LANG_STOPWORDS)  # priority order for argmax ties
+
+# BPE-ish tokenizer: runs of letters, runs of digits, or single
+# non-alphanumeric non-space characters (a crude byte-pair-style split).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+PUNCT_PATTERN = "[.,!?;:]"
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase, trim, collapse whitespace — shared normalization for
+    dedup hashing and fingerprints."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def words(col: Column) -> Column:
+    return F.split(normalize(col), " ")
+
+
+def stopword_regex(stopwords: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(stopwords) + r")\b"
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.regexp_count(normalize(col), F.lit(stopword_regex(stopwords)))
+
+
+def lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-language stopword density columns ``score_<lang>`` plus the
+    argmax ``lang_pred`` (first language wins ties, in LANGS order)."""
+    n_words = F.size(words(F.col(text_col)))
+    out = df
+    for lang in LANGS:
+        density = (
+            stopword_count(F.col(text_col), LANG_STOPWORDS[lang]).cast("double")
+            / n_words
+        )
+        out = out.withColumn(f"score_{lang}", density)
+    # Sequential-elimination CASE: branch i fires iff score_i >= every
+    # later score — equivalent to argmax with first-index tie-break (and
+    # mirrored verbatim in the SQL oracle).
+    pred = None
+    for i, lang in enumerate(LANGS):
+        others = LANGS[i + 1 :]
+        if not others:
+            pred = pred.otherwise(F.lit(lang))
+            break
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"score_{lang}") >= F.col(f"score_{o}") for o in others],
+        )
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return out.withColumn("lang_pred", pred)
+
+
+def sql_lang_scores(text_expr: str) -> dict[str, str]:
+    """DuckDB expressions mirroring :func:`lang_scores` exactly."""
+    norm = f"lower(trim(regexp_replace({text_expr}, '\\s+', ' ', 'g')))"
+    n_words = f"len(string_split({norm}, ' '))"
+    scores = {
+        lang: (
+            f"CAST(len(regexp_extract_all({norm}, "
+            f"'{stopword_regex(LANG_STOPWORDS[lang])}')) AS DOUBLE) / {n_words}"
+        )
+        for lang in LANGS
+    }
+    cases = []
+    for i, lang in enumerate(LANGS):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in LANGS[i + 1 :]
+        )
+        if conds:
+            cases.append(f"WHEN {conds} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    scores["lang_pred"] = "CASE " + " ".join(cases) + " END"
+    return scores
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / repetition features and a
+    composite quality score in [0, 1]."""
+    norm = normalize(F.col(text_col))
+    w = words(F.col(text_col))
+    n_chars = F.length(norm)
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    stop = stopword_count(F.col(text_col), LANG_STOPWORDS["en"]).cast("double")
+    punct = F.regexp_count(norm, F.lit(PUNCT_PATTERN)).cast("double")
+    out = (
+        df.withColumn("n_chars_norm", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "avg_word_len",
+            (n_chars - (n_words - 1)).cast("double") / n_words,
+        )
+        .withColumn("punct_ratio", punct / n_chars)
+        .withColumn("stopword_ratio", stop / n_words)
+        .withColumn("distinct_ratio", n_distinct.cast("double") / n_words)
+    )
+    score = (
+        0.4 * F.least(F.col("n_words").cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * F.col("distinct_ratio")
+        + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return out.withColumn("quality_score", score)
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    norm = normalize(F.col(text_col))
+    return df.withColumn("n_ws_tokens", F.size(F.split(norm, " "))).withColumn(
+        "n_bpe_tokens", F.regexp_count(norm, F.lit(BPE_PATTERN))
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, shingle_words: int = 3) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact-dup key)
+    plus the lexicographic-min md5 over word shingles (a winnowing-style
+    rolling fingerprint robust to local edits)."""
+    from .dedup import shingle_array
+
+    norm = normalize(F.col(text_col))
+    sh = shingle_array(norm, shingle_words)
+    return df.withColumn("doc_md5", F.md5(norm)).withColumn(
+        "min_shingle_md5",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    )

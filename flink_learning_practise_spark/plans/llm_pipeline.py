@@ -1,0 +1,286 @@
+"""LLM-training-data pipeline plans (SURVEY §2 #37-47): dedup tiers,
+similarity search, text analysis — over the ``documents`` and
+``embeddings`` tables, each with a DuckDB oracle where the semantics are
+SQL-expressible (hash-function-based ops are rows-only checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datasets import load
+from ..operators import dedup, similarity, text
+
+NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+JACCARD_THRESHOLD = 0.8
+EMBED_THRESHOLD = 0.45
+KNN_K = 5
+KNN_QUERY_MAX_ID = 10
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# #37 exact dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM norm
+GROUP BY t
+"""
+
+# ---------------------------------------------------------------------------
+# #38 n-gram Jaccard near-dup (exact)
+
+SHINGLES_CTE = f"""
+words AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS shingle
+  FROM words WHERE len(w) < 3
+)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# #39 MinHash LSH (rows-only: xxhash64 signatures aren't SQL-portable)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #40 SimHash (rows-only)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", bands=7, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# #41 embedding cosine near-dup
+
+DOT_AB = (
+    "(SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) "
+    f"FROM unnest(generate_series(1, {EMB_DIM})) AS t(i))"
+)
+NORM_CTE = (
+    "norms AS (SELECT vec_id, embedding, "
+    "sqrt((SELECT SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) "
+    f"FROM unnest(generate_series(1, {EMB_DIM})) AS t(i))) AS nrm FROM embeddings)"
+)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, EMBED_THRESHOLD)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH {NORM_CTE},
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({DOT_AB} / (a.nrm * b.nrm), 6) AS cosine
+  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {EMBED_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# #42 brute-force cosine top-k
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_bruteforce(emb, queries, k=KNN_K)
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH {NORM_CTE},
+q AS (SELECT vec_id AS query_id, embedding, nrm FROM norms WHERE vec_id < {KNN_QUERY_MAX_ID}),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) / (a.nrm * b.nrm),
+           6) AS cosine
+  FROM q a JOIN norms b ON b.vec_id <> a.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {KNN_K}
+"""
+
+# ---------------------------------------------------------------------------
+# #43 LSH ANN (rows-only)
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_lsh(emb, queries, k=KNN_K, planes=8, dim=EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
+# #44 language ID
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = text.lang_scores(docs, "text")
+    return scored.select(
+        "doc_id", *[f"score_{lang}" for lang in text.LANGS], "lang_pred"
+    )
+
+
+def _lang_id_sql() -> str:
+    exprs = text.sql_lang_scores("text")
+    score_cols = ",\n       ".join(
+        f"{exprs[lang]} AS score_{lang}" for lang in text.LANGS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in text.LANGS)},
+       {exprs["lang_pred"]} AS lang_pred
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+# ---------------------------------------------------------------------------
+# #45 quality scoring
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = text.quality_features(docs, "text")
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "avg_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality_score",
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {NORM_SQL} AS t, string_split({NORM_SQL}, ' ') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct,
+         CAST(len(regexp_extract_all(t, '{text.stopword_regex(text.LANG_STOPWORDS["en"])}')) AS DOUBLE) AS stop,
+         CAST(len(regexp_extract_all(t, '{text.PUNCT_PATTERN}')) AS DOUBLE) AS punct
+  FROM norm
+)
+SELECT doc_id,
+       n_words,
+       CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+       punct / n_chars AS punct_ratio,
+       stop / n_words AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+       0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
+         + 0.3 * least((stop / n_words) * 5.0, 1.0) AS quality_score
+FROM feats
+"""
+
+# ---------------------------------------------------------------------------
+# #46 token counting
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.token_counts(docs, "text").select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(string_split({NORM_SQL}, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all({NORM_SQL}, '{text.BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# #47 document fingerprinting
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprints(docs, "text").select(
+        "doc_id", "doc_md5", "min_shingle_md5"
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH norm AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+sh AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, t AS shingle FROM words WHERE len(w) < 3
+),
+mins AS (SELECT doc_id, MIN(md5(shingle)) AS min_shingle_md5 FROM sh GROUP BY doc_id)
+SELECT n.doc_id, md5(n.t) AS doc_md5, m.min_shingle_md5
+FROM norm n JOIN mins m ON n.doc_id = m.doc_id
+"""

@@ -105,6 +105,21 @@ def _populate() -> None:
     register("q_interval_join", ea.interval_join, ea.INTERVAL_JOIN_SQL, headline=True)
     register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
 
+    # LLM-data-pipeline ops (#37-47)
+    from .plans import llm_pipeline as llm
+
+    register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
+    register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
+    register("q_dedup_minhash_lsh", llm.dedup_minhash_lsh, None, headline=True)
+    register("q_dedup_simhash", llm.dedup_simhash, None)
+    register("q_dedup_embedding", llm.dedup_embedding, llm.DEDUP_EMBEDDING_SQL)
+    register("q_knn_bruteforce", llm.knn_bruteforce, llm.KNN_BRUTEFORCE_SQL, headline=True)
+    register("q_knn_lsh", llm.knn_lsh, None)
+    register("q_lang_id", llm.lang_id, llm.LANG_ID_SQL)
+    register("q_quality_score", llm.quality_score, llm.QUALITY_SCORE_SQL, headline=True)
+    register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
+    register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
+
     # order statistics (#9, #21-24)
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
