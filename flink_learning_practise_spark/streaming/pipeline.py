@@ -1,0 +1,71 @@
+"""Streaming ETL pipeline builders — Spark analog of the reference's
+``flink_kafka_to_mysql_utils.py`` (create_etl_pipeline_datastream:71,
+create_etl_pipeline_table_api:169, create_etl_pipeline_with_transform:261)
+and the stage2 windowed-statistics job (order_statistics.py).
+
+The pipeline is source-agnostic: any streaming DataFrame in, windowed
+aggregation with event-time watermarks, any sink writer out. The same
+transformation functions run on batch frames (test path) and unbounded
+frames (production path) — Structured Streaming's core win over the
+reference's split DataStream/Table code paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Watermark strategy (ref flink_window_utils.py:399
+    create_watermark_strategy — bounded out-of-orderness). ``delay`` is
+    the lateness bound, e.g. '10 minutes'; it also bounds state size:
+    windows older than the watermark are finalized and evicted."""
+    return df.withWatermark(ts_col, delay)
+
+
+def windowed_stats(
+    df: DataFrame,
+    ts_col: str,
+    window_size: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark_delay: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Event-time windowed aggregation (stage2 order_statistics core):
+    watermark → window groupBy → flattened window bounds. Works on both
+    streaming and batch frames (watermark is a no-op in batch)."""
+    src = with_watermark(df, ts_col, watermark_delay)
+    window = (
+        F.window(ts_col, window_size, slide) if slide else F.window(ts_col, window_size)
+    )
+    grouped = src.groupBy(window.alias("window"), *keys).agg(*aggs)
+    return grouped.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in grouped.columns if c != "window"],
+    ).drop("window")
+
+
+def etl_pipeline(
+    source: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    sink: Callable[[DataFrame], "DataStreamWriter"],
+) -> StreamingQuery:
+    """source → transform → sink, started (ref
+    create_etl_pipeline_with_transform:261). Returns the running query;
+    callers own awaitTermination/stop."""
+    return sink(transform(source)).start()
+
+
+def run_until_drained(query: StreamingQuery) -> None:
+    """Deterministic test helper: process everything currently
+    available, then stop (bounded sources only)."""
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()

@@ -1,0 +1,89 @@
+"""Source/sink connector tests that run without external services:
+batch file formats round-trip, JDBC option building, upsert SQL text,
+Kafka option wiring (constructed, not connected)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_learning_practise_spark.sinks import batch as bsink
+from flink_learning_practise_spark.sinks.jdbc import build_upsert_sql
+from flink_learning_practise_spark.sources import batch as bsrc
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id BIGINT, name STRING, v DOUBLE"
+    )
+    path = str(tmp_path / "csv_out")
+    bsink.write_csv(df, path)
+    back = bsrc.read_csv(spark, path, "id BIGINT, name STRING, v DOUBLE")
+    assert sorted((r.id, r.name, r.v) for r in back.collect()) == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_json_round_trip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id BIGINT, s STRING")
+    path = str(tmp_path / "json_out")
+    bsink.write_json(df, path)
+    back = bsrc.read_json(spark, path, "id BIGINT, s STRING")
+    assert back.schema.simpleString() == "struct<id:bigint,s:string>"
+    assert back.count() == 2
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id BIGINT, bucket INT, v DOUBLE"
+    )
+    path = str(tmp_path / "pq_part")
+    bsink.write_parquet(df, path, partition_by=["bucket"])
+    back = bsrc.read_parquet(spark, path).filter(F.col("bucket") == 1)
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter handled by pruning, not a post-scan Filter on rows
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_upsert_sql_mysql_and_postgres():
+    sql = build_upsert_sql("stats", ["k", "a", "b"], ["k"], dialect="mysql")
+    assert sql == (
+        "INSERT INTO `stats` (`k`, `a`, `b`) VALUES (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE `a` = VALUES(`a`), `b` = VALUES(`b`)"
+    )
+    sql_pg = build_upsert_sql("stats", ["k", "a"], ["k"], dialect="postgresql")
+    assert 'ON CONFLICT ("k") DO UPDATE SET "a" = EXCLUDED."a"' in sql_pg
+    with pytest.raises(ValueError):
+        build_upsert_sql("t", ["a"], ["a"], dialect="oracle")
+
+
+def test_kafka_source_options_wired(spark):
+    from flink_learning_practise_spark.sources.streaming import kafka_source
+
+    # no broker in this container: building the reader must still work,
+    # proving option plumbing; load() would only fail on connect.
+    try:
+        df = kafka_source(
+            spark,
+            topics=["orders_raw"],
+            bootstrap_servers=["localhost:9092"],
+            starting_offsets="latest",
+            max_offsets_per_trigger=1000,
+        )
+    except Exception as e:  # kafka jar may be absent entirely
+        assert "kafka" in str(e).lower()
+        return
+    assert df.isStreaming
+
+
+def test_rate_and_synthetic_order_source(spark):
+    from flink_learning_practise_spark.sources.streaming import (
+        rate_source,
+        synthetic_order_stream,
+    )
+
+    orders = synthetic_order_stream(spark, rows_per_second=10)
+    assert orders.isStreaming
+    assert set(orders.columns) == {
+        "order_ts", "purchase_order_id", "customer_id", "amount", "order_status",
+    }
+    assert rate_source(spark).isStreaming

@@ -1,0 +1,72 @@
+"""Cross-operator consistency for the approximate dedup/ANN paths
+(rows-only queries): the approximations must agree with their exact
+counterparts where theory guarantees it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_learning_practise_spark.datasets import load
+from flink_learning_practise_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_medium):
+    return load(spark, sf_medium, "documents")
+
+
+def test_minhash_subset_of_exact(spark, docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    # verification step makes every reported pair exact ⇒ subset with equal scores
+    for pair, jac in approx.items():
+        assert pair in exact
+        assert jac == pytest.approx(exact[pair])
+    # pairs with very high jaccard are found w.p. 1 - (1-j^4)^16 ≈ 1
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(approx)
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = dedup.minhash_signatures(docs.limit(20), "doc_id", "text").collect()
+    assert all(len(r.signature) == 64 for r in sig)
+
+
+def test_simhash_near_dups_have_similar_text(spark, docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text").collect()
+    assert all(r.id_a < r.id_b and r.hamming <= 3 for r in pairs)
+    if pairs:  # simhash hits should correlate with real shingle overlap
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        hits = sum(1 for r in pairs if (r.id_a, r.id_b) in exact)
+        assert hits / len(pairs) > 0.5
+
+
+def test_knn_lsh_scores_match_bruteforce(spark, sf_medium):
+    emb = load(spark, sf_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.knn_bruteforce(emb, queries, k=10**6).collect()
+    }
+    approx = similarity.knn_lsh(emb, queries, k=5, planes=8).collect()
+    assert approx, "LSH should return candidates on this data"
+    for r in approx:
+        # every approximate hit carries the exact cosine score
+        assert brute[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine)
+
+
+def test_exact_dedup_survivors(spark, docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    total = docs.count()
+    survivors = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert survivors == total  # every doc accounted for exactly once

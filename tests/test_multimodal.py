@@ -1,0 +1,59 @@
+"""Multimodal column plumbing tests (SURVEY §2 #48): binary columns,
+Arrow-batched feature extraction, gated decode, frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flink_learning_practise_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", bytes(range(256)) * 8, ("image/png", 64, 64, None)),
+        (2, "audio", b"\x00" * 4096, ("audio/wav", None, None, 2000)),
+        (3, "video", bytes((i * 7) % 256 for i in range(30 * 1024)), ("video/mp4", 320, 240, 5000)),
+        (4, "image", None, ("image/png", 0, 0, None)),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_content_stats_jvm_side(spark, media_df):
+    out = mm.attach_content_stats(media_df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].content_size == 2048
+    assert rows[1].content_sha256 == hashlib.sha256(bytes(range(256)) * 8).hexdigest()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_byte_histogram_features(spark, media_df):
+    feats = {r.doc_id: r for r in mm.byte_histogram_features(media_df).collect()}
+    # uniform bytes → maximal entropy (log2 16 = 4), uniform histogram
+    assert feats[1].entropy == pytest.approx(4.0)
+    assert all(h == pytest.approx(1 / 16) for h in feats[1].histogram)
+    # constant bytes → zero entropy, all mass in bin 0
+    assert feats[2].entropy == 0.0
+    assert feats[2].histogram[0] == 1.0
+    assert feats[4].content_size == 0
+
+
+def test_decode_image_gated(spark, media_df):
+    decoded = {r.doc_id: r for r in mm.decode_image(media_df.filter("modality = 'image'")).collect()}
+    assert set(decoded) == {1, 4}
+    r = decoded[1]
+    assert r.decoder in ("pil", "fake")
+    assert 64 <= r.width < 256 and 64 <= r.height < 256
+    # deterministic across runs
+    again = {x.doc_id: x for x in mm.decode_image(media_df.filter("modality = 'image'")).collect()}
+    assert again[1].width == r.width and again[1].mean_intensity == r.mean_intensity
+
+
+def test_sample_frames(spark, media_df):
+    frames = mm.sample_frames(media_df.filter("doc_id = 3"), frame_size=1024, every_n=10).collect()
+    # 30 frames of 1 KiB, every 10th → indexes 0, 10, 20
+    assert sorted(f.frame_index for f in frames) == [0, 10, 20]
+    assert all(len(f.frame) == 1024 for f in frames)

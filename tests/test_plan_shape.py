@@ -1,0 +1,64 @@
+"""Physical-plan assertions — the scale contract (SURVEY §6):
+filters/pruning reach the parquet scan, dims broadcast, hot paths stay
+JVM-side (no Python eval), whole-stage codegen present."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_learning_practise_spark.registry import all_queries
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_medium):
+    df = all_queries()["q_filter_pushdown"].fn(spark, sf_medium)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    # shipdate range + quantity/discount predicates should be pushed
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_projection_prunes_scan_columns(spark, sf_medium):
+    df = all_queries()["q_select_project"].fn(spark, sf_medium)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_suppkey" not in read_schema  # unused column pruned
+    assert "l_extendedprice" in read_schema
+
+
+def test_lookup_join_broadcasts_dims(spark, sf_medium):
+    plan = plan_of(all_queries()["q_lookup_join"].fn(spark, sf_medium))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_medium):
+    plan = plan_of(all_queries()["q_local_supplier_volume"].fn(spark, sf_medium))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_in_hot_paths(spark, sf_medium):
+    for name, q in all_queries().items():
+        plan = plan_of(q.fn(spark, sf_medium))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF in the hot path"
+
+
+def test_whole_stage_codegen_in_agg(spark, sf_medium):
+    df = all_queries()["q_sql_pricing_summary"].fn(spark, sf_medium)
+    df.collect()  # AQE finalizes codegen stages only after execution
+    plan = plan_of(df)
+    # whole-stage-codegen stages render as "*(n)" prefixes in the plan string
+    assert "*(1)" in plan
+    assert "HashAggregate" in plan  # partial+final hash agg, not sort-based
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_medium):
+    plan = plan_of(all_queries()["q_keyby_agg"].fn(spark, sf_medium))
+    # two HashAggregates (partial map-side + final) around one exchange
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,124 @@
+"""Structured Streaming runtime tests (SURVEY §2 #25-36): file-drop
+source → watermark + windowed agg → memory sink; streaming dedup;
+foreachBatch sink; custom stateful sessionizer."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_learning_practise_spark.num import dsum
+from flink_learning_practise_spark.sinks.streaming import foreach_batch_sink, memory_sink
+from flink_learning_practise_spark.sources.streaming import file_stream_source
+from flink_learning_practise_spark.streaming import pipeline as sp
+from flink_learning_practise_spark.streaming.stateful import sessionize, streaming_dedup
+
+EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+
+
+def write_events(path, events):
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"part-{len(os.listdir(path))}.jsonl")
+    with open(fname, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+@pytest.fixture()
+def event_dir(tmp_path):
+    path = str(tmp_path / "events_in")
+    write_events(
+        path,
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:10", "user_id": 1, "value": 10.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:40", "user_id": 1, "value": 5.0},
+            {"event_id": 3, "ts": "2024-01-01 00:01:10", "user_id": 2, "value": 7.0},
+            {"event_id": 4, "ts": "2024-01-01 00:03:05", "user_id": 1, "value": 1.0},
+        ],
+    )
+    return path
+
+
+def test_windowed_stats_stream(spark, event_dir):
+    src = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json")
+    assert src.isStreaming
+    stats = sp.windowed_stats(
+        src,
+        "ts",
+        "1 minute",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+        watermark_delay="30 seconds",
+    )
+    q = memory_sink(stats, "win_stats", mode="complete").start()
+    sp.run_until_drained(q)
+    rows = {(r.window_start.isoformat(), r.user_id): r for r in spark.table("win_stats").collect()}
+    assert rows[("2024-01-01T00:00:00", 1)].n_events == 2
+    assert rows[("2024-01-01T00:00:00", 1)].sum_value == 15.0
+    assert rows[("2024-01-01T00:01:00", 2)].n_events == 1
+    assert rows[("2024-01-01T00:03:00", 1)].sum_value == 1.0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    path = str(tmp_path / "dups_in")
+    write_events(
+        path,
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:10", "user_id": 1, "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01 00:00:11", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:12", "user_id": 2, "value": 2.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:13", "user_id": 2, "value": 2.0},
+        ],
+    )
+    src = file_stream_source(spark, path, EVENT_SCHEMA, fmt="json")
+    deduped = streaming_dedup(src, ["event_id"], "ts", "1 minute")
+    q = memory_sink(deduped, "dedup_out", mode="append").start()
+    sp.run_until_drained(q)
+    out = spark.table("dedup_out").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_foreach_batch_parquet_sink(spark, event_dir, tmp_path):
+    out_dir = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    src = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json")
+    q = foreach_batch_sink(src, write_batch, ckpt, mode="append").start()
+    sp.run_until_drained(q)
+    assert spark.read.parquet(out_dir).count() == 4
+
+
+def test_etl_pipeline_composition(spark, event_dir, tmp_path):
+    src = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json")
+    q = sp.etl_pipeline(
+        src,
+        transform=lambda df: df.filter(F.col("value") >= 5.0).withColumn(
+            "value_cents", (F.col("value") * 100).cast("long")
+        ),
+        sink=lambda df: memory_sink(df, "etl_out", mode="append"),
+    )
+    sp.run_until_drained(q)
+    out = spark.table("etl_out").collect()
+    assert sorted(r.value_cents for r in out) == [500, 700, 1000]
+
+
+def test_sessionize_stateful(spark, event_dir):
+    src = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json")
+    sessions = sessionize(src.select("user_id", "ts", "value"), gap="2 minutes")
+    q = memory_sink(sessions, "sessions_out", mode="update").start()
+    sp.run_until_drained(q)
+    out = spark.table("sessions_out").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 1: events at 00:00:10, 00:00:40 then 00:03:05 (> 2 min gap)
+    u1 = sorted(by_user[1], key=lambda r: r.session_start)
+    assert u1[0].n_events == 2 and u1[0].sum_value == 15.0 and u1[0].closed is True
+    assert u1[1].n_events == 1 and u1[1].closed is False
+    assert by_user[2][0].n_events == 1
