@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 from .text import normalize
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    input scan has fewer splits (e.g. one small parquet file locally).
+    A no-op at scale, where the scan already has plenty of partitions —
+    never a data-dependent shuffle of a big input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_array(norm_col: Column, k: int = 3) -> Column:
     """Array of k-word shingles from a normalized text column (distinct,
     computed JVM-side with array lambdas — no explode until needed)."""
@@ -47,6 +58,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Returns (surviving id, n_copies). Shuffle keys are fixed-width
     digests, so key size is independent of document size.
     """
+    # no widen() here: sha2 is too cheap to justify repartitioning the
+    # raw text — the groupBy's own shuffle provides the parallelism.
     hashed = df.select(
         F.col(id_col), F.sha2(normalize(F.col(text_col)), 256).alias("_h")
     )
@@ -57,7 +70,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) exploded inverted-index rows, distinct per doc."""
-    return df.select(
+    return widen(df).select(
         F.col(id_col),
         F.explode(shingle_array(normalize(F.col(text_col)), k)).alias("shingle"),
     )
@@ -104,22 +117,25 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(i, shingle). One explode + one groupBy with map-side
-    partial mins; the shuffle carries (id, num_hashes longs)."""
-    sh = doc_shingles(df, id_col, text_col, k)
-    hashed = sh.select(
+    """MinHash signature per doc, computed entirely row-wise (no explode,
+    no shuffle): each shingle is hashed to a long ONCE, then the
+    ``num_hashes`` seeded values derive from that long — 1 string hash +
+    num_hashes fixed-width hashes per shingle instead of num_hashes
+    string hashes. The signature depends only on the doc's own shingles,
+    so at 100 TB this stage is a pure map over the scan."""
+    sh = widen(df).select(
+        F.col(id_col), shingle_array(normalize(F.col(text_col)), k).alias("_sh")
+    )
+    max_long = 9223372036854775807
+    return sh.select(
         id_col,
-        *[
-            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
-    )
-    return agg.select(
-        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
+        F.expr(
+            f"aggregate(transform(_sh, s -> xxhash64(s)), "
+            f"array_repeat(CAST({max_long} AS BIGINT), {num_hashes}), "
+            f"(acc, h) -> zip_with(acc, "
+            f"  transform(sequence(0, {num_hashes - 1}), i -> xxhash64(i, h)), "
+            f"  (a, x) -> least(a, x)))"
+        ).alias("signature"),
     )
 
 
@@ -140,22 +156,30 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            F.lit(j), F.slice("signature", j * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    # repartition on the join key BEFORE self-joining: both join sides
+    # then share one ReusedExchange, so signatures are computed once, and
+    # the exchange already satisfies the join's required partitioning.
+    banded = (
+        sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.xxhash64(
+                                F.lit(j),
+                                F.slice("signature", j * rows_per_band + 1, rows_per_band),
+                            ).alias("bucket"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        .repartition("band", "bucket")
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
@@ -164,26 +188,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    sh = doc_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact-Jaccard verification restricted to candidates: broadcast the
+    # few candidate pairs against per-doc shingle ARRAYS (no shuffle of
+    # the corpus, work ∝ candidates) and intersect row-wise.
+    arrs = widen(df).select(
+        F.col(id_col), shingle_array(normalize(F.col(text_col)), k).alias("_sh")
     )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    pa = arrs.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    pb = arrs.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    cand_a = pa.join(F.broadcast(candidates), "id_a")  # ∝ candidates
     jac = (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+        pb.join(F.broadcast(cand_a), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            / (F.size("_sh_a") + F.size("_sh_b") - F.col("n_common")),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
@@ -194,26 +214,31 @@ SIMHASH_BITS = 63  # stay inside BIGINT so ANSI-mode sums can't overflow
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """63-bit SimHash per doc: each token votes ±1 on every bit of its
-    xxhash64; bit j of the result is 1 iff the vote sum is positive."""
-    toks = df.select(
+    xxhash64; bit j of the result is 1 iff the vote sum is positive.
+
+    Entirely row-wise (token-array fold via higher-order functions): a
+    doc's simhash depends only on its own tokens, so there is no explode
+    and no shuffle — at 100 TB this is a pure map over the scan."""
+    toks = widen(df).select(
         F.col(id_col),
-        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.filter(F.split(normalize(F.col(text_col)), " "), lambda t: t != "").alias(
+            "_toks"
+        ),
+    )
+    # fold tokens into a 63-wide vote vector, then pack sign bits
     votes = toks.select(
         id_col,
         F.expr(
-            "transform(sequence(0, 62), j -> "
-            "CASE WHEN (shiftright(xxhash64(tok), j) & 1) = 1 THEN 1 ELSE -1 END)"
-        ).alias("v"),
+            "aggregate(_toks, "
+            " array_repeat(CAST(0 AS BIGINT), 63), "
+            " (acc, tok) -> zip_with(acc, "
+            "   transform(sequence(0, 62), j -> "
+            "     CASE WHEN (shiftright(xxhash64(tok), j) & 1) = 1 "
+            "          THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), "
+            "   (a, v) -> a + v))"
+        ).alias("votes"),
     )
-    summed = votes.groupBy(id_col).agg(
-        *[F.sum(F.element_at("v", j + 1)).alias(f"_b{j}") for j in range(SIMHASH_BITS)]
-    )
-    bits = summed.select(
-        id_col,
-        F.array(*[f"_b{j}" for j in range(SIMHASH_BITS)]).alias("votes"),
-    )
-    return bits.select(
+    return votes.select(
         id_col,
         F.expr(
             "aggregate(transform(sequence(0, 62), j -> "

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import widen
+
 COSINE_NDIGITS = 6  # round so engine-order float noise can't flip hashes
 
 
@@ -58,7 +60,7 @@ def knn_bruteforce(
         F.col(emb_col).alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    c = with_norm(df, emb_col).select(
+    c = with_norm(widen(df), emb_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -114,7 +116,7 @@ def knn_lsh(
         F.col("norm").alias("q_norm"),
         F.expr(bucket).alias("bucket"),
     )
-    c = with_norm(df, emb_col).select(
+    c = with_norm(widen(df), emb_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -146,7 +148,7 @@ def cosine_pairs(
     Exact O(n²) scoring: the verification baseline. The 100 TB path is
     :func:`knn_lsh`-style bucketing first (same scoring expression on
     the bucketed candidates)."""
-    a = with_norm(df, emb_col).select(
+    a = with_norm(widen(df), emb_col).select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
         F.col("norm").alias("norm_a"),
