@@ -24,7 +24,7 @@ def main() -> None:
     spark = get_spark(app_name="flp-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    qs = {n: q for n, q in all_queries().items() if q.headline}
+    qs = all_queries()
     # warm up the JVM/codegen once with the cheapest plan
     next(iter(qs.values())).fn(spark, sf_dir).limit(1).collect()
 
@@ -32,12 +32,13 @@ def main() -> None:
     for name, q in qs.items():
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
-        n = df.count() if "limit" not in name else len(df.collect())
-        _ = n
+        # noop sink: full evaluation of every output column (count() would
+        # let Catalyst prune unconsumed projections), zero driver transfer
+        df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     out = {
-        "metric": "headline_query_wall_time_total",
+        "metric": "query_wall_time_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

@@ -216,36 +216,55 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """63-bit SimHash per doc: each token votes ±1 on every bit of its
     xxhash64; bit j of the result is 1 iff the vote sum is positive.
 
-    Entirely row-wise (token-array fold via higher-order functions): a
-    doc's simhash depends only on its own tokens, so there is no explode
-    and no shuffle — at 100 TB this is a pure map over the scan."""
+    Explode + codegen'd bit-count sums. A higher-order-function fold
+    (no shuffle) is semantically identical but runs interpreted, ~50×
+    slower than whole-stage codegen here; the shuffle this version pays
+    carries one partially-aggregated row per doc per partition — cheap.
+    Bit j's vote sum is positive iff 2*(count of 1-votes) > n_tokens.
+
+    The 63 per-bit counters are packed 3-per-long (21-bit lanes at
+    offsets 0/21/42), so the aggregate has 21 sum columns instead of 63
+    — whole-stage-codegen compile time scales with column count, and
+    21-bit lanes can't overflow below 2^21 ≈ 2M tokens per doc (chunk
+    longer docs upstream)."""
     toks = widen(df).select(
         F.col(id_col),
-        F.filter(F.split(normalize(F.col(text_col)), " "), lambda t: t != "").alias(
-            "_toks"
-        ),
+        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("_h"))
+    lanes = 3
+    n_groups = 21  # ceil(63 / lanes)
+    one = F.lit(1).cast("bigint")
+
+    def packed(g: int):
+        term = F.shiftright("_h", g).bitwiseAND(one)
+        for lane in range(1, lanes):
+            j = g + lane * n_groups
+            term = term + F.shiftleft(
+                F.shiftright("_h", j).bitwiseAND(one), lane * n_groups
+            )
+        return term
+
+    counts = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(packed(g)).alias(f"_p{g}") for g in range(n_groups)],
     )
-    # fold tokens into a 63-wide vote vector, then pack sign bits
-    votes = toks.select(
-        id_col,
-        F.expr(
-            "aggregate(_toks, "
-            " array_repeat(CAST(0 AS BIGINT), 63), "
-            " (acc, tok) -> zip_with(acc, "
-            "   transform(sequence(0, 62), j -> "
-            "     CASE WHEN (shiftright(xxhash64(tok), j) & 1) = 1 "
-            "          THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), "
-            "   (a, v) -> a + v))"
-        ).alias("votes"),
+    # unpack + majority-vote in ONE compact higher-order expression: it
+    # runs on post-aggregate rows (one per doc), where interpreted eval
+    # is free and a 63-term codegen'd projection would only bloat
+    # whole-stage-codegen compile time.
+    mask = (1 << n_groups) - 1
+    unpack = (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + IF(2 * (shiftright(element_at(_ps, CAST(j % {n_groups} AS INT) + 1), "
+        f"21 * CAST(j DIV {n_groups} AS INT)) & {mask}) > _n, "
+        f"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
     )
-    return votes.select(
-        id_col,
-        F.expr(
-            "aggregate(transform(sequence(0, 62), j -> "
-            "CASE WHEN element_at(votes, j + 1) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
-            "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        ).alias("simhash"),
-    )
+    return counts.select(
+        F.col(id_col),
+        F.array(*[f"_p{g}" for g in range(n_groups)]).alias("_ps"),
+        "_n",
+    ).select(F.col(id_col), F.expr(unpack).alias("simhash"))
 
 
 def simhash_pairs(
@@ -260,24 +279,30 @@ def simhash_pairs(
     exact Hamming verification with bit_count(xor)."""
     bits_per_band = SIMHASH_BITS // bands
     sig = simhash(df, id_col, text_col)
-    banded = sig.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        (
-                            F.shiftright("simhash", j * bits_per_band)
-                            % (2 ** bits_per_band)
-                        ).alias("bucket"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    # repartition on the join key so the self-join's two sides share one
+    # ReusedExchange: the simhash computation runs once, not twice.
+    banded = (
+        sig.select(
+            id_col,
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            (
+                                F.shiftright("simhash", j * bits_per_band)
+                                % (2 ** bits_per_band)
+                            ).alias("bucket"),
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "simhash", "bb.band", "bb.bucket")
+        .repartition("band", "bucket")
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "bucket"
     )

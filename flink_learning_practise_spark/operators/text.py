@@ -145,11 +145,11 @@ def fingerprints(df: DataFrame, text_col: str, shingle_words: int = 3) -> DataFr
     """Document fingerprints: md5 of the normalized text (exact-dup key)
     plus the lexicographic-min md5 over word shingles (a winnowing-style
     rolling fingerprint robust to local edits)."""
-    from .dedup import shingle_array
+    from .dedup import shingle_array, widen
 
     norm = normalize(F.col(text_col))
     sh = shingle_array(norm, shingle_words)
-    return df.withColumn("doc_md5", F.md5(norm)).withColumn(
+    return widen(df).withColumn("doc_md5", F.md5(norm)).withColumn(
         "min_shingle_md5",
         F.array_min(F.transform(sh, lambda s: F.md5(s))),
     )
