@@ -41,13 +41,20 @@ def widen(df: DataFrame) -> DataFrame:
 
 def shingle_array(norm_col: Column, k: int = 3) -> Column:
     """Array of k-word shingles from a normalized text column (distinct,
-    computed JVM-side with array lambdas — no explode until needed)."""
+    computed JVM-side — no explode until needed).
+
+    Built as a zip of k aligned slices of the word array (k slices +
+    k-1 zip_with calls per document) rather than a per-shingle
+    transform(i -> array_join(slice(...))) — higher-order functions run
+    interpreted (they never enter whole-stage codegen), so the constant
+    factor is per *lambda invocation*; this form does ~k interpreted
+    calls per doc instead of ~n_words."""
     w = F.split(norm_col, " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(w) - k),
-        lambda i: F.array_join(F.slice(w, i + 1, k), " "),
-    )
-    return F.when(F.size(w) >= k, F.array_distinct(shingles)).otherwise(
+    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    acc = F.slice(w, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(acc, F.slice(w, j, m), lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(w) >= k, F.array_distinct(acc)).otherwise(
         F.array(F.array_join(w, " "))
     )
 
@@ -90,21 +97,26 @@ def ngram_jaccard_pairs(
     product. At larger scale swap in :func:`minhash_lsh_pairs` or cap
     per-shingle document frequency to bound skew.
     """
-    sh = doc_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    # carry |shingles(doc)| through the explode: both join sides then
+    # already know n_a/n_b, so no separate sizes aggregation and no
+    # post-join size lookups — and because the two sides are IDENTICAL
+    # subtrees ending in repartition(shingle), Spark computes the
+    # exchange once and reuses it (shingling runs once per doc total).
+    arrs = widen(df).select(
+        F.col(id_col), shingle_array(normalize(F.col(text_col)), k).alias("_sh")
+    )
+    sh = arrs.select(
+        F.col(id_col),
+        F.size("_sh").alias("_n"),
+        F.explode("_sh").alias("shingle"),
+    ).repartition("shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle")
+    jac = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")  # n_* functionally depend on ids
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    jac = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

@@ -137,6 +137,99 @@ def knn_lsh(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Deterministic IVF coarse quantizer: the ``nlist`` corpus vectors
+    with the smallest ``xxhash64(id)`` — a uniform, reproducible sample
+    (one TakeOrdered pass; no iterative k-means on the hot path, and at
+    100 TB a k-means refinement would run offline on the same sample).
+    Returns (centroid vectors, centroid L2 norms) as plain Python lists;
+    they're tiny (nlist × dim) and get inlined as literals so that list
+    assignment is a map-only expression — zero shuffle."""
+    import math
+
+    rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(emb_col).alias("emb"))
+        .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+        .limit(nlist)
+        .collect()
+    )
+    vecs = [[float(x) for x in r.emb] for r in rows]
+    norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in vecs]
+    return vecs, norms
+
+
+def _ivf_scores_expr(emb_col: str, vecs: list[list[float]], norms: list[float]) -> str:
+    """SQL expr: array of cosine-proportional scores of ``emb_col``
+    against each inlined centroid (own-norm omitted — positive scaling
+    doesn't change the argmax/ordering used for assignment/probing)."""
+    cents = "array(" + ",".join(
+        "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")" for v in vecs
+    ) + ")"
+    cnorms = "array(" + ",".join(f"CAST({n!r} AS DOUBLE)" for n in norms) + ")"
+    dot = (
+        f"aggregate(zip_with({emb_col}, c, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"transform({cents}, (c, i) -> ({dot}) / element_at({cnorms}, i + 1))"
+
+
+def knn_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k (the other classic ANN scale path,
+    alongside :func:`knn_lsh`): a coarse quantizer of ``nlist`` centroids
+    partitions the corpus into inverted lists map-side (no shuffle —
+    centroids are inlined literals); each query probes its ``nprobe``
+    nearest lists, so only ~nprobe/nlist of the corpus is scored.
+    Same output shape as :func:`knn_bruteforce`; recall < 1 by design."""
+    vecs, norms = ivf_centroids(df, nlist, id_col, emb_col)
+    scores = _ivf_scores_expr(emb_col, vecs, norms)
+
+    probe_lists = (
+        f"transform(slice(reverse(array_sort("
+        f"transform(({scores}), (s, i) -> struct(s, i)))), 1, {nprobe}), "
+        f"x -> CAST(x.i + 1 AS INT))"
+    )
+    q = with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.explode(F.expr(probe_lists)).alias("list_id"),
+    )
+    c = with_norm(widen(df), emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        F.expr(f"CAST(array_position(({scores}), array_max({scores})) AS INT)").alias(
+            "list_id"
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -167,6 +167,16 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# #43b IVF-Flat ANN (rows-only: centroid sample is engine-specific)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_ivf(emb, queries, k=KNN_K, nlist=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
 # #44 language ID
 
 

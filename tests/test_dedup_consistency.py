@@ -65,6 +65,31 @@ def test_knn_lsh_scores_match_bruteforce(spark, sf_medium):
         assert brute[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine)
 
 
+def test_knn_ivf_scores_match_bruteforce(spark, sf_medium):
+    emb = load(spark, sf_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.knn_bruteforce(emb, queries, k=10**6).collect()
+    }
+    approx = similarity.knn_ivf(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    assert approx, "IVF should return candidates on this data"
+    seen = set()
+    for r in approx:
+        # each pair reported once, carrying the exact cosine score
+        assert (r.query_id, r.neighbor_id) not in seen
+        seen.add((r.query_id, r.neighbor_id))
+        assert brute[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine)
+
+
+def test_knn_ivf_deterministic(spark, sf_medium):
+    emb = load(spark, sf_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, similarity.knn_ivf(emb, queries).collect()))
+    b = sorted(map(tuple, similarity.knn_ivf(emb, queries).collect()))
+    assert a == b
+
+
 def test_exact_dedup_survivors(spark, docs):
     out = dedup.exact_dedup(docs, "doc_id", "text")
     total = docs.count()
