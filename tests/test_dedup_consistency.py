@@ -90,6 +90,16 @@ def test_knn_ivf_deterministic(spark, sf_medium):
     assert a == b
 
 
+def test_cosine_pairs_vectorized_matches_jvm(spark, sf_medium):
+    emb = load(spark, sf_medium, "embeddings")
+    jvm = {(r.id_a, r.id_b): r.cosine for r in similarity.cosine_pairs(emb, 0.45).collect()}
+    vec = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_pairs_vectorized(emb, 0.45).collect()
+    }
+    assert vec == jvm  # bit-for-bit: same pairs, same rounded cosines
+
+
 def test_exact_dedup_survivors(spark, docs):
     out = dedup.exact_dedup(docs, "doc_id", "text")
     total = docs.count()

@@ -42,11 +42,19 @@ def test_tpch_q5_broadcasts_all_dims(spark, sf_medium):
     assert "SortMergeJoin" not in plan
 
 
+# Queries whose hot loop is deliberately an Arrow-vectorized Pandas path
+# (numpy GEMM beats JVM expression eval for O(n^2) dense dot products;
+# see operators/similarity.py::cosine_pairs_vectorized).
+ARROW_VECTORIZED = {"q_dedup_embedding"}
+
+
 def test_no_python_in_hot_paths(spark, sf_medium):
     for name, q in all_queries().items():
         plan = plan_of(q.fn(spark, sf_medium))
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
-        assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF in the hot path"
+        if name not in ARROW_VECTORIZED:
+            assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF in the hot path"
+            assert "MapInPandas" not in plan, f"{name} uses mapInPandas in the hot path"
 
 
 def test_whole_stage_codegen_in_agg(spark, sf_medium):
