@@ -478,3 +478,55 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type column profiling — the stats pass a training-data
+    pipeline runs before/after every transformation: row count, exact
+    user cardinality, min/max and exact interpolated median of `value`.
+    One hash-agg shuffle; count-distinct expands to a two-phase
+    aggregate (partial per (type, user), then final) planned by
+    Catalyst. The exact forms here are the oracle-checked baselines of
+    the sketch variants in :func:`event_profile_sketch`."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_value"),
+        )
+    )
+
+
+EVENT_PROFILE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(MIN(value), 6) AS min_value,
+       round(MAX(value), 6) AS max_value,
+       round(quantile_cont(value, 0.5), 6) AS med_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def event_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling — the 100 TB path (rows-only check: sketch
+    internals are engine-specific). HyperLogLog++ cardinality and
+    GK-sketch quantiles are mergeable, so partial aggregates combine
+    across any partitioning with fixed memory per group — exact
+    count-distinct shuffles every (group, user) pair instead, and exact
+    percentile materializes per-group value multisets. Relative error:
+    HLL ~2.3%, quantile eps 0.01."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.023).alias("n_users_approx"),
+            F.percentile_approx("value", 0.5, 100).alias("med_value_approx"),
+        )
+    )

@@ -210,3 +210,32 @@ SELECT c_mktsegment, rank, l_partkey, revenue
 FROM ranked
 WHERE rank <= {TOP_N}
 """
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional subtotal aggregation: ROLLUP over
+    (order year, order status) — grand total, per-year, and
+    per-(year, status) rows in ONE pass (Catalyst expands the grouping
+    sets; partial aggregation still applies, so the fact table shuffles
+    once). The Spark-first analog of the reference's tiered order
+    statistics (flink_order_real_time/order_statistics.py), collapsed
+    into a single grouping-sets plan instead of N separate jobs."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select("order_year", "o_orderstatus", "n_orders", "total_price")
+    )
+
+
+SALES_ROLLUP_SQL = f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+"""

@@ -122,6 +122,11 @@ def _populate() -> None:
     register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
 
     # order statistics (#9, #21-24)
+    # multidim aggregation + profiling (#49-50)
+    register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
+    register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
+    register("q_event_profile_sketch", ea.event_profile_sketch, None)
+
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
     register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
