@@ -75,6 +75,45 @@ def interval_join(
     return left.join(right, cond)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for when BOTH sides are too big to
+    broadcast and a few hot keys dominate (the 100 TB failure mode a
+    plain shuffle join can't survive: one reducer gets the hot key's
+    entire partition).
+
+    Left rows scatter across ``salts`` sub-buckets of their key; the
+    right side replicates ``salts``× (explode of a literal range — cheap
+    when right is the smaller-but-unbroadcastable side). The join runs
+    on (key, salt), so a hot key's work spreads over ``salts`` reducers.
+    Result set is identical to ``left.join(right, key, how)``.
+
+    AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`, on in
+    session.py) handles moderate skew automatically at runtime; explicit
+    salting is for the planned-ahead case (known hot keys, or skew
+    inside aggregations AQE can't split). Only join types that tolerate
+    right-row replication are allowed (every unmatched right copy is
+    dropped): inner / left outer / left semi."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi"}
+    if how.lower() not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
+    # salt only needs to vary within a key; the join result is invariant
+    # to the assignment, so a hash of a unique per-row id is fine.
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)).cast("int"),
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
