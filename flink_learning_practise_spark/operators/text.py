@@ -153,3 +153,35 @@ def fingerprints(df: DataFrame, text_col: str, shingle_words: int = 3) -> DataFr
         "min_shingle_md5",
         F.array_min(F.transform(sh, lambda s: F.md5(s))),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard context-window preprocessing step of a training-data /
+    retrieval pipeline (size-token chunks every stride tokens, so
+    consecutive chunks overlap by size-stride tokens).
+
+    Pure map-side (no shuffle, no Python): windows come from one
+    slice+join per chunk (~n_words/stride interpreted lambda calls per
+    doc — the cheap per-row HOF regime). Output is one row per chunk:
+    (id, chunk_id, chunk_text, n_tokens)."""
+    per_doc = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_w), {stride}), i -> struct("
+                f"CAST((i - 1) DIV {stride} AS INT) AS chunk_id, "
+                f"array_join(slice(_w, i, {size}), ' ') AS chunk_text, "
+                f"least({size}, size(_w) - i + 1) AS n_tokens))"
+            )
+        ).alias("_c"),
+    )
+    return per_doc.select(id_col, "_c.chunk_id", "_c.chunk_text", "_c.n_tokens")

@@ -294,3 +294,27 @@ mins AS (SELECT doc_id, MIN(md5(shingle)) AS min_shingle_md5 FROM sh GROUP BY do
 SELECT n.doc_id, md5(n.t) AS doc_md5, m.min_shingle_md5
 FROM norm n JOIN mins m ON n.doc_id = m.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# #51 document chunking (overlapping token windows)
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, "doc_id", "text", size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST((i - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       array_to_string(w[i:i + {CHUNK_SIZE} - 1], ' ') AS chunk_text,
+       least({CHUNK_SIZE}, len(w) - i + 1) AS n_tokens
+FROM w, unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS t(i)
+"""

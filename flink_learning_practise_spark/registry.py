@@ -120,6 +120,7 @@ def _populate() -> None:
     register("q_quality_score", llm.quality_score, llm.QUALITY_SCORE_SQL, headline=True)
     register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
     register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
+    register("q_doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL)
 
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)
