@@ -51,6 +51,41 @@ def windowed_stats(
     ).drop("window")
 
 
+def stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    size: str,
+    on: Sequence[tuple[str, str]],
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream window join (ref flink_transform_utils.py:377
+    join_streams, the streaming original of operators/joins.window_join):
+    rows join iff their event times fall in the same epoch-aligned
+    tumbling window and their keys match.
+
+    Both sides carry watermarks and the join includes the window-bucket
+    equality, so Spark bounds join state: buckets older than
+    watermark - delay are finalized and evicted — the Structured
+    Streaming twin of Flink's window-join state cleanup. ``on`` is a
+    list of (left_col, right_col) pairs; right join columns and ts are
+    suffixed ``_r`` in the output."""
+    lw = with_watermark(left, left_ts, watermark_delay).withColumn(
+        "window_start", F.window(left_ts, size).start
+    )
+    r_renamed = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    )
+    rw = with_watermark(r_renamed, f"{right_ts}_r", watermark_delay).withColumn(
+        "_rw", F.window(f"{right_ts}_r", size).start
+    )
+    cond = lw["window_start"] == rw["_rw"]
+    for lc, rc in on:
+        cond = cond & (lw[lc] == rw[f"{rc}_r"])
+    return lw.join(rw, cond).drop("_rw")
+
+
 def etl_pipeline(
     source: DataFrame,
     transform: Callable[[DataFrame], DataFrame],

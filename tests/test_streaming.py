@@ -122,3 +122,29 @@ def test_sessionize_stateful(spark, event_dir):
     assert u1[0].n_events == 2 and u1[0].sum_value == 15.0 and u1[0].closed is True
     assert u1[1].n_events == 1 and u1[1].closed is False
     assert by_user[2][0].n_events == 1
+
+
+def test_stream_stream_window_join(spark, event_dir, tmp_path):
+    # second stream: purchases by the same users, some in matching windows
+    purchases = str(tmp_path / "purchases_in")
+    write_events(
+        purchases,
+        [
+            {"event_id": 101, "ts": "2024-01-01 00:00:30", "user_id": 1, "value": 99.0},
+            {"event_id": 102, "ts": "2024-01-01 00:02:10", "user_id": 2, "value": 42.0},
+        ],
+    )
+    clicks = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json")
+    buys = file_stream_source(spark, purchases, EVENT_SCHEMA, fmt="json")
+    joined = sp.stream_window_join(
+        clicks, buys, "ts", "ts", "1 minute", on=[("user_id", "user_id")],
+        watermark_delay="30 seconds",
+    )
+    assert joined.isStreaming
+    q = memory_sink(joined.select("event_id", "event_id_r", "window_start"),
+                    "joined_stream", mode="append").start()
+    sp.run_until_drained(q)
+    got = {(r.event_id, r.event_id_r) for r in spark.table("joined_stream").collect()}
+    # events 1 & 2 (user 1, window 00:00) match purchase 101 (same window);
+    # event 3 (user 2, 00:01) and 4 (user 1, 00:03) have no same-window buy
+    assert got == {(1, 101), (2, 101)}
