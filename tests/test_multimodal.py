@@ -57,3 +57,18 @@ def test_sample_frames(spark, media_df):
     # 30 frames of 1 KiB, every 10th → indexes 0, 10, 20
     assert sorted(f.frame_index for f in frames) == [0, 10, 20]
     assert all(len(f.frame) == 1024 for f in frames)
+
+
+def test_resize_image_contract(spark, media_df):
+    imgs = media_df.filter("modality = 'image'")
+    out = {r.doc_id: r for r in mm.resize_image(imgs, 32, 16).collect()}
+    assert out  # at least one image row in the fixture
+    for r in out.values():
+        assert (r.width, r.height) == (32, 16)
+        assert r.decoder in ("pil", "fake")
+        if r.decoder == "fake":
+            assert len(r.content) == 32 * 16  # fixed-shape payload
+    again = {x.doc_id: x for x in mm.resize_image(imgs, 32, 16).collect()}
+    assert {k: bytes(v.content) for k, v in out.items()} == {
+        k: bytes(v.content) for k, v in again.items()
+    }  # deterministic
