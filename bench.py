@@ -30,19 +30,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in qs.items():
-        # best of 2: the first execution of a plan pays one-time Janino
-        # whole-stage-codegen compilation (seconds for the HOF-heavy
-        # plans) — report steady-state throughput, not compiler latency.
-        best = float("inf")
-        for _ in range(2):
+        # Adaptive best-of-N (2..4): the first execution pays one-time
+        # Janino codegen compilation (seconds for HOF-heavy plans), and
+        # transient machine interference can spike any single run — keep
+        # sampling until two samples agree within 50%, report the min:
+        # steady-state throughput, not compiler latency or noise.
+        samples: list[float] = []
+        while True:
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop sink: full evaluation of every output column (count()
             # would let Catalyst prune unconsumed projections), zero
             # driver transfer
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+            s = sorted(samples)
+            stable = len(s) >= 2 and (s[1] - s[0]) / max(s[0], 1e-9) < 0.5
+            if stable or len(s) >= 4 or s[0] < 0.3:
+                break
+        timings[name] = round(min(samples), 4)
 
     out = {
         "metric": "query_wall_time_total",
