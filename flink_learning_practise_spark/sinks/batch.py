@@ -37,3 +37,30 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def print_sink(df: DataFrame, n: int = 20, truncate: bool = False) -> None:
     """Print sink (ref create_print_sink:487)."""
     df.show(n, truncate)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) table — the co-located
+    join layout for 100 TB fact-fact joins: two tables bucketed on the
+    same key with the same bucket count join with NO exchange on either
+    side (and no sort, if sorted), because the on-disk layout already
+    satisfies the join's required distribution. This is how you
+    amortize one shuffle across every future join/aggregation on that
+    key. External table (explicit ``path``) in the session catalog."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
