@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the operators with the
+subtlest semantics: as-of join (checked against pandas.merge_asof) and
+interval join (checked against a brute-force pair scan). Random small
+frames, deterministic example generation, Spark-friendly settings."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flink_learning_practise_spark.operators.joins import asof_join, interval_join
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def ts(seconds: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=seconds)
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 120)),  # (key, ts_sec)
+    min_size=1,
+    max_size=12,
+)
+dims_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 120), st.integers(0, 999)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(deadline=None, max_examples=12, derandomize=True)
+@given(events=events_strategy, dims=dims_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark, events, dims):
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(events)], "eid long, k long, ets timestamp"
+    )
+    # unique (key, ts) on the right: as-of semantics with duplicate
+    # versions at the same instant is undefined in merge_asof
+    dedup = {(k, s): v for k, s, v in dims}
+    right = spark.createDataFrame(
+        [(k, ts(s), v) for (k, s), v in dedup.items()], "k long, dts timestamp, v long"
+    )
+    got = {
+        (r.eid): r.v
+        for r in asof_join(left, right, "k", "ets", "dts", ["v"]).collect()
+    }
+    lpdf = left.toPandas().sort_values("ets", kind="stable")
+    rpdf = right.toPandas().sort_values("dts", kind="stable")
+    expect = pd.merge_asof(
+        lpdf, rpdf, left_on="ets", right_on="dts", by="k", direction="backward"
+    )
+    for _, row in expect.iterrows():
+        want = None if pd.isna(row.v) else int(row.v)
+        assert got[row.eid] == want
+
+
+@settings(deadline=None, max_examples=12, derandomize=True)
+@given(events=events_strategy, dims=dims_strategy)
+def test_interval_join_matches_bruteforce(spark, events, dims):
+    lower, upper = 10, 5  # right_ts in [left_ts - 10s, left_ts + 5s]
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(events)], "eid long, k long, ets timestamp"
+    )
+    right = spark.createDataFrame(
+        [(j, k, ts(s)) for j, (k, s, _) in enumerate(dims)], "rid long, k long, rts timestamp"
+    )
+    out = interval_join(
+        left, right, "ets", "rts", f"{lower} seconds", f"{upper} seconds", [("k", "k")]
+    )
+    got = {(r.eid, r.rid) for r in out.collect()}
+    want = {
+        (i, j)
+        for i, (lk, ls) in enumerate(events)
+        for j, (rk, rs, _) in enumerate(dims)
+        if lk == rk and ls - lower <= rs <= ls + upper
+    }
+    assert got == want
