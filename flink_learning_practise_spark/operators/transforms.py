@@ -81,3 +81,36 @@ def parse_json_col(df: DataFrame, col: str, schema: str) -> DataFrame:
     parse_walmart_order_json_string) via ``from_json`` — JVM-side Jackson
     parse, vs the reference's per-record Python ``json.loads``."""
     return df.withColumn(f"{col}_parsed", F.from_json(F.col(col), schema))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 96), ("val", 2), ("test", 2)),
+    seed: str = "v1",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the reproducible
+    alternative to rand()-sampling for dataset curation: the split is a
+    pure function of (id, seed), so it is stable across runs, engines,
+    partitionings and re-ingests of the same ids, and changing ``seed``
+    re-deals the whole dataset. ``splits`` are (name, weight) with
+    weights summing to 100.
+
+    Bucket = first 8 hex digits of md5(seed || ':' || id) mod 100 —
+    md5 on the string form is portable (identical in DuckDB/Trino/...)
+    where xxhash64 would be Spark-specific. Map-only, no shuffle."""
+    total = sum(w for _, w in splits)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = F.expr(
+        f"conv(substring(md5(concat('{seed}', ':', CAST({id_col} AS STRING))), 1, 8), 16, 10)"
+    ).cast("bigint") % 100
+    edges: list[tuple[str, int]] = []
+    acc = 0
+    for name, w in splits:
+        acc += w
+        edges.append((name, acc))
+    expr = F.when(bucket < edges[0][1], F.lit(edges[0][0]))
+    for name, hi in edges[1:]:
+        expr = expr.when(bucket < hi, F.lit(name))
+    return df.withColumn("split", expr)

@@ -318,3 +318,29 @@ SELECT doc_id,
        least({CHUNK_SIZE}, len(w) - i + 1) AS n_tokens
 FROM w, unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS t(i)
 """
+
+
+# ---------------------------------------------------------------------------
+# #52 deterministic train/val/test split assignment
+
+SPLIT_SEED = "v1"
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import transforms
+
+    docs = load(spark, sf_dir, "documents")
+    return transforms.assign_split(docs, "doc_id", seed=SPLIT_SEED).select(
+        "doc_id", "split"
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('{SPLIT_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+)
+"""

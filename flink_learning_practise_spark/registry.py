@@ -121,6 +121,7 @@ def _populate() -> None:
     register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
     register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
     register("q_doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL)
+    register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
 
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)
