@@ -1,0 +1,51 @@
+"""Hostile-input robustness: null / empty / whitespace-only text must
+not raise (Spark 4 runs ANSI mode — silent assumptions about non-null,
+non-empty strings would throw at 100 TB the first time real data has a
+gap) and must produce sane groupings."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_learning_practise_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def hostile_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, "a b c d e"),
+            (6, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_hostile(spark, hostile_docs):
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(hostile_docs, "doc_id", "text").collect()}
+    assert out[2] == 2  # "" and "   " normalize identically
+    assert out[5] == 2  # true duplicates collapse
+    assert sum(out.values()) == 6  # every doc accounted for
+
+
+def test_near_dup_tiers_hostile(spark, hostile_docs):
+    ngram = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(hostile_docs, "doc_id", "text").collect()}
+    assert (5, 6) in ngram
+    minhash = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(hostile_docs, "doc_id", "text").collect()}
+    assert (5, 6) in minhash
+    simhash = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(hostile_docs, "doc_id", "text").collect()}
+    assert (5, 6) in simhash
+
+
+def test_text_analysis_hostile(spark, hostile_docs):
+    # every op returns one row per input doc, no exceptions
+    assert text.lang_scores(hostile_docs, "text").count() == 6
+    assert text.quality_features(hostile_docs, "text").count() == 6
+    assert text.token_counts(hostile_docs, "text").count() == 6
+    assert text.fingerprints(hostile_docs, "text").count() == 6
+    chunks = text.chunk_documents(hostile_docs, "doc_id", "text")
+    assert chunks.filter("doc_id = 5").count() == 1  # short doc -> one chunk
