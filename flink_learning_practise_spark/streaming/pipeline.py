@@ -86,6 +86,40 @@ def stream_window_join(
     return lw.join(rw, cond).drop("_rw")
 
 
+def etl_pipeline_with_dlq(
+    source: DataFrame,
+    validity: Column,
+    transform: Callable[[DataFrame], DataFrame],
+    main_writer: Callable[[DataFrame], None],
+    error_writer: Callable[[DataFrame], None],
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming ETL with a dead-letter queue — the streaming twin of the
+    batch error side-output (ref flink_transform_utils.py
+    handle_errors_with_side_output): every micro-batch is tagged once by
+    ``validity``, valid rows go through ``transform`` to the main
+    writer, invalid rows land (untransformed, for replay/forensics) in
+    the DLQ writer. One scan per batch (persisted tagged frame, not two
+    source reads); both writes happen inside the same foreachBatch, so
+    checkpointed batch ids give exactly-once per sink as long as the
+    writers are idempotent."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.persist()
+        try:
+            main_writer(transform(tagged.filter(validity)))
+            error_writer(tagged.filter(~validity))
+        finally:
+            tagged.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def etl_pipeline(
     source: DataFrame,
     transform: Callable[[DataFrame], DataFrame],

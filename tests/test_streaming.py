@@ -148,3 +148,31 @@ def test_stream_stream_window_join(spark, event_dir, tmp_path):
     # events 1 & 2 (user 1, window 00:00) match purchase 101 (same window);
     # event 3 (user 2, 00:01) and 4 (user 1, 00:03) have no same-window buy
     assert got == {(1, 101), (2, 101)}
+
+
+def test_etl_pipeline_with_dlq(spark, tmp_path):
+    src_dir = str(tmp_path / "dlq_in")
+    write_events(
+        src_dir,
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:10", "user_id": 1, "value": 10.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:20", "user_id": 1, "value": -3.0},
+            {"event_id": 3, "ts": "2024-01-01 00:00:30", "user_id": 2, "value": 7.0},
+            {"event_id": 4, "ts": "2024-01-01 00:00:40", "user_id": 2, "value": None},
+        ],
+    )
+    src = file_stream_source(spark, src_dir, EVENT_SCHEMA, fmt="json")
+    main_out, err_out = str(tmp_path / "main"), str(tmp_path / "dlq")
+    q = sp.etl_pipeline_with_dlq(
+        src,
+        validity=F.col("value").isNotNull() & (F.col("value") >= 0),
+        transform=lambda df: df.withColumn("value_cents", (F.col("value") * 100).cast("long")),
+        main_writer=lambda df: df.write.mode("append").parquet(main_out),
+        error_writer=lambda df: df.write.mode("append").parquet(err_out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    sp.run_until_drained(q)
+    main = {r.event_id: r.value_cents for r in spark.read.parquet(main_out).collect()}
+    dlq = {r.event_id for r in spark.read.parquet(err_out).collect()}
+    assert main == {1: 1000, 3: 700}
+    assert dlq == {2, 4}
