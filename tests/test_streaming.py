@@ -176,3 +176,55 @@ def test_etl_pipeline_with_dlq(spark, tmp_path):
     dlq = {r.event_id for r in spark.read.parquet(err_out).collect()}
     assert main == {1: 1000, 3: 700}
     assert dlq == {2, 4}
+
+
+def test_streaming_windowed_top_n(spark, tmp_path):
+    """Per-window top-N (the classic Flink exercise): complete-mode
+    windowed aggregate -> rank per window in foreachBatch -> overwrite
+    sink. Works whenever (window, key) cardinality is bounded; at scale
+    the same ranking runs on the update stream into a keyed store."""
+    from pyspark.sql import Window as W
+
+    src_dir = str(tmp_path / "topn_in")
+    write_events(
+        src_dir,
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:05", "user_id": 1, "value": 5.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:15", "user_id": 2, "value": 9.0},
+            {"event_id": 3, "ts": "2024-01-01 00:00:25", "user_id": 3, "value": 1.0},
+            {"event_id": 4, "ts": "2024-01-01 00:01:10", "user_id": 2, "value": 4.0},
+            {"event_id": 5, "ts": "2024-01-01 00:01:20", "user_id": 1, "value": 6.0},
+        ],
+    )
+    src = file_stream_source(spark, src_dir, EVENT_SCHEMA, fmt="json")
+    stats = sp.windowed_stats(
+        src, "ts", "1 minute", keys=["user_id"],
+        aggs=[dsum("value", "sum_value")], watermark_delay="30 seconds",
+    )
+    out_dir = str(tmp_path / "topn_out")
+
+    def write_top_n(batch_df, batch_id):
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("sum_value"), F.asc("user_id")
+        )
+        top = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+        )
+        top.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stats.writeStream.foreachBatch(write_top_n)
+        .option("checkpointLocation", str(tmp_path / "topn_ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    sp.run_until_drained(q)
+    got = {
+        (r.window_start.isoformat(), r.rank): (r.user_id, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("2024-01-01T00:00:00", 1)] == (2, 9.0)
+    assert got[("2024-01-01T00:00:00", 2)] == (1, 5.0)  # user 3 cut by N=2
+    assert got[("2024-01-01T00:01:00", 1)] == (1, 6.0)
+    assert got[("2024-01-01T00:01:00", 2)] == (2, 4.0)
