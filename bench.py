@@ -25,8 +25,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     qs = all_queries()
-    # warm up the JVM/codegen once with the cheapest plan
+    # warm up the JVM/codegen once with the cheapest plan, and the
+    # Python/Arrow worker pool once for the mapInPandas paths
     next(iter(qs.values())).fn(spark, sf_dir).limit(1).collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, q in qs.items():
