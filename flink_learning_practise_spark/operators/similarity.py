@@ -315,6 +315,8 @@ def cosine_pairs_vectorized(
 
     spark = df.sparkSession
     pdf = df.select(id_col, emb_col).toPandas()
+    if not len(pdf):  # empty corpus: no pairs, and np.stack([]) raises
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, cosine double")
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
     norms = np.zeros(len(ids))

@@ -49,3 +49,12 @@ def test_text_analysis_hostile(spark, hostile_docs):
     assert text.fingerprints(hostile_docs, "text").count() == 6
     chunks = text.chunk_documents(hostile_docs, "doc_id", "text")
     assert chunks.filter("doc_id = 5").count() == 1  # short doc -> one chunk
+
+
+def test_cosine_pairs_vectorized_empty_corpus(spark):
+    from flink_learning_practise_spark.operators.similarity import cosine_pairs_vectorized
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = cosine_pairs_vectorized(empty, 0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
