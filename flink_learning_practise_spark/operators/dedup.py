@@ -126,6 +126,20 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def near_dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Materialize the deduplicated corpus: greedy near-dup removal
+    where every (id_a < id_b) pair keeps its lower id. One distinct on
+    the pair losers + one left-anti join — no iterative connected
+    components (GraphFrames-style transitive closure buys little for
+    near-dup thresholds in practice and costs multiple shuffles per
+    iteration; the greedy policy is the standard corpus-dedup choice).
+    Works with pairs from ANY tier (ngram/minhash/simhash/embedding)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
 ) -> DataFrame:

@@ -344,3 +344,37 @@ FROM (
   FROM documents
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# #53 dedup survivors: the actual cleaned corpus (anti-join materialization)
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+    )
+    return dedup.near_dedup_survivors(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM losers)
+"""

@@ -122,6 +122,7 @@ def _populate() -> None:
     register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
     register("q_doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL)
     register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
+    register("q_dedup_survivors", llm.dedup_survivors, llm.DEDUP_SURVIVORS_SQL)
 
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)
