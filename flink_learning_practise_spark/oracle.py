@@ -19,7 +19,7 @@ import duckdb
 from .datasets import TABLES
 
 
-def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple], list[str]]:
     con = duckdb.connect()
     try:
         for t in TABLES:
@@ -27,12 +27,86 @@ def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        rel = con.sql(sql)
+        cols = list(rel.columns)
+        types = [str(t) for t in rel.types]
+        rows = rel.fetchall()
+        return cols, rows, types
     finally:
         con.close()
+
+
+# The driver's value hash is TYPE-sensitive: DuckDB SUM(INTEGER) yields
+# HUGEINT (int128) where Spark yields BIGINT, and identical values then
+# hash differently (the round-1 q_json_etl failure). Bucket both engines'
+# types coarsely and require bucket equality so that class of drift is
+# caught locally, pre-driver.
+def _duck_type_bucket(t: str) -> str:
+    t = t.upper()
+    if t in {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}:
+        return "int"
+    if t == "HUGEINT":
+        return "int128"
+    if t in {"FLOAT", "DOUBLE"}:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "BLOB":
+        return "binary"
+    if "[" in t or t.startswith(("STRUCT", "LIST", "MAP")):
+        return "nested"
+    return t
+
+
+def _spark_type_bucket(dt: str) -> str:
+    d = dt.lower()
+    if d in {"tinyint", "smallint", "int", "bigint"}:
+        return "int"
+    if d in {"float", "double"}:
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d == "string":
+        return "str"
+    if d == "boolean":
+        return "bool"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d == "binary":
+        return "binary"
+    if d.startswith(("array", "struct", "map")):
+        return "nested"
+    return d
+
+
+def compare_types(
+    spark_dtypes: list[tuple[str, str]],
+    duck_cols: list[str],
+    duck_types: list[str],
+) -> list[str]:
+    """Type-bucket mismatches between Spark and DuckDB result schemas."""
+    duck = {c: _duck_type_bucket(t) for c, t in zip(duck_cols, duck_types)}
+    errors = []
+    for col, dt in spark_dtypes:
+        sb = _spark_type_bucket(dt)
+        db = duck.get(col)
+        if db is not None and sb != db:
+            errors.append(
+                f"type-bucket mismatch on {col!r}: spark={dt}({sb}) duck={db} "
+                f"— the driver's value hash is type-sensitive; cast the oracle"
+            )
+    return errors
 
 
 def canon(v, float_ndigits: int | None = 9):
@@ -102,5 +176,7 @@ def check_query(spark, name: str, sf_dir: str, float_ndigits: int | None = 9) ->
     spark_rows = [tuple(r) for r in df.collect()]
     if q.oracle is None:
         return [] if spark_rows is not None else ["query returned None"]
-    duck_cols, duck_rows = run_duckdb(q.oracle, sf_dir)
-    return compare(spark_cols, spark_rows, duck_cols, duck_rows, float_ndigits)
+    duck_cols, duck_rows, duck_types = run_duckdb(q.oracle, sf_dir)
+    errors = compare_types(df.dtypes, duck_cols, duck_types)
+    errors += compare(spark_cols, spark_rows, duck_cols, duck_rows, float_ndigits)
+    return errors

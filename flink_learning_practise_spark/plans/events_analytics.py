@@ -187,7 +187,7 @@ def json_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_ETL_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k
