@@ -27,9 +27,11 @@ COSINE_NDIGITS = 6  # round so engine-order float noise can't flip hashes
 DEFAULT_DIM = 64
 
 
-def dot_expr(a: str, b: str, dim: int = DEFAULT_DIM) -> str:
+def dot_expr(a: str, b: str) -> str:
     """SQL expression: left-to-right double-precision dot product
-    (lambda fold — deterministic association, oracle-reproducible).
+    (lambda fold — deterministic association, oracle-reproducible;
+    runs over the full array length, so it needs no dim argument —
+    the vectorized path asserts its dim against the actual data).
 
     Engineering note, measured at sf0.1: HOFs never enter whole-stage
     codegen, so this fold runs interpreted — fine for the per-ROW and
@@ -47,14 +49,14 @@ def dot_expr(a: str, b: str, dim: int = DEFAULT_DIM) -> str:
 
 def with_norm(df: DataFrame, emb_col: str = "embedding", dim: int = DEFAULT_DIM) -> DataFrame:
     """Precompute the L2 norm once per vector (reused by every pair)."""
-    return df.withColumn("norm", F.expr(f"sqrt({dot_expr(emb_col, emb_col, dim)})"))
+    return df.withColumn("norm", F.expr(f"sqrt({dot_expr(emb_col, emb_col)})"))
 
 
 def cosine_col(
     a_emb: str, b_emb: str, a_norm: str, b_norm: str, dim: int = DEFAULT_DIM
 ) -> Column:
     return F.round(
-        F.expr(dot_expr(a_emb, b_emb, dim)) / (F.col(a_norm) * F.col(b_norm)),
+        F.expr(dot_expr(a_emb, b_emb)) / (F.col(a_norm) * F.col(b_norm)),
         COSINE_NDIGITS,
     )
 
@@ -294,69 +296,124 @@ def cosine_pairs_vectorized(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    nblocks: int = 8,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ τ — Arrow-vectorized path.
+    """All pairs (id_a < id_b) with cosine ≥ τ — distributed blocked GEMM.
 
     Semantics identical to :func:`cosine_pairs` (bit-for-bit: dims are
     accumulated SEQUENTIALLY — vectorized over pairs, ordered over
     coordinates — so float association matches the JVM fold and the SQL
     oracle; final rounding is decimal HALF_UP like Spark's ``round``).
 
-    Why a Pandas path here: the per-pair dot is the O(n²) hot loop, and
-    JVM expression eval tops out ~2µs/pair for 64 terms (a 64-term
-    generated method exceeds the JIT's huge-method limit; HOF folds run
-    interpreted). numpy does the same work at memory bandwidth. The
-    corpus (ids, matrix, norms) ships once as a broadcast variable, the
-    driving side streams through ``mapInPandas`` — one scan, no
-    shuffle: the cluster layout of a blocked GEMM. Still O(n²) compute,
-    the verification baseline; LSH/IVF remain the candidate-pruned
-    scale paths."""
-    import numpy as np
+    Why a Pandas path: the per-pair dot is the O(n²) hot loop, and JVM
+    expression eval tops out ~2µs/pair for 64 terms (a 64-term generated
+    method exceeds the JIT's huge-method limit; HOF folds run
+    interpreted). numpy does the same work at memory bandwidth.
 
-    spark = df.sparkSession
-    pdf = df.select(id_col, emb_col).toPandas()
-    if not len(pdf):  # empty corpus: no pairs, and np.stack([]) raises
-        return spark.createDataFrame([], "id_a bigint, id_b bigint, cosine double")
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    norms = np.zeros(len(ids))
-    for j in range(dim):  # sequential over dims == the fold's order
-        norms += mat[:, j] * mat[:, j]
-    norms = np.sqrt(norms)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    Cluster layout — the classic triangle self-join block schedule, no
+    driver-side materialization anywhere:
 
-    def gen(batches):
+    1. every vector hashes to one of ``nblocks`` blocks;
+    2. each row is replicated to the ``nblocks`` block-PAIRS it belongs
+       to (pair (i,j), i ≤ j, receives blocks i and j — one shuffle,
+       replication factor = nblocks);
+    3. each pair group runs the dim-sequential numpy GEMM over its two
+       blocks (strict upper triangle on the diagonal pair, full cross
+       matrix otherwise — every unordered pair scored exactly once).
+
+    Per-task memory is two blocks (~2·n/nblocks·dim·8 bytes): pick
+    ``nblocks`` so a block fits an executor core — at 10⁸ vectors ×
+    dim 64, nblocks=512 → ~200 MB/task, with the O(n²) compute spread
+    over nblocks·(nblocks+1)/2 independent tasks. Still exact; LSH/IVF
+    remain the candidate-pruned scale paths."""
+    src = widen(df).select(
+        F.col(id_col).alias("pid"),
+        F.col(emb_col).alias("emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int").alias("blk"),
+    )
+    exploded = (
+        src.select(
+            "pid",
+            "emb",
+            "blk",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {nblocks - 1}), b -> "
+                    f"struct(least(blk, b) AS bi, greatest(blk, b) AS bj))"
+                )
+            ).alias("bp"),
+        )
+        .select("pid", "emb", "blk", "bp.bi", "bp.bj")
+    )
+    # Candidate margin must cover everything the exact HALF_UP rounding
+    # could pull UP to the threshold: half the rounding quantum (plus
+    # float slack), not an arbitrary epsilon — raw cosines in
+    # [τ - 5e-7, τ) round to ≥ τ and belong in the output.
+    margin = threshold - 0.5 * 10.0 ** (-COSINE_NDIGITS) - 1e-12
+
+    def gemm(key, pdf):
+        import numpy as np
         import pandas as pd
         from decimal import Decimal, ROUND_HALF_UP
 
-        q = Decimal(1).scaleb(-COSINE_NDIGITS)
-        ids_b, M, nb = bc.value
-        for batch in batches:
-            if not len(batch):
-                continue
-            A = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
-            ida = batch[id_col].to_numpy()
-            dots = np.zeros((len(ida), M.shape[0]))
-            na = np.zeros(len(ida))
-            for j in range(dim):
-                dots += np.outer(A[:, j], M[:, j])
-                na += A[:, j] * A[:, j]
-            cos = dots / np.outer(np.sqrt(na), nb)
-            # margin-candidate then exact decimal HALF_UP: np.round's
-            # scale-by-1e6 can differ from Spark/DuckDB round by 1 ulp
-            # at boundaries, so survivors are re-rounded exactly.
-            ii, jj = np.nonzero(
-                (cos >= threshold - 1e-9) & (ida[:, None] < ids_b[None, :])
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+        def unpack(part):
+            ids = part["pid"].to_numpy()
+            if not len(ids):
+                return ids, None, None
+            M = np.stack(part["emb"].to_numpy()).astype(np.float64)
+            assert M.shape[1] == dim, (
+                f"embedding dim {M.shape[1]} != declared dim {dim}"
             )
-            vals = [
+            n = np.zeros(len(ids))
+            for d in range(dim):  # sequential over dims == the fold's order
+                n += M[:, d] * M[:, d]
+            return ids, M, np.sqrt(n)
+
+        i, j = key
+        ida, A, na = unpack(pdf[pdf["blk"] == i])
+        if i == j:
+            idb, B, nb = ida, A, na
+        else:
+            idb, B, nb = unpack(pdf[pdf["blk"] == j])
+        if A is None or B is None:
+            return empty
+        dots = np.zeros((len(ida), len(idb)))
+        for d in range(dim):
+            dots += np.outer(A[:, d], B[:, d])
+        cos = dots / np.outer(na, nb)
+        if i == j:
+            mask = (cos >= margin) & (ida[:, None] < idb[None, :])
+        else:  # cross pair: every element is a distinct unordered pair
+            mask = cos >= margin
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        # exact decimal HALF_UP on survivors: np.round's scale-by-1e6
+        # can differ from Spark/DuckDB round by 1 ulp at boundaries.
+        q = Decimal(1).scaleb(-COSINE_NDIGITS)
+        vals = np.array(
+            [
                 float(Decimal(c).quantize(q, rounding=ROUND_HALF_UP))
                 for c in cos[ii, jj]
             ]
-            out = pd.DataFrame(
-                {"id_a": ida[ii], "id_b": ids_b[jj], "cosine": vals}
-            )
-            out = out[out["cosine"] >= threshold]
-            if len(out):
-                yield out
+        )
+        out = pd.DataFrame(
+            {
+                "id_a": np.minimum(ida[ii], idb[jj]),
+                "id_b": np.maximum(ida[ii], idb[jj]),
+                "cosine": vals,
+            }
+        )
+        return out[out["cosine"] >= threshold]
 
-    return widen(df).mapInPandas(gen, "id_a bigint, id_b bigint, cosine double")
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        gemm, "id_a bigint, id_b bigint, cosine double"
+    )

@@ -70,3 +70,30 @@ def test_partial_aggregation_before_shuffle(spark, sf_medium):
     plan = plan_of(all_queries()["q_keyby_agg"].fn(spark, sf_medium))
     # two HashAggregates (partial map-side + final) around one exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_cosine_pairs_vectorized_is_distributed(spark):
+    """The blocked-GEMM pairer must not materialize the corpus on the
+    driver (round-1 version did toPandas() at plan-construction time —
+    a guaranteed driver OOM at 100 TB). Building the plan over a source
+    that EXPLODES ON EXECUTION proves construction runs no job, and the
+    plan itself must be a grouped-Arrow exchange, not a local collect."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from flink_learning_practise_spark.operators.similarity import (
+        cosine_pairs_vectorized,
+    )
+
+    @F.udf(ArrayType(FloatType()))
+    def boom(x):
+        raise RuntimeError("executed during plan construction")
+
+    src = spark.range(10).select(
+        F.col("id").alias("vec_id"), boom(F.col("id")).alias("embedding")
+    )
+    out = cosine_pairs_vectorized(src, 0.9, dim=4)  # must NOT execute
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    with pytest.raises(Exception, match="executed during plan construction"):
+        out.collect()
