@@ -89,13 +89,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    df_cap: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= τ).
 
     Inverted-index join: docs sharing no shingle never meet, so the join
     is driven by shared-shingle buckets rather than the full cross
-    product. At larger scale swap in :func:`minhash_lsh_pairs` or cap
-    per-shingle document frequency to bound skew.
+    product. At larger scale swap in :func:`minhash_lsh_pairs`.
+
+    ``df_cap`` is the skew guard (SURVEY §6): shingles appearing in more
+    than ``df_cap`` documents — boilerplate like "click here to" — are
+    dropped from the inverted index BEFORE the self-join, bounding any
+    bucket's contribution to df_cap² join rows. The standard
+    stop-shingle trade-off: n_common counts only surviving shared
+    shingles while set sizes stay full, so when the cap binds, jaccard
+    is a LOWER bound and a pair sharing nothing but hot shingles is
+    missed (such pairs are far below any useful τ unless the docs are
+    near-pure boilerplate). With the default cap the guard is inert on
+    this corpus (max shingle DF at sf0.1 is 25), so parity with the
+    exact oracle is unchanged.
     """
     # carry |shingles(doc)| through the explode: both join sides then
     # already know n_a/n_b, so no separate sizes aggregation and no
@@ -110,6 +122,14 @@ def ngram_jaccard_pairs(
         F.size("_sh").alias("_n"),
         F.explode("_sh").alias("shingle"),
     ).repartition("shingle")
+    # document frequency via a window over the SAME hash exchange the
+    # self-join needs (shingles are distinct per doc, so count == DF):
+    # no extra shuffle, just a local sort under WindowExec.
+    from pyspark.sql import Window
+
+    sh = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= df_cap)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle")
     jac = (

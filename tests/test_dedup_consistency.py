@@ -100,6 +100,47 @@ def test_cosine_pairs_vectorized_matches_jvm(spark, sf_medium):
     assert vec == jvm  # bit-for-bit: same pairs, same rounded cosines
 
 
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """The SURVEY §6 skew guard: a boilerplate shingle shared by the
+    whole corpus must not produce a quadratic bucket. With the cap
+    binding on the hot shingle only, true near-dups (which share RARE
+    shingles) keep their exact jaccard, and spam docs related only
+    through boilerplate produce no pairs."""
+    spam = [(i, f"buy cheap pills now offer{i} expires soon") for i in range(200)]
+    # one real near-dup pair sharing rare shingles
+    dup = [
+        (1000, "the striped lighthouse keeper counted seventeen gulls at dawn"),
+        (1001, "the striped lighthouse keeper counted seventeen gulls at dusk"),
+    ]
+    df = spark.createDataFrame(spam + dup, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, df_cap=20
+    ).collect()
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, df_cap=10**9
+    ).collect()
+    # "buy cheap pills" etc. have DF=200 > 20 and are dropped; every
+    # spam pair shares ONLY hot shingles, so no spam pair survives, and
+    # the rare-shingle near-dup keeps its exact score.
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped}
+    want = {(r.id_a, r.id_b): r.jaccard for r in uncapped}
+    assert set(got) == {(1000, 1001)}
+    assert got == {p: want[p] for p in got}
+
+
+def test_ngram_df_cap_recall_tradeoff(spark):
+    """When EVERY shared shingle of a pair is hot, the capped index
+    misses the pair — the documented stop-shingle recall trade-off."""
+    docs = [(i, "identical boilerplate text repeated everywhere") for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert not dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.8, df_cap=10
+    ).collect()
+    assert dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.8, df_cap=100
+    ).count() == 50 * 49 // 2
+
+
 def test_exact_dedup_survivors(spark, docs):
     out = dedup.exact_dedup(docs, "doc_id", "text")
     total = docs.count()
