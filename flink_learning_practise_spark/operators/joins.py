@@ -102,16 +102,22 @@ def salted_join(
     allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi"}
     if how.lower() not in allowed:
         raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
+    # collision-proof internal name: silently overwriting a user column
+    # called "_salt" would corrupt it (and drop it from the output).
+    salt = "__salted_join_salt__"
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if salt in cols:
+            raise ValueError(f"{side} input already has a {salt!r} column")
     # salt only needs to vary within a key; the join result is invariant
     # to the assignment, so a hash of a unique per-row id is fine.
     l = left.withColumn(
-        "_salt",
+        salt,
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)).cast("int"),
     )
     r = right.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+        salt, F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
-    return l.join(r, [key, "_salt"], how).drop("_salt")
+    return l.join(r, [key, salt], how).drop(salt)
 
 
 def asof_join(

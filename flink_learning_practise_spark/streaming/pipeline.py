@@ -105,10 +105,14 @@ def etl_pipeline_with_dlq(
     writers are idempotent."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # coalesce once: under three-valued logic filter(validity) and
+        # filter(~validity) BOTH drop NULL-validity rows (exactly the
+        # malformed ones a DLQ exists for), so NULL must mean invalid.
+        ok = F.coalesce(validity, F.lit(False))
         tagged = batch_df.persist()
         try:
-            main_writer(transform(tagged.filter(validity)))
-            error_writer(tagged.filter(~validity))
+            main_writer(transform(tagged.filter(ok)))
+            error_writer(tagged.filter(~ok))
         finally:
             tagged.unpersist()
 

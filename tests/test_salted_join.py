@@ -57,3 +57,21 @@ def test_salted_join_rejects_right_outer(spark, skewed):
     left, right = skewed
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="right")
+
+
+def test_salted_join_preserves_user_salt_column(spark, skewed):
+    """A user column named _salt must survive intact (the internal salt
+    uses a collision-proof name)."""
+    left, right = skewed
+    left = left.withColumn("_salt", F.lit("keep-me"))
+    out = salted_join(left, right, "k", salts=4)
+    assert "_salt" in out.columns
+    assert {r._salt for r in out.select("_salt").distinct().collect()} == {"keep-me"}
+
+
+def test_salted_join_rejects_internal_name_collision(spark, skewed):
+    left, right = skewed
+    with pytest.raises(ValueError, match="__salted_join_salt__"):
+        salted_join(
+            left.withColumn("__salted_join_salt__", F.lit(1)), right, "k"
+        )

@@ -178,6 +178,33 @@ def test_etl_pipeline_with_dlq(spark, tmp_path):
     assert dlq == {2, 4}
 
 
+def test_dlq_captures_null_validity_rows(spark, tmp_path):
+    """Under three-valued logic a NULL validity predicate fails BOTH
+    filter(p) and filter(~p) — malformed rows must still reach the DLQ,
+    not vanish. The predicate here is deliberately null-unsafe."""
+    src_dir = str(tmp_path / "dlq_null_in")
+    write_events(
+        src_dir,
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:10", "user_id": 1, "value": 10.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:20", "user_id": 2, "value": None},
+        ],
+    )
+    src = file_stream_source(spark, src_dir, EVENT_SCHEMA, fmt="json")
+    main_out, err_out = str(tmp_path / "main"), str(tmp_path / "dlq")
+    q = sp.etl_pipeline_with_dlq(
+        src,
+        validity=F.col("value") >= 0,  # NULL for event 2, not False
+        transform=lambda df: df,
+        main_writer=lambda df: df.write.mode("append").parquet(main_out),
+        error_writer=lambda df: df.write.mode("append").parquet(err_out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    sp.run_until_drained(q)
+    assert {r.event_id for r in spark.read.parquet(main_out).collect()} == {1}
+    assert {r.event_id for r in spark.read.parquet(err_out).collect()} == {2}
+
+
 def test_streaming_windowed_top_n(spark, tmp_path):
     """Per-window top-N (the classic Flink exercise): complete-mode
     windowed aggregate -> rank per window in foreachBatch -> overwrite
