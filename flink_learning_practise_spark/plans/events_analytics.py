@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..datasets import load
 from ..num import DEC, davg, dsum, sql_davg, sql_dsum
-from ..operators import joins, transforms, windows
+from ..operators import cep, joins, transforms, windows
 
 # ---------------------------------------------------------------------------
 # #1 select/map
@@ -530,3 +530,53 @@ def event_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", 0.5, 100).alias("med_value_approx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP-lite sequence detection (Flink CEP analog, ref flink_typora.md:505):
+# view -> click -> purchase funnel, skip-till-next-match, 12h step gap.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_GAP_SPARK = "12 hours"
+FUNNEL_GAP_DUCK = "12 HOUR"
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = cep.funnel(ev, list(FUNNEL_STEPS), FUNNEL_GAP_SPARK)
+    renames = {
+        f"step{i}_{suffix}": f"{name}_{suffix}"
+        for i, name in enumerate(FUNNEL_STEPS, start=1)
+        for suffix in ("id", "ts")
+    }
+    return out.select(
+        "user_id", *[F.col(old).alias(new) for old, new in renames.items()]
+    )
+
+
+EVENT_FUNNEL_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+), nxt AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'click' THEN k END) OVER w AS next_click_k,
+    MIN(CASE WHEN event_type = 'purchase' THEN k END) OVER w AS next_purchase_k
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT v.user_id,
+       v.event_id AS view_id, v.ts AS view_ts,
+       c.event_id AS click_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM nxt v
+JOIN nxt c ON c.user_id = v.user_id AND c.k = v.next_click_k
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts <= v.ts + INTERVAL {FUNNEL_GAP_DUCK}
+JOIN nxt p ON p.user_id = c.user_id AND p.k = c.next_purchase_k
+          AND p.event_type = 'purchase'
+          AND p.ts <= c.ts + INTERVAL {FUNNEL_GAP_DUCK}
+"""

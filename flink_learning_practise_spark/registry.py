@@ -129,6 +129,9 @@ def _populate() -> None:
     register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
     register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
     register("q_event_profile_sketch", ea.event_profile_sketch, None)
+    register(
+        "q_event_funnel", ea.event_funnel, ea.EVENT_FUNNEL_SQL, headline=True
+    )
 
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)

@@ -1,0 +1,121 @@
+"""CEP-lite funnel semantics on handcrafted sequences: strict
+next-match binding, gap enforcement, shared later steps, tie ordering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_learning_practise_spark.operators.cep import funnel
+
+
+def ev(eid, minute, user, typ, second=0):
+    return (
+        eid,
+        dt.datetime(2024, 1, 1, 0, minute, second),
+        user,
+        typ,
+    )
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def matches(df):
+    cols = [c for c in df.columns if c.endswith("_id") or c == "user_id"]
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_basic_three_step_chain(spark):
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 1, "click"),
+        ev(3, 2, 1, "purchase"),
+        ev(4, 0, 2, "view"),  # user 2 never clicks
+        ev(5, 2, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = funnel(df, ["view", "click", "purchase"], "10 minutes")
+    assert matches(out) == [(1, 1, 2, 3)]
+
+
+def test_strict_next_match_fails_on_gap(spark):
+    """The NEXT click is out of gap; a later in-gap click must NOT be
+    considered (skip-till-next-match binds the earliest, then stops)."""
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 30, 1, "click"),  # next click, outside 10m gap
+        ev(3, 5, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert matches(funnel(df, ["view", "click", "purchase"], "10 minutes")) == []
+
+
+def test_views_share_next_click(spark):
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 1, "view"),
+        ev(3, 2, 1, "click"),
+        ev(4, 3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = funnel(df, ["view", "click", "purchase"], "10 minutes")
+    assert matches(out) == [(1, 1, 3, 4), (1, 2, 3, 4)]
+
+
+def test_two_step_and_four_step(spark):
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 1, "click"),
+        ev(3, 2, 1, "view"),
+        ev(4, 3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert matches(funnel(df, ["view", "click"], "10 minutes")) == [(1, 1, 2)]
+    assert matches(
+        funnel(df, ["view", "click", "view", "purchase"], "10 minutes")
+    ) == [(1, 1, 2, 3, 4)]
+
+
+def test_chain_continues_from_matched_row_not_start(spark):
+    """Step 3 must be the next purchase after the CLICK, not after the
+    view — and the purchase between view and click must not bind."""
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 1, "purchase"),  # before the click: must not bind
+        ev(3, 2, 1, "click"),
+        ev(4, 3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = funnel(df, ["view", "click", "purchase"], "10 minutes")
+    assert matches(out) == [(1, 1, 3, 4)]
+
+
+def test_timestamp_ties_break_by_event_id(spark):
+    """Same-timestamp events order by id: click id=5 at the same ts as
+    view id=4 is 'later' in sequence order and may bind."""
+    rows = [
+        ev(4, 0, 1, "view"),
+        ev(5, 0, 1, "click"),
+        ev(6, 1, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = funnel(df, ["view", "click", "purchase"], "10 minutes")
+    assert matches(out) == [(1, 4, 5, 6)]
+
+
+def test_users_do_not_mix(spark):
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 2, "click"),  # other user's click must not bind
+        ev(3, 2, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert matches(funnel(df, ["view", "click", "purchase"], "10 minutes")) == []
+
+
+def test_rejects_single_step(spark):
+    df = spark.createDataFrame([ev(1, 0, 1, "view")], SCHEMA)
+    with pytest.raises(ValueError):
+        funnel(df, ["view"], "10 minutes")
