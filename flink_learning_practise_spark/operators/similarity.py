@@ -98,12 +98,15 @@ def knn_bruteforce(
     )
 
 
-def hyperplane_bucket_expr(emb_col: str, planes: int, dim: int) -> str:
+def hyperplane_bucket_expr(
+    emb_col: str, planes: int, dim: int, table: str = "0"
+) -> str:
     """Deterministic random-hyperplane LSH bucket id.
 
-    Plane p's component j is ±1 from bit parity of xxhash64(p, j) — no
-    stored model, reproducible on any cluster. Bucket bit p = sign of
-    dot(plane_p, v).
+    Plane p's component j is ±1 from bit parity of xxhash64(table, p, j)
+    — no stored model, reproducible on any cluster, and ``table`` (a SQL
+    expression, possibly a lambda variable) seeds independent hash
+    tables. Bucket bit p = sign of dot(plane_p, v).
 
     Deliberately a lambda fold, NOT an unrolled planes×dim expression:
     it runs once per ROW, where interpreted HOF eval is cheap, and the
@@ -111,7 +114,7 @@ def hyperplane_bucket_expr(emb_col: str, planes: int, dim: int) -> str:
     ever saves (measured 17s first-run vs 0.7s)."""
     plane_dot = (
         f"aggregate(zip_with({emb_col}, sequence(0, {dim - 1}), "
-        f"(x, j) -> CAST(x AS DOUBLE) * CASE WHEN (xxhash64(p, j) & 1) = 1 THEN 1.0 ELSE -1.0 END), "
+        f"(x, j) -> CAST(x AS DOUBLE) * CASE WHEN (xxhash64({table}, p, j) & 1) = 1 THEN 1.0 ELSE -1.0 END), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (
@@ -121,35 +124,57 @@ def hyperplane_bucket_expr(emb_col: str, planes: int, dim: int) -> str:
     )
 
 
+def _table_buckets_expr(emb_col: str, planes: int, dim: int, tables: int) -> str:
+    """Array of (table, bucket) structs — one LSH bucket per table."""
+    bucket = hyperplane_bucket_expr(emb_col, planes, dim, table="t")
+    return (
+        f"transform(sequence(0, {tables - 1}), t -> "
+        f"struct(t AS tbl, ({bucket}) AS bucket))"
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
     planes: int = 8,
+    tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Same output shape as :func:`knn_bruteforce`; recall < 1 by
-    construction, cost ~1/2^planes of brute force."""
-    bucket = hyperplane_bucket_expr(emb_col, planes, dim)
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: a pair
+    is a candidate if it shares a bucket in ANY of ``tables`` independent
+    hash tables (the classic L-table LSH construction — one table's
+    recall at useful bucket sizes is tiny; independent tables raise it
+    to 1-(1-p^planes)^tables while candidates stay ~tables/2^planes of
+    the corpus).
+
+    Same output shape as :func:`knn_bruteforce`; every reported cosine
+    is exact. Scale shape: bucketing is a pure map over the corpus
+    (tables× replication), the join shuffles on (table, bucket), and
+    candidate dedup is one aggregation on pairs — nothing quadratic."""
+    buckets = _table_buckets_expr(emb_col, planes, dim, tables)
     q = with_norm(queries, emb_col, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
         F.col("norm").alias("q_norm"),
-        F.expr(bucket).alias("bucket"),
-    )
+        F.explode(F.expr(buckets)).alias("tb"),
+    ).select("query_id", "q_emb", "q_norm", "tb.tbl", "tb.bucket")
     c = with_norm(widen(df), emb_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
         F.col("norm").alias("c_norm"),
-        F.expr(bucket).alias("bucket"),
-    )
+        F.explode(F.expr(buckets)).alias("tb"),
+    ).select("neighbor_id", "c_emb", "c_norm", "tb.tbl", "tb.bucket")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_col("q_emb", "c_emb", "q_norm", "c_norm", dim))
+        # a pair can collide in several tables: dedupe before ranking
+        # (max == first — the exact score is identical in every table)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     from pyspark.sql import Window
 

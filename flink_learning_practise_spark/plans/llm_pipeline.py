@@ -161,9 +161,16 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {KNN_K}
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planes=6/tables=16 tuned for THIS corpus: synthetic embeddings
+    # have weak neighbor structure (rank-5 cosine ~0.3 ⇒ per-plane
+    # collision ~0.6), giving measured recall@5 = 0.6 at ~4× candidate
+    # pruning. Real embedding corpora (neighbor cosine 0.8+) support
+    # more planes/fewer tables at far higher recall.
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_lsh(emb, queries, k=KNN_K, planes=8, dim=EMB_DIM)
+    return similarity.knn_lsh(
+        emb, queries, k=KNN_K, planes=6, tables=16, dim=EMB_DIM
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,11 @@ def test_minhash_subset_of_exact(spark, docs):
     # pairs with very high jaccard are found w.p. 1 - (1-j^4)^16 ≈ 1
     high = {p for p, j in exact.items() if j >= 0.9}
     assert high <= set(approx)
+    # numeric recall floor vs the exact tier at τ itself (measured 1.0
+    # on this corpus; the banding theory predicts ≥0.96 at j=0.8)
+    assert exact, "corpus should contain near-dup pairs"
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9
 
 
 def test_minhash_signature_shape(spark, docs):
@@ -82,7 +87,73 @@ def test_knn_ivf_scores_match_bruteforce(spark, sf_medium):
         assert brute[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine)
 
 
-def test_knn_ivf_deterministic(spark, sf_medium):
+def test_simhash_blocking_is_exact_within_radius(spark, docs):
+    """Pigeonhole guarantee: with 7 bands over 63 bits, ≤3 flips can
+    touch at most 3 bands, so ≥4 bands agree and the pair IS blocked.
+    Therefore simhash_pairs must equal the FULL set of signature pairs
+    with hamming ≤ max_hamming — blocking loses nothing inside the
+    radius. Brute-force the ground truth from collected signatures."""
+    sigs = dedup.simhash(docs, "doc_id", "text").collect()
+    want = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            if bin(a.simhash ^ b.simhash).count("1") <= 3:
+                p = (a.doc_id, b.doc_id) if a.doc_id < b.doc_id else (b.doc_id, a.doc_id)
+                want.add(p)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", bands=7, max_hamming=3).collect()
+    }
+    assert got == want
+    assert want, "corpus should contain simhash near-dups"
+
+
+def test_knn_lsh_recall_floor(spark, sf_medium):
+    """Multi-table LSH recall@5 vs brute force — deterministic on this
+    corpus (hash-derived planes, fixed data): measured 0.6 with
+    planes=6/tables=16 on near-random synthetic embeddings."""
+    emb = load(spark, sf_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bset = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    aset = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_lsh(emb, queries, k=5, planes=6, tables=16).collect()
+    }
+    assert len(aset & bset) / len(bset) >= 0.5
+
+
+def test_knn_ivf_recall_floor(spark, sf_medium):
+    """IVF recall@5 vs brute force with nprobe/nlist = 4/16 (25% of
+    lists probed) — measured 0.56 on this corpus, deterministic."""
+    emb = load(spark, sf_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bset = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    aset = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_ivf(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    }
+    assert len(aset & bset) / len(bset) >= 0.5
+
+
+def test_sketch_profile_within_stated_error(spark, sf_medium):
+    """The sketch profile must track the exact profile within its
+    documented error: HLL rsd 2.3% (assert 10% slack), approx median
+    within 10% of the exact median."""
+    from flink_learning_practise_spark.registry import all_queries
+
+    exact = {r.event_type: r for r in all_queries()["q_event_profile"].fn(spark, sf_medium).collect()}
+    sketch = {r.event_type: r for r in all_queries()["q_event_profile_sketch"].fn(spark, sf_medium).collect()}
+    assert set(exact) == set(sketch)
+    for t in exact:
+        e, s = exact[t], sketch[t]
+        assert abs(s.n_users_approx - e.n_users) <= 0.10 * e.n_users
+        assert abs(s.med_value_approx - e.med_value) <= 0.10 * abs(e.med_value)
     emb = load(spark, sf_medium, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     a = sorted(map(tuple, similarity.knn_ivf(emb, queries).collect()))
