@@ -112,10 +112,18 @@ def status_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_amount"),
     )
-    total = Window.partitionBy()
-    return counts.withColumn(
-        "share_pct",
-        F.col("n_orders").cast("double") * 100.0 / F.sum("n_orders").over(total),
+    # grand total via a broadcast 1-row aggregate, not a global window:
+    # Window.partitionBy() funnels everything into ONE partition (and
+    # warns); the scalar-agg + crossJoin keeps both sides' plans
+    # parallel and merely broadcasts a single row.
+    total = counts.agg(F.sum("n_orders").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_pct",
+            F.col("n_orders").cast("double") * 100.0 / F.col("_total"),
+        )
+        .drop("_total")
     )
 
 

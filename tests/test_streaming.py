@@ -124,6 +124,67 @@ def test_sessionize_stateful(spark, event_dir):
     assert by_user[2][0].n_events == 1
 
 
+def test_sessionize_matches_batch_session_window(spark, tmp_path):
+    """The two session implementations (streaming applyInPandasWithState
+    vs batch gaps-and-islands) must agree: every CLOSED streaming
+    session equals a batch session — same (user, start, end, n, sum)."""
+    real = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 1, "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 00:04:00", "user_id": 1, "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01 00:20:00", "user_id": 1, "value": 10.0},
+        {"event_id": 5, "ts": "2024-01-01 00:01:00", "user_id": 2, "value": 5.0},
+        {"event_id": 6, "ts": "2024-01-01 00:30:00", "user_id": 2, "value": 7.0},
+        {"event_id": 7, "ts": "2024-01-01 00:31:00", "user_id": 2, "value": 8.0},
+        {"event_id": 8, "ts": "2024-01-01 00:00:00", "user_id": 3, "value": 1.5},
+        {"event_id": 9, "ts": "2024-01-01 00:04:30", "user_id": 3, "value": 2.5},
+        {"event_id": 10, "ts": "2024-01-01 00:09:00", "user_id": 3, "value": 3.0},
+    ]
+    # flush events advance the watermark far past every session's
+    # timeout so ALL real sessions close; they sit in their own session
+    # (> gap after the last real event) which stays open.
+    flush = [
+        {"event_id": 90 + u, "ts": "2024-01-01 02:00:00", "user_id": u, "value": 0.0}
+        for u in (1, 2, 3)
+    ]
+    src_dir = str(tmp_path / "parity_in")
+    write_events(src_dir, real)
+    write_events(src_dir, flush)
+    src = file_stream_source(
+        spark, src_dir, EVENT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    sessions = sessionize(src.select("user_id", "ts", "value"), gap="5 minutes")
+    q = memory_sink(sessions, "session_parity_out", mode="update").start()
+    sp.run_until_drained(q)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.table("session_parity_out").collect()
+        if r.closed
+    }
+
+    from flink_learning_practise_spark.operators.windows import session_window_batch
+
+    batch_df = spark.createDataFrame(
+        [(e["user_id"], e["ts"], e["value"]) for e in real],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in session_window_batch(
+            batch_df,
+            "ts",
+            "5 minutes",
+            keys=["user_id"],
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            ],
+        ).collect()
+    }
+    assert streamed == batched
+    assert len(batched) == 5  # u1: 2, u2: 2, u3: 1 (4.5m gaps merge)
+
+
 def test_stream_stream_window_join(spark, event_dir, tmp_path):
     # second stream: purchases by the same users, some in matching windows
     purchases = str(tmp_path / "purchases_in")
