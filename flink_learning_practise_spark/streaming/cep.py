@@ -1,0 +1,155 @@
+"""Streaming CEP — the real Flink-CEP analog (ref flink_typora.md:505):
+the same skip-till-next-match funnel as ``operators/cep.funnel``, run
+continuously over an event stream with watermark-correct ordering.
+
+Why not the batch plan on micro-batches: pattern matching is
+order-sensitive, and micro-batches deliver events out of order within
+the watermark horizon. So events BUFFER in per-user state until the
+watermark passes them (no later event can precede them), then feed an
+incremental matcher in (ts, id) order. Completed matches emit
+append-mode; partial matches live in state.
+
+State is bounded on both axes:
+- the buffer holds only events above the watermark (size ∝ arrival
+  rate × watermark delay);
+- partial matches die once the watermark passes last_bound_ts + gap
+  (any future event of the awaited type would be out of gap), enforced
+  by an event-time timer — so state never outlives gap + delay.
+
+This is the applyInPandasWithState twin of a Flink KeyedProcessFunction
+with CEP's NFA state. Parity with the batch operator is proven in
+tests/test_streaming.py (same fixture, same matches).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .stateful import _interval_to_ms
+
+_STATE_SCHEMA = (
+    "buf_ts ARRAY<BIGINT>, buf_id ARRAY<BIGINT>, buf_type ARRAY<STRING>, "
+    "partials ARRAY<STRING>"
+)
+
+
+def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id_col: str):
+    n = len(steps)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        buf: list[tuple[int, int, str]] = []
+        partials: list[dict] = []
+        if state.exists:
+            bt, bi, bty, ps = state.get
+            buf = list(zip(bt, bi, bty))
+            partials = [json.loads(p) for p in ps]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+                buf.extend(zip(ts_ms, pdf[id_col].tolist(), pdf[type_col].tolist()))
+
+        wm = state.getCurrentWatermarkMs()
+        # events strictly below the watermark are final: later batches
+        # are filtered against a watermark at least this high, so
+        # nothing can arrive before them in event time (strict < guards
+        # the boundary case of an on-watermark peer still in flight).
+        ready = sorted(e for e in buf if e[0] < wm)
+        rest = [e for e in buf if e[0] >= wm]
+
+        completed: list[dict] = []
+        for t, eid, ety in ready:
+            survivors: list[dict] = []
+            for p in partials:
+                if steps[p["step"]] == ety:
+                    # the NEXT event of the awaited type: binds if within
+                    # gap, otherwise the partial dies (strict next-match)
+                    if t - p["last"] <= gap_ms:
+                        p2 = {
+                            "step": p["step"] + 1,
+                            "last": t,
+                            "ids": p["ids"] + [eid],
+                            "tss": p["tss"] + [t],
+                        }
+                        (completed if p2["step"] == n else survivors).append(p2)
+                else:
+                    survivors.append(p)
+            partials = survivors
+            if ety == steps[0]:
+                partials.append({"step": 1, "last": t, "ids": [eid], "tss": [t]})
+
+        # prune doomed partials: any future event has ts > wm, so once
+        # wm - last > gap the awaited step can never bind in gap.
+        partials = [p for p in partials if wm - p["last"] <= gap_ms]
+
+        if not rest and not partials:
+            state.remove()
+        else:
+            state.update(
+                (
+                    [e[0] for e in rest],
+                    [e[1] for e in rest],
+                    [e[2] for e in rest],
+                    [json.dumps(p) for p in partials],
+                )
+            )
+            # wake when the watermark passes the next buffered event (to
+            # finalize it) or the earliest partial's gap deadline (to
+            # prune it); must sit strictly above the current watermark.
+            candidates = [e[0] for e in rest] + [p["last"] + gap_ms for p in partials]
+            state.setTimeoutTimestamp(max(min(candidates) + 1, wm + 1))
+
+        if completed:
+            data: dict = {"user_id": [user] * len(completed)}
+            for i in range(n):
+                data[f"step{i + 1}_id"] = [m["ids"][i] for m in completed]
+                data[f"step{i + 1}_ts"] = [
+                    pd.Timestamp(m["tss"][i], unit="ms") for m in completed
+                ]
+            yield pd.DataFrame(data)
+
+    return fn
+
+
+def funnel_stream(
+    df: DataFrame,
+    steps: Sequence[str],
+    gap: str,
+    watermark_delay: str = "1 minute",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Continuous skip-till-next-match funnel over an event stream.
+
+    Emits one append-mode row per COMPLETED match:
+    (user_id, step1_id, step1_ts, ..., stepN_id, stepN_ts) — the same
+    shape and semantics as the batch ``operators/cep.funnel``.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    out_schema = "user_id BIGINT, " + ", ".join(
+        f"step{i}_id BIGINT, step{i}_ts TIMESTAMP"
+        for i in range(1, len(steps) + 1)
+    )
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _funnel_fn(list(steps), _interval_to_ms(gap), ts_col, type_col, id_col),
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

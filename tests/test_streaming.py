@@ -185,6 +185,67 @@ def test_sessionize_matches_batch_session_window(spark, tmp_path):
     assert len(batched) == 5  # u1: 2, u2: 2, u3: 1 (4.5m gaps merge)
 
 
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming CEP parity: the continuous matcher must produce exactly
+    the batch funnel's matches once the watermark passes everything —
+    including when events arrive OUT OF ORDER across micro-batches."""
+    from flink_learning_practise_spark.operators.cep import funnel
+    from flink_learning_practise_spark.streaming.cep import funnel_stream
+
+    def e(eid, minute, user, typ, second=0):
+        return {
+            "event_id": eid,
+            "ts": f"2024-01-01 00:{minute:02d}:{second:02d}",
+            "user_id": user,
+            "event_type": typ,
+        }
+
+    real = [
+        e(1, 0, 1, "view"),
+        e(2, 1, 1, "click"),
+        e(3, 2, 1, "purchase"),
+        e(4, 3, 1, "view"),
+        e(5, 30, 1, "click"),  # out of 10m gap: view 4 must not convert
+        e(6, 0, 2, "view"),
+        e(7, 1, 2, "view"),  # both views share click 8
+        e(8, 2, 2, "click"),
+        e(9, 3, 2, "purchase"),
+    ]
+    flush = [e(99, 59, u, "noise") for u in (1, 2)]
+    src_dir = str(tmp_path / "cep_in")
+    # deliberately deliver the SECOND half first: batch 1 gets late
+    # minutes, batch 2 the early ones (still within the 30m watermark
+    # delay), so correctness requires the state buffer's reordering.
+    write_events(src_dir, real[4:])
+    write_events(src_dir, real[:4])
+    write_events(src_dir, flush)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    src = file_stream_source(
+        spark, src_dir, schema, fmt="json", max_files_per_trigger=1
+    )
+    out = funnel_stream(
+        src, ["view", "click", "purchase"], "10 minutes",
+        watermark_delay="30 minutes",
+    )
+    q = memory_sink(out, "funnel_stream_out", mode="append").start()
+    sp.run_until_drained(q)
+    streamed = {
+        (r.user_id, r.step1_id, r.step2_id, r.step3_id)
+        for r in spark.table("funnel_stream_out").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(x["event_id"], x["ts"], x["user_id"], x["event_type"]) for x in real + flush],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.step1_id, r.step2_id, r.step3_id)
+        for r in funnel(batch_df, ["view", "click", "purchase"], "10 minutes").collect()
+    }
+    assert streamed == batched
+    assert streamed == {(1, 1, 2, 3), (2, 6, 8, 9), (2, 7, 8, 9)}
+
+
 def test_stream_stream_window_join(spark, event_dir, tmp_path):
     # second stream: purchases by the same users, some in matching windows
     purchases = str(tmp_path / "purchases_in")
