@@ -34,9 +34,22 @@ from pyspark.sql import functions as F
 _KEY = "lpad(cast(unix_micros({ts}) as string), 20, '0') || lpad(cast({id} as string), 12, '0')"
 
 
+def _normalize_steps(steps, type_col):
+    """Each step is a bare event-type string (sugar for type equality)
+    or a (label, Column predicate) pair — Flink CEP's where() clauses."""
+    out = []
+    for s in steps:
+        if isinstance(s, str):
+            out.append((s, F.col(type_col) == s))
+        else:
+            label, pred = s
+            out.append((label, pred))
+    return out
+
+
 def funnel(
     events: DataFrame,
-    steps: Sequence[str],
+    steps: Sequence,
     gap: str,
     user_col: str = "user_id",
     ts_col: str = "ts",
@@ -45,6 +58,10 @@ def funnel(
 ) -> DataFrame:
     """Match the ordered event pattern ``steps`` per user.
 
+    A step is an event-type string or a ``(label, Column)`` predicate
+    pair (e.g. ``("big_buy", (F.col("event_type") == "purchase") &
+    (F.col("value") > 100))`` — the where() clause of a Flink CEP step).
+
     Returns one row per completed match:
     (user, step1_id, step1_ts, step2_id, step2_ts, ..., stepN_ts) with
     each step within ``gap`` (a SQL interval string, e.g. ``'12 hours'``)
@@ -52,6 +69,7 @@ def funnel(
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
+    preds = _normalize_steps(steps, type_col)
     key = F.expr(_KEY.format(ts=ts_col, id=id_col))
     seq = events.select(
         F.col(user_col),
@@ -59,18 +77,19 @@ def funnel(
         F.col(ts_col),
         F.col(type_col),
         key.alias("_k"),
+        *[pred.alias(f"_is{i}") for i, (_, pred) in enumerate(preds, start=1)],
     )
     # one reverse-ordered window; min over preceding rows in DESC order
-    # == earliest strictly-later event of each sought type
+    # == earliest strictly-later event satisfying each sought predicate
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.desc("_k"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    for i, step in enumerate(steps[1:], start=2):
+    for i in range(2, len(preds) + 1):
         seq = seq.withColumn(
             f"_nk{i}",
-            F.min(F.when(F.col(type_col) == step, F.col("_k"))).over(w),
+            F.min(F.when(F.col(f"_is{i}"), F.col("_k"))).over(w),
         )
     seq = seq.persist()  # each chain link re-reads seq; scan+window once
 
@@ -78,15 +97,15 @@ def funnel(
     # step to bind. After binding step i, the pointer for step i+1 comes
     # from the row just matched (the chain continues from there), never
     # from the start row.
-    n = len(steps)
-    out = seq.filter(F.col(type_col) == steps[0]).select(
+    n = len(preds)
+    out = seq.filter(F.col("_is1")).select(
         F.col(user_col),
         F.col(id_col).alias("step1_id"),
         F.col(ts_col).alias("step1_ts"),
         F.col("_nk2"),
     )
-    for i, step in enumerate(steps[1:], start=2):
-        nxt = seq.filter(F.col(type_col) == step).select(
+    for i in range(2, n + 1):
+        nxt = seq.filter(F.col(f"_is{i}")).select(
             F.col(user_col).alias("_u"),
             F.col("_k").alias("_match_k"),
             F.col(id_col).alias(f"step{i}_id"),
@@ -106,3 +125,58 @@ def funnel(
             )
         )
     return out
+
+
+def not_followed_by(
+    events: DataFrame,
+    first,
+    absent,
+    gap: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Absence pattern — Flink CEP's ``notFollowedBy`` within a time
+    window: events matching ``first`` with NO ``absent``-matching event
+    in the ``gap`` after them (e.g. views never clicked: abandonment).
+
+    Same machinery as :func:`funnel`: one window computes the next
+    ``absent`` key per row; the match succeeds when that pointer is
+    NULL or decodes to a timestamp beyond the gap (the key embeds
+    epoch-micros in its first 20 chars, so no join is needed at all —
+    a pure scan + window + filter, nothing else).
+
+    Returns (user, step1_id, step1_ts).
+    """
+    (flabel, fpred), (alabel, apred) = _normalize_steps(
+        [first, absent], type_col
+    )
+    key = F.expr(_KEY.format(ts=ts_col, id=id_col))
+    seq = events.select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(ts_col),
+        key.alias("_k"),
+        fpred.alias("_isf"),
+        apred.alias("_isa"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.desc("_k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = seq.withColumn(
+        "_na", F.min(F.when(F.col("_isa"), F.col("_k"))).over(w)
+    )
+    next_absent_us = F.expr("CAST(substring(_na, 1, 20) AS BIGINT)")
+    deadline_us = F.expr(f"unix_micros({ts_col} + INTERVAL {gap})")
+    return (
+        seq.filter(F.col("_isf"))
+        .filter(F.col("_na").isNull() | (next_absent_us > deadline_us))
+        .select(
+            F.col(user_col),
+            F.col(id_col).alias("step1_id"),
+            F.col(ts_col).alias("step1_ts"),
+        )
+    )

@@ -554,6 +554,39 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """notFollowedBy: views with NO click in the next 12 hours."""
+    ev = load(spark, sf_dir, "events")
+    out = cep.not_followed_by(ev, "view", "click", FUNNEL_GAP_SPARK)
+    return out.select(
+        "user_id",
+        F.col("step1_id").alias("view_id"),
+        F.col("step1_ts").alias("view_ts"),
+    )
+
+
+FUNNEL_ABANDONMENT_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+), nxt AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'click' THEN k END) OVER w AS na
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS view_id, ts AS view_ts
+FROM nxt
+WHERE event_type = 'view'
+  AND (na IS NULL
+       OR CAST(substring(na, 1, 20) AS BIGINT)
+          > epoch_us(ts + INTERVAL {FUNNEL_GAP_DUCK}))
+"""
+
+
 EVENT_FUNNEL_SQL = f"""
 WITH seq AS (
   SELECT user_id, event_id, ts, event_type,

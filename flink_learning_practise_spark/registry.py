@@ -132,6 +132,9 @@ def _populate() -> None:
     register(
         "q_event_funnel", ea.event_funnel, ea.EVENT_FUNNEL_SQL, headline=True
     )
+    register(
+        "q_funnel_abandonment", ea.funnel_abandonment, ea.FUNNEL_ABANDONMENT_SQL
+    )
 
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)

@@ -119,3 +119,50 @@ def test_rejects_single_step(spark):
     df = spark.createDataFrame([ev(1, 0, 1, "view")], SCHEMA)
     with pytest.raises(ValueError):
         funnel(df, ["view"], "10 minutes")
+
+
+def evv(eid, minute, user, typ, value):
+    return (eid, dt.datetime(2024, 1, 1, 0, minute), user, typ, value)
+
+
+VSCHEMA = SCHEMA + ", value double"
+
+
+def test_predicate_steps(spark):
+    """Flink CEP where()-clause analog: a step can be an arbitrary
+    predicate, and next-match binding applies to the PREDICATE — a
+    cheap purchase doesn't satisfy the step, so a later big one may."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        evv(1, 0, 1, "view", 0.0),
+        evv(2, 1, 1, "purchase", 5.0),  # too small: not a step match
+        evv(3, 2, 1, "purchase", 50.0),
+        evv(4, 0, 2, "view", 0.0),
+        evv(5, 1, 2, "purchase", 1.0),  # user 2 never buys big
+    ]
+    df = spark.createDataFrame(rows, VSCHEMA)
+    big_buy = (
+        "big_buy",
+        (F.col("event_type") == "purchase") & (F.col("value") >= 10),
+    )
+    out = funnel(df, ["view", big_buy], "10 minutes")
+    assert matches(out) == [(1, 1, 3)]
+
+
+def test_not_followed_by(spark):
+    from flink_learning_practise_spark.operators.cep import not_followed_by
+
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 1, "click"),  # view 1 converts
+        ev(3, 10, 1, "view"),  # no click after: abandoned
+        ev(4, 0, 2, "view"),
+        ev(5, 40, 2, "click"),  # out of 10m gap: still abandoned
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = not_followed_by(df, "view", "click", "10 minutes")
+    assert sorted((r.user_id, r.step1_id) for r in out.collect()) == [
+        (1, 3),
+        (2, 4),
+    ]
