@@ -80,3 +80,66 @@ def test_interval_join_matches_bruteforce(spark, events, dims):
         if lk == rk and ls - lower <= rs <= ls + upper
     }
     assert got == want
+
+
+def _funnel_reference(rows, steps, gap_s):
+    """Brute-force skip-till-next-match matcher (pure Python): for each
+    start event, bind each later step to the EARLIEST event of its type
+    strictly later in (ts, id) order; fail if that event is out of gap."""
+    matches = set()
+    by_user: dict = {}
+    for eid, user, s, typ in rows:
+        by_user.setdefault(user, []).append((s, eid, typ))
+    for user, seq in by_user.items():
+        seq.sort()
+        for idx, (s0, id0, t0) in enumerate(seq):
+            if t0 != steps[0]:
+                continue
+            bound = [(s0, id0)]
+            pos = idx
+            ok = True
+            for step in steps[1:]:
+                nxt = next(
+                    (
+                        (s, i)
+                        for s, i, t in seq[pos + 1 :]
+                        if t == step
+                    ),
+                    None,
+                )
+                if nxt is None or nxt[0] - bound[-1][0] > gap_s:
+                    ok = False
+                    break
+                pos = seq.index((nxt[0], nxt[1], step), pos + 1)
+                bound.append(nxt)
+            if ok:
+                matches.add((user, *[i for _, i in bound]))
+    return matches
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 60),  # ts seconds
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(deadline=None, max_examples=12, derandomize=True)
+@given(events=funnel_events)
+def test_funnel_matches_bruteforce(spark, events):
+    from flink_learning_practise_spark.operators.cep import funnel
+
+    rows = [(i, u, s, t) for i, (u, s, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        [(eid, ts(s), u, t) for eid, u, s, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = funnel(df, ["a", "b", "c"], "20 seconds")
+    got = {
+        (r.user_id, r.step1_id, r.step2_id, r.step3_id) for r in out.collect()
+    }
+    assert got == _funnel_reference(rows, ["a", "b", "c"], 20)
