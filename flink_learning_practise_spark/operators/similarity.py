@@ -212,6 +212,56 @@ def ivf_centroids(
     return vecs, norms
 
 
+def refine_centroids(
+    df: DataFrame,
+    vecs: list[list[float]],
+    iters: int = 2,
+    emb_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd (k-means) refinement of IVF centroids — the offline step
+    the coarse hash-sample quantizer points at (run it once per corpus
+    build, not per query; assignments are map-only against inlined
+    centroids and the per-dim means collect nlist×dim tiny rows).
+
+    Means aggregate through decimal so the refined centroids are
+    partition-order independent — rerunning refinement on the same
+    corpus yields bit-identical centroids on any cluster layout.
+    Empty lists keep their previous centroid. Returns (vecs, norms)."""
+    import math
+
+    for _ in range(iters):
+        norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in vecs]
+        scores = _ivf_scores_expr(emb_col, vecs, norms)
+        assigned = df.select(
+            F.expr(f"CAST(array_position(({scores}), array_max({scores})) AS INT)").alias(
+                "list_id"
+            ),
+            F.posexplode(F.col(emb_col)).alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("mean")
+            )
+            .collect()
+        )
+        new_vecs = [list(v) for v in vecs]  # empty lists keep old centroid
+        by_list: dict[int, list[tuple[int, float]]] = {}
+        for r in means:
+            by_list.setdefault(r.list_id - 1, []).append((r.pos, r.mean))
+        for li, dims in by_list.items():
+            for pos, mean in dims:
+                new_vecs[li][pos] = mean
+        vecs = new_vecs
+    norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in vecs]
+    return vecs, norms
+
+
 def _ivf_scores_expr(emb_col: str, vecs: list[list[float]], norms: list[float]) -> str:
     """SQL expr: array of cosine-proportional scores of ``emb_col``
     against each inlined centroid (own-norm omitted — positive scaling
@@ -241,14 +291,17 @@ def knn_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    centroids: tuple[list[list[float]], list[float]] | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the other classic ANN scale path,
     alongside :func:`knn_lsh`): a coarse quantizer of ``nlist`` centroids
     partitions the corpus into inverted lists map-side (no shuffle —
     centroids are inlined literals); each query probes its ``nprobe``
     nearest lists, so only ~nprobe/nlist of the corpus is scored.
-    Same output shape as :func:`knn_bruteforce`; recall < 1 by design."""
-    vecs, norms = ivf_centroids(df, nlist, id_col, emb_col)
+    Same output shape as :func:`knn_bruteforce`; recall < 1 by design.
+    Pass ``centroids`` (e.g. from :func:`refine_centroids`) to reuse an
+    offline-trained quantizer instead of the hash-sample seed."""
+    vecs, norms = centroids or ivf_centroids(df, nlist, id_col, emb_col)
     scores = _ivf_scores_expr(emb_col, vecs, norms)
 
     probe_lists = (
