@@ -86,6 +86,40 @@ def stream_window_join(
     return lw.join(rw, cond).drop("_rw")
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    on: Sequence[tuple[str, str]],
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming original of
+    operators/joins.interval_join — Flink's intervalJoin): left row L
+    joins right row R iff keys match and
+    ``R.ts ∈ [L.ts - lower, L.ts + upper]``.
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other, which is exactly what Structured
+    Streaming needs to size and EVICT join state (rows older than
+    watermark − delay − interval can never match again). Right columns
+    are suffixed ``_r`` in the output."""
+    lw = with_watermark(left, left_ts, watermark_delay)
+    r_renamed = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    )
+    rw = with_watermark(r_renamed, f"{right_ts}_r", watermark_delay)
+    rts = F.col(f"{right_ts}_r")
+    cond = (
+        rts >= F.col(left_ts) - F.expr(f"INTERVAL {lower}")
+    ) & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    for lc, rc in on:
+        cond = cond & (lw[lc] == rw[f"{rc}_r"])
+    return lw.join(rw, cond)
+
+
 def etl_pipeline_with_dlq(
     source: DataFrame,
     validity: Column,

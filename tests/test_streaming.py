@@ -272,6 +272,43 @@ def test_stream_stream_window_join(spark, event_dir, tmp_path):
     assert got == {(1, 101), (2, 101)}
 
 
+def test_stream_interval_join_matches_batch(spark, event_dir, tmp_path):
+    """Streaming interval join must agree with the batch operator on the
+    same data once everything is processed."""
+    from flink_learning_practise_spark.operators.joins import interval_join
+
+    purchases = str(tmp_path / "iv_purchases")
+    write_events(
+        purchases,
+        [
+            {"event_id": 201, "ts": "2024-01-01 00:00:20", "user_id": 1, "value": 9.0},
+            {"event_id": 202, "ts": "2024-01-01 00:02:30", "user_id": 2, "value": 8.0},
+            {"event_id": 203, "ts": "2024-01-01 00:07:00", "user_id": 1, "value": 7.0},
+        ],
+    )
+    clicks_s = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json")
+    buys_s = file_stream_source(spark, purchases, EVENT_SCHEMA, fmt="json")
+    joined = sp.stream_interval_join(
+        clicks_s, buys_s, "ts", "ts", "30 seconds", "2 minutes",
+        on=[("user_id", "user_id")], watermark_delay="30 seconds",
+    )
+    assert joined.isStreaming
+    q = memory_sink(joined.select("event_id", "event_id_r"), "iv_stream",
+                    mode="append").start()
+    sp.run_until_drained(q)
+    streamed = {(r.event_id, r.event_id_r) for r in spark.table("iv_stream").collect()}
+
+    clicks_b = spark.read.schema(EVENT_SCHEMA).json(event_dir)
+    buys_b = spark.read.schema(EVENT_SCHEMA).json(purchases)
+    batch = interval_join(
+        clicks_b, buys_b.select(*[F.col(c).alias(f"{c}_r") for c in buys_b.columns]),
+        "ts", "ts_r", "30 seconds", "2 minutes", on=[("user_id", "user_id_r")],
+    )
+    batched = {(r.event_id, r.event_id_r) for r in batch.collect()}
+    assert streamed == batched
+    assert streamed  # fixture must actually produce matches
+
+
 def test_etl_pipeline_with_dlq(spark, tmp_path):
     src_dir = str(tmp_path / "dlq_in")
     write_events(
