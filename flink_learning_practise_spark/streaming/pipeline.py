@@ -51,6 +51,33 @@ def windowed_stats(
     ).drop("window")
 
 
+def stream_session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Built-in streaming session window (ref session_window:186 made
+    continuous): gap-merged sessions per key via ``F.session_window``,
+    closed and emitted once the watermark passes session end (append
+    mode). Note the built-in's window end is ``last event + gap`` —
+    ``gap`` longer than the batch gaps-and-islands end (= last event
+    ts); the custom ``streaming/stateful.sessionize`` exists for
+    semantics this built-in can't express (per-event accumulators,
+    early snapshots)."""
+    src = with_watermark(df, ts_col, watermark_delay)
+    grouped = src.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("window"), *keys
+    ).agg(*aggs)
+    return grouped.select(
+        F.col("window.start").alias("session_start"),
+        F.col("window.end").alias("session_end"),
+        *[c for c in grouped.columns if c != "window"],
+    )
+
+
 def stream_window_join(
     left: DataFrame,
     right: DataFrame,

@@ -185,6 +185,58 @@ def test_sessionize_matches_batch_session_window(spark, tmp_path):
     assert len(batched) == 5  # u1: 2, u2: 2, u3: 1 (4.5m gaps merge)
 
 
+def test_stream_session_agg_matches_batch(spark, tmp_path):
+    """Built-in F.session_window streaming sessions must equal the batch
+    gaps-and-islands sessions (accounting for the built-in's end = last
+    event + gap convention)."""
+    import datetime as dt
+
+    from flink_learning_practise_spark.operators.windows import session_window_batch
+
+    real = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 1, "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 00:20:00", "user_id": 1, "value": 10.0},
+        {"event_id": 4, "ts": "2024-01-01 00:01:00", "user_id": 2, "value": 5.0},
+    ]
+    flush = [
+        {"event_id": 90 + u, "ts": "2024-01-01 02:00:00", "user_id": u, "value": 0.0}
+        for u in (1, 2)
+    ]
+    src_dir = str(tmp_path / "bsess_in")
+    write_events(src_dir, real)
+    write_events(src_dir, flush)
+    src = file_stream_source(
+        spark, src_dir, EVENT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    out = sp.stream_session_agg(
+        src, "ts", "5 minutes", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")],
+        watermark_delay="1 minute",
+    )
+    q = memory_sink(out, "bsess_out", mode="append").start()
+    sp.run_until_drained(q)
+    gap = dt.timedelta(minutes=5)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end - gap, r.n_events, r.sum_value)
+        for r in spark.table("bsess_out").collect()
+        if r.sum_value != 0.0  # exclude the flush sessions
+    }
+    batch_df = spark.createDataFrame(
+        [(e["user_id"], e["ts"], e["value"]) for e in real],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in session_window_batch(
+            batch_df, "ts", "5 minutes", keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")],
+        ).collect()
+    }
+    assert streamed == batched
+    assert len(batched) == 3
+
+
 def test_funnel_stream_matches_batch(spark, tmp_path):
     """Streaming CEP parity: the continuous matcher must produce exactly
     the batch funnel's matches once the watermark passes everything —
