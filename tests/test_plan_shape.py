@@ -72,6 +72,24 @@ def test_partial_aggregation_before_shuffle(spark, sf_medium):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_no_cartesian_product_anywhere(spark, sf_medium):
+    """No registered query may plan a CartesianProduct: every join must
+    have usable keys (the only nested-loop join allowed is the
+    documented broadcast one in the brute-force kNN baseline)."""
+    for name, q in all_queries().items():
+        plan = plan_of(q.fn(spark, sf_medium))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_event_funnel_reuses_pointer_computation(spark, sf_medium):
+    """The funnel's scan+window (pointer computation) must materialize
+    ONCE and be re-read by every chain link — the plan shows cached
+    InMemoryTableScans, not repeated scan+sort+window subtrees."""
+    plan = plan_of(all_queries()["q_event_funnel"].fn(spark, sf_medium))
+    assert plan.count("InMemoryTableScan") >= 3  # starts + 2 chain links
+    assert "CartesianProduct" not in plan
+
+
 def test_cosine_pairs_vectorized_is_distributed(spark):
     """The blocked-GEMM pairer must not materialize the corpus on the
     driver (round-1 version did toPandas() at plan-construction time —
