@@ -154,3 +154,78 @@ def order_line_stats(flat_lines: DataFrame) -> DataFrame:
         .cast("double")
         .alias("total_tax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered end-to-end nested-order ETL on the driver tables: build the
+# walmart-shaped document (header + orderLine array) from orders+lineitem,
+# serialize to JSON, parse it back with the pinned-schema from_json +
+# explode — the reference's stage1 spine (parse_walmart_order_json_string:
+# 208) exercised with an oracle that computes the same result JSON-free.
+
+ROUNDTRIP_LINE_SCHEMA = (
+    "purchaseOrderId BIGINT, customerId BIGINT, "
+    "orderLines STRUCT<orderLine: ARRAY<STRUCT<"
+    "lineNumber: INT, quantity: DOUBLE, price: DOUBLE>>>"
+)
+
+
+def order_json_roundtrip(spark, sf_dir: str) -> DataFrame:
+    from ..datasets import load
+    from ..num import dsum
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    # collect_list is assembly-order dependent: sort_array on the struct
+    # (lineNumber leads) makes the document deterministic.
+    lines = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("lineNumber"),
+                    F.col("l_quantity").alias("quantity"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            )
+        ).alias("orderLine")
+    )
+    docs = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey
+    ).select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("purchaseOrderId"),
+                F.col("o_custkey").alias("customerId"),
+                F.struct(F.col("orderLine")).alias("orderLines"),
+            )
+        ).alias("payload")
+    )
+    parsed = docs.select(F.from_json("payload", ROUNDTRIP_LINE_SCHEMA).alias("o"))
+    flat = parsed.select(
+        F.col("o.purchaseOrderId").alias("orderkey"),
+        F.col("o.customerId").alias("custkey"),
+        F.explode("o.orderLines.orderLine").alias("ln"),
+    )
+    return flat.groupBy("custkey").agg(
+        F.countDistinct("orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("ln.quantity"), "sum_qty"),
+        dsum(F.col("ln.price"), "revenue"),
+    )
+
+
+def _sql_dsum(expr: str, alias: str) -> str:
+    from ..num import sql_dsum
+
+    return sql_dsum(expr, alias)
+
+
+ORDER_JSON_ROUNDTRIP_SQL = f"""
+SELECT o_custkey AS custkey,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_lines,
+       {_sql_dsum("l_quantity", "sum_qty")},
+       {_sql_dsum("l_extendedprice", "revenue")}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_custkey
+"""

@@ -136,6 +136,14 @@ def _populate() -> None:
         "q_funnel_abandonment", ea.funnel_abandonment, ea.FUNNEL_ABANDONMENT_SQL
     )
 
+    from .plans import order_etl as oe
+
+    register(
+        "q_order_json_roundtrip",
+        oe.order_json_roundtrip,
+        oe.ORDER_JSON_ROUNDTRIP_SQL,
+    )
+
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
     register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
