@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE: runtime bloom-filter join filtering
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled) was tried and
+        # REVERTED: it sent the JSON-roundtrip query from 1.9s to >400s
+        # at sf0.1 (bloom build dominates on an aggregated join side).
+        # Enable per-job at scale where a selective dim prunes a huge
+        # fact scan, not as a blanket default.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
