@@ -71,6 +71,11 @@ def funnel(
         raise ValueError("funnel needs at least two steps")
     preds = _normalize_steps(steps, type_col)
     key = F.expr(_KEY.format(ts=ts_col, id=id_col))
+    # events without a time/id can't take a place in the sequence order;
+    # a NULL key would silently float to one end of the window sort.
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(id_col).isNotNull()
+    )
     seq = events.select(
         F.col(user_col),
         F.col(id_col),
@@ -153,6 +158,9 @@ def not_followed_by(
         [first, absent], type_col
     )
     key = F.expr(_KEY.format(ts=ts_col, id=id_col))
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(id_col).isNotNull()
+    )
     seq = events.select(
         F.col(user_col),
         F.col(id_col),

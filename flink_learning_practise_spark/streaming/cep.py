@@ -142,6 +142,11 @@ def funnel_stream(
         f"step{i}_id BIGINT, step{i}_ts TIMESTAMP"
         for i in range(1, len(steps) + 1)
     )
+    from pyspark.sql import functions as F
+
+    # null-time/id events can't be sequenced (and NaT would corrupt the
+    # int64 buffer encoding) — drop them before the watermark.
+    df = df.filter(F.col(ts_col).isNotNull() & F.col(id_col).isNotNull())
     return (
         df.withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)

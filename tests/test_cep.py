@@ -150,6 +150,22 @@ def test_predicate_steps(spark):
     assert matches(out) == [(1, 1, 3)]
 
 
+def test_hostile_nulls_do_not_match_or_crash(spark):
+    """Null ts / null type / null id events must neither crash the
+    matcher nor take part in any match."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "view"),
+        (2, None, 1, "click"),  # null ts: unsequenceable
+        (3, dt.datetime(2024, 1, 1, 0, 1), 1, None),  # null type
+        (4, dt.datetime(2024, 1, 1, 0, 2), 1, "click"),
+        (5, dt.datetime(2024, 1, 1, 0, 3), 1, "purchase"),
+        (None, dt.datetime(2024, 1, 1, 0, 4), 1, "purchase"),  # null id
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = funnel(df, ["view", "click", "purchase"], "10 minutes")
+    assert matches(out) == [(1, 1, 4, 5)]
+
+
 def test_not_followed_by(spark):
     from flink_learning_practise_spark.operators.cep import not_followed_by
 
