@@ -61,6 +61,9 @@ def funnel(
     A step is an event-type string or a ``(label, Column)`` predicate
     pair (e.g. ``("big_buy", (F.col("event_type") == "purchase") &
     (F.col("value") > 100))`` — the where() clause of a Flink CEP step).
+    Flink's ``times(n)`` quantifier is the same step repeated n times
+    (``["click", "click", "click"]`` = three consecutive next-matched
+    clicks, each within ``gap`` of the previous).
 
     Returns one row per completed match:
     (user, step1_id, step1_ts, step2_id, step2_ts, ..., stepN_ts) with

@@ -150,6 +150,21 @@ def test_predicate_steps(spark):
     assert matches(out) == [(1, 1, 3)]
 
 
+def test_times_quantifier_as_repeated_step(spark):
+    """Flink CEP times(n) == the step repeated n times: each repetition
+    binds the NEXT event of that type."""
+    rows = [
+        ev(1, 0, 1, "click"),
+        ev(2, 1, 1, "click"),
+        ev(3, 2, 1, "click"),
+        ev(4, 0, 2, "click"),  # user 2: only one click
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = funnel(df, ["click", "click"], "10 minutes")
+    # click1->click2 and click2->click3 (next-match chains), never 1->3
+    assert matches(out) == [(1, 1, 2), (1, 2, 3)]
+
+
 def test_hostile_nulls_do_not_match_or_crash(spark):
     """Null ts / null type / null id events must neither crash the
     matcher nor take part in any match."""
