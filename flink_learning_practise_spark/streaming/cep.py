@@ -120,6 +120,113 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
     return fn
 
 
+_ABSENCE_STATE_SCHEMA = (
+    "buf_ts ARRAY<BIGINT>, buf_id ARRAY<BIGINT>, buf_type ARRAY<STRING>, "
+    "pend_ts ARRAY<BIGINT>, pend_id ARRAY<BIGINT>"
+)
+
+
+def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
+                ts_col: str, type_col: str, id_col: str):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        buf: list[tuple[int, int, str]] = []
+        pending: list[tuple[int, int]] = []  # (ts, id) of unrefuted firsts
+        if state.exists:
+            bt, bi, bty, pt, pi = state.get
+            buf = list(zip(bt, bi, bty))
+            pending = list(zip(pt, pi))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+                buf.extend(zip(ts_ms, pdf[id_col].tolist(), pdf[type_col].tolist()))
+
+        wm = state.getCurrentWatermarkMs()
+        ready = sorted(e for e in buf if e[0] < wm)
+        rest = [e for e in buf if e[0] >= wm]
+
+        for t, eid, ety in ready:
+            if ety == absent_type:
+                # refutes every earlier pending first within gap
+                pending = [
+                    (pt, pi)
+                    for pt, pi in pending
+                    if not ((pt, pi) < (t, eid) and t - pt <= gap_ms)
+                ]
+            if ety == first_type:
+                pending.append((t, eid))
+
+        # a pending first is SAFE once the watermark passes its deadline:
+        # any future event has ts >= wm > ts + gap, out of refuting range
+        emitted = [(pt, pi) for pt, pi in pending if wm > pt + gap_ms]
+        pending = [(pt, pi) for pt, pi in pending if wm <= pt + gap_ms]
+
+        if not rest and not pending:
+            state.remove()
+        else:
+            state.update(
+                (
+                    [e[0] for e in rest],
+                    [e[1] for e in rest],
+                    [e[2] for e in rest],
+                    [p[0] for p in pending],
+                    [p[1] for p in pending],
+                )
+            )
+            candidates = [e[0] for e in rest] + [p[0] + gap_ms for p in pending]
+            state.setTimeoutTimestamp(max(min(candidates) + 1, wm + 1))
+
+        if emitted:
+            emitted.sort()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(emitted),
+                    "step1_id": [i for _, i in emitted],
+                    "step1_ts": [pd.Timestamp(t, unit="ms") for t, _ in emitted],
+                }
+            )
+
+    return fn
+
+
+def not_followed_by_stream(
+    df: DataFrame,
+    first: str,
+    absent: str,
+    gap: str,
+    watermark_delay: str = "1 minute",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Continuous absence detection (Flink CEP notFollowedBy + within):
+    emit each ``first`` event once the watermark proves NO ``absent``
+    event followed it within ``gap`` — the pattern that can only fire on
+    the passage of time, hence the event-time timer. State = buffered
+    out-of-order events + unrefuted firsts, both watermark-bounded."""
+    from pyspark.sql import functions as F
+
+    df = df.filter(F.col(ts_col).isNotNull() & F.col(id_col).isNotNull())
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _absence_fn(
+                first, absent, _interval_to_ms(gap), ts_col, type_col, id_col
+            ),
+            outputStructType="user_id BIGINT, step1_id BIGINT, step1_ts TIMESTAMP",
+            stateStructType=_ABSENCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def funnel_stream(
     df: DataFrame,
     steps: Sequence[str],

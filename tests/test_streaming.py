@@ -298,6 +298,60 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     assert streamed == {(1, 1, 2, 3), (2, 6, 8, 9), (2, 7, 8, 9)}
 
 
+def test_not_followed_by_stream_matches_batch(spark, tmp_path):
+    """Streaming absence detection: emit views the watermark proves
+    unclicked within the gap; must equal the batch operator, with
+    out-of-order delivery across micro-batches."""
+    from flink_learning_practise_spark.operators.cep import not_followed_by
+    from flink_learning_practise_spark.streaming.cep import not_followed_by_stream
+
+    def e(eid, minute, user, typ):
+        return {
+            "event_id": eid,
+            "ts": f"2024-01-01 00:{minute:02d}:00",
+            "user_id": user,
+            "event_type": typ,
+        }
+
+    real = [
+        e(1, 0, 1, "view"),
+        e(2, 1, 1, "click"),   # view 1 clicked -> not abandoned
+        e(3, 10, 1, "view"),   # never clicked -> abandoned
+        e(4, 0, 2, "view"),
+        e(5, 40, 2, "click"),  # out of 10m gap -> view 4 abandoned
+        e(6, 45, 2, "view"),   # clicked at 46 -> not abandoned
+        e(7, 46, 2, "click"),
+    ]
+    flush = [e(90 + u, 59, u, "noise") for u in (1, 2)]
+    src_dir = str(tmp_path / "nfb_in")
+    write_events(src_dir, real[3:])  # second half first: out-of-order
+    write_events(src_dir, real[:3])
+    write_events(src_dir, flush)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    src = file_stream_source(
+        spark, src_dir, schema, fmt="json", max_files_per_trigger=1
+    )
+    out = not_followed_by_stream(
+        src, "view", "click", "10 minutes", watermark_delay="30 minutes"
+    )
+    q = memory_sink(out, "nfb_out", mode="append").start()
+    sp.run_until_drained(q)
+    streamed = {
+        (r.user_id, r.step1_id) for r in spark.table("nfb_out").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(x["event_id"], x["ts"], x["user_id"], x["event_type"]) for x in real + flush],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.step1_id)
+        for r in not_followed_by(batch_df, "view", "click", "10 minutes").collect()
+    }
+    assert streamed == batched
+    assert streamed == {(1, 3), (2, 4)}
+
+
 def test_stream_stream_window_join(spark, event_dir, tmp_path):
     # second stream: purchases by the same users, some in matching windows
     purchases = str(tmp_path / "purchases_in")
