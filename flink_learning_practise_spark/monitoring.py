@@ -21,7 +21,7 @@ Spark-first mapping, no custom accumulators in the data path:
 from __future__ import annotations
 
 import threading
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
@@ -53,17 +53,33 @@ class MetricsListener(StreamingQueryListener):
 
     Thread-safe; progress events arrive on the listener bus thread.
     Register with ``spark.streams.addListener(listener)``.
+
+    History is bounded (``max_batches`` per query, default 1000): a
+    1s-trigger query emits ~86k progress rows/day, so unbounded history
+    is a driver leak on exactly the long-running streams this targets.
+    ``totals`` stays lifetime-accurate via running aggregates that
+    survive eviction.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, max_batches: int = 1000) -> None:
         self._lock = threading.Lock()
-        self._progress: dict[str, list[dict[str, Any]]] = defaultdict(list)
+        self._max = max_batches
+        self._progress: dict[str, deque[dict[str, Any]]] = defaultdict(
+            lambda: deque(maxlen=max_batches)
+        )
+        self._totals: dict[str, dict[str, Any]] = defaultdict(
+            lambda: {"batches": 0, "rows_in": 0, "max_state_rows": 0}
+        )
         self._status: dict[str, str] = {}
+        # QueryTerminatedEvent carries only the id; remember id -> name
+        # so a named query's status actually transitions on termination.
+        self._names: dict[str, str] = {}
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:
         with self._lock:
-            self._status[event.name or event.id] = "RUNNING"
+            self._names[str(event.id)] = event.name or str(event.id)
+            self._status[event.name or str(event.id)] = "RUNNING"
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
@@ -82,11 +98,17 @@ class MetricsListener(StreamingQueryListener):
             "watermark": (p.eventTime or {}).get("watermark"),
         }
         with self._lock:
-            self._progress[p.name or p.id].append(row)
+            key = p.name or str(p.id)
+            self._progress[key].append(row)
+            t = self._totals[key]
+            t["batches"] += 1
+            t["rows_in"] += row["num_input_rows"]
+            t["max_state_rows"] = max(t["max_state_rows"], row["state_rows_total"])
 
     def onQueryTerminated(self, event) -> None:
         with self._lock:
-            self._status[event.id] = (
+            key = self._names.pop(str(event.id), str(event.id))
+            self._status[key] = (
                 f"FAILED: {event.exception}" if event.exception else "TERMINATED"
             )
 
@@ -103,13 +125,15 @@ class MetricsListener(StreamingQueryListener):
         return h[-1] if h else None
 
     def totals(self, query_name: str) -> dict[str, Any]:
-        """Lifetime aggregates — what a dashboard's headline tiles show."""
-        h = self.history(query_name)
-        return {
-            "batches": len(h),
-            "rows_in": sum(r["num_input_rows"] for r in h),
-            "max_state_rows": max((r["state_rows_total"] for r in h), default=0),
-        }
+        """Lifetime aggregates — what a dashboard's headline tiles show.
+        Running sums, unaffected by history eviction."""
+        with self._lock:
+            return dict(self._totals[query_name])
+
+    def status(self, query_name: str) -> str | None:
+        """Lifecycle state: RUNNING / TERMINATED / FAILED: <cause>."""
+        with self._lock:
+            return self._status.get(query_name)
 
 
 def spark_ui_rest_url(spark: SparkSession) -> str | None:

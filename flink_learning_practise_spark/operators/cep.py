@@ -21,17 +21,62 @@ by user, and no state ever exceeds a row's fixed set of pointers.
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# funnel() persists its scan+window intermediate so the chain links
+# re-read it instead of recomputing; each distinct invocation is a new
+# cache entry, so a long-lived session running many funnels (a bench
+# loop, a service) would pin storage without bound. Bounded LRU: keep
+# the newest _PIN_LIMIT entries pinned, unpersist the rest. Unpersist
+# is always correctness-safe — a plan over a released cache recomputes.
+_PINNED: deque[DataFrame] = deque()
+_PIN_LIMIT = 4
+
+
+def _pin(cached: DataFrame) -> None:
+    # CacheManager keys entries by plan equivalence, so two pins of the
+    # same plan are ONE cache entry — evicting the older pin would kill
+    # the newer one's cache too. Dedupe by sameResult: re-pinning an
+    # already-pinned plan is an LRU touch, not a second entry.
+    try:
+        new_plan = cached._jdf.queryExecution().analyzed()
+        for i, d in enumerate(_PINNED):
+            if d._jdf.queryExecution().analyzed().sameResult(new_plan):
+                del _PINNED[i]
+                break
+    except Exception:
+        pass
+    _PINNED.append(cached)
+    while len(_PINNED) > _PIN_LIMIT:
+        old = _PINNED.popleft()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
+
+
+def release_caches() -> None:
+    """Unpersist every funnel intermediate still pinned (explicit
+    cleanup for tests / services that want storage back now)."""
+    while _PINNED:
+        old = _PINNED.popleft()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
 # (ts, id) encoded as one fixed-width sortable string so a single MIN
 # suffices for "earliest later event" (a struct-min would need engine-
 # specific tuple ordering; two chained mins would need two windows).
-# 20 digits of epoch-microseconds + 12 of id covers any non-negative
-# timestamp/id; negative epochs would break lpad ordering (documented).
-_KEY = "lpad(cast(unix_micros({ts}) as string), 20, '0') || lpad(cast({id} as string), 12, '0')"
+# 20 digits each side: int64 maxes at 19 digits, and lpad TRUNCATES
+# inputs longer than the pad width, so anything narrower would silently
+# corrupt large ids (e.g. monotonically_increasing_id = partition<<33).
+# Negative epochs/ids would break lpad ordering (documented unsupported).
+_KEY = "lpad(cast(unix_micros({ts}) as string), 20, '0') || lpad(cast({id} as string), 20, '0')"
 
 
 def _normalize_steps(steps, type_col):
@@ -100,6 +145,7 @@ def funnel(
             F.min(F.when(F.col(f"_is{i}"), F.col("_k"))).over(w),
         )
     seq = seq.persist()  # each chain link re-reads seq; scan+window once
+    _pin(seq)
 
     # out carries exactly ONE pointer at a time — the key of the next
     # step to bind. After binding step i, the pointer for step i+1 comes

@@ -232,8 +232,15 @@ def refine_centroids(
     for _ in range(iters):
         norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in vecs]
         scores = _ivf_scores_expr(emb_col, vecs, norms)
+        # materialize the (interpreted, never-codegen) nlist×dim score
+        # fold ONCE per row in its own projection; inlining it into both
+        # array_position and array_max would double the dominant cost of
+        # every iteration. CollapseProject won't re-inline a non-cheap
+        # multiply-referenced alias, so the single evaluation survives.
         assigned = df.select(
-            F.expr(f"CAST(array_position(({scores}), array_max({scores})) AS INT)").alias(
+            F.expr(scores).alias("_scores"), F.col(emb_col)
+        ).select(
+            F.expr("CAST(array_position(_scores, array_max(_scores)) AS INT)").alias(
                 "list_id"
             ),
             F.posexplode(F.col(emb_col)).alias("pos", "val"),

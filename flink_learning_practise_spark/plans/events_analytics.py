@@ -569,8 +569,11 @@ FUNNEL_ABANDONMENT_SQL = f"""
 WITH seq AS (
   SELECT user_id, event_id, ts, event_type,
          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
   FROM events
+  -- mirror the Spark operator's unsequenceable-event guard (cep.py):
+  -- rows with NULL ts/id are dropped before matching on both engines
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ), nxt AS (
   SELECT *,
     MIN(CASE WHEN event_type = 'click' THEN k END) OVER w AS na
@@ -591,8 +594,11 @@ EVENT_FUNNEL_SQL = f"""
 WITH seq AS (
   SELECT user_id, event_id, ts, event_type,
          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
   FROM events
+  -- mirror the Spark operator's unsequenceable-event guard (cep.py):
+  -- rows with NULL ts/id are dropped before matching on both engines
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ), nxt AS (
   SELECT *,
     MIN(CASE WHEN event_type = 'click' THEN k END) OVER w AS next_click_k,

@@ -40,6 +40,7 @@ _STATE_SCHEMA = (
 
 def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id_col: str):
     n = len(steps)
+    gap_us = gap_ms * 1000  # matcher runs at µs grain — see below
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -55,16 +56,21 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
             for pdf in pdfs:
                 if not len(pdf):
                     continue
-                ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
-                buf.extend(zip(ts_ms, pdf[id_col].tolist(), pdf[type_col].tolist()))
+                # µs, not ms: the batch operator orders by (µs ts, id),
+                # and ms truncation would tie events <1ms apart, letting
+                # the stream bind a different event than batch — breaking
+                # the documented parity. (Spark timestamps are µs-grain,
+                # so ns→µs loses nothing.)
+                ts_us = (pdf[ts_col].astype("int64") // 1_000).tolist()
+                buf.extend(zip(ts_us, pdf[id_col].tolist(), pdf[type_col].tolist()))
 
-        wm = state.getCurrentWatermarkMs()
+        wm_us = state.getCurrentWatermarkMs() * 1000
         # events strictly below the watermark are final: later batches
         # are filtered against a watermark at least this high, so
         # nothing can arrive before them in event time (strict < guards
         # the boundary case of an on-watermark peer still in flight).
-        ready = sorted(e for e in buf if e[0] < wm)
-        rest = [e for e in buf if e[0] >= wm]
+        ready = sorted(e for e in buf if e[0] < wm_us)
+        rest = [e for e in buf if e[0] >= wm_us]
 
         completed: list[dict] = []
         for t, eid, ety in ready:
@@ -73,7 +79,7 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
                 if steps[p["step"]] == ety:
                     # the NEXT event of the awaited type: binds if within
                     # gap, otherwise the partial dies (strict next-match)
-                    if t - p["last"] <= gap_ms:
+                    if t - p["last"] <= gap_us:
                         p2 = {
                             "step": p["step"] + 1,
                             "last": t,
@@ -89,7 +95,7 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
 
         # prune doomed partials: any future event has ts > wm, so once
         # wm - last > gap the awaited step can never bind in gap.
-        partials = [p for p in partials if wm - p["last"] <= gap_ms]
+        partials = [p for p in partials if wm_us - p["last"] <= gap_us]
 
         if not rest and not partials:
             state.remove()
@@ -105,15 +111,19 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
             # wake when the watermark passes the next buffered event (to
             # finalize it) or the earliest partial's gap deadline (to
             # prune it); must sit strictly above the current watermark.
-            candidates = [e[0] for e in rest] + [p["last"] + gap_ms for p in partials]
-            state.setTimeoutTimestamp(max(min(candidates) + 1, wm + 1))
+            # Timer API is ms-grain: floor-to-ms + 1 guarantees the fired
+            # watermark (ms*1000) strictly exceeds the µs deadline.
+            candidates = [e[0] for e in rest] + [p["last"] + gap_us for p in partials]
+            state.setTimeoutTimestamp(
+                max(min(candidates) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
 
         if completed:
             data: dict = {"user_id": [user] * len(completed)}
             for i in range(n):
                 data[f"step{i + 1}_id"] = [m["ids"][i] for m in completed]
                 data[f"step{i + 1}_ts"] = [
-                    pd.Timestamp(m["tss"][i], unit="ms") for m in completed
+                    pd.Timestamp(m["tss"][i], unit="us") for m in completed
                 ]
             yield pd.DataFrame(data)
 
@@ -128,6 +138,8 @@ _ABSENCE_STATE_SCHEMA = (
 
 def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
                 ts_col: str, type_col: str, id_col: str):
+    gap_us = gap_ms * 1000  # µs grain, matching the batch operator
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -142,12 +154,12 @@ def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
             for pdf in pdfs:
                 if not len(pdf):
                     continue
-                ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
-                buf.extend(zip(ts_ms, pdf[id_col].tolist(), pdf[type_col].tolist()))
+                ts_us = (pdf[ts_col].astype("int64") // 1_000).tolist()
+                buf.extend(zip(ts_us, pdf[id_col].tolist(), pdf[type_col].tolist()))
 
-        wm = state.getCurrentWatermarkMs()
-        ready = sorted(e for e in buf if e[0] < wm)
-        rest = [e for e in buf if e[0] >= wm]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(e for e in buf if e[0] < wm_us)
+        rest = [e for e in buf if e[0] >= wm_us]
 
         for t, eid, ety in ready:
             if ety == absent_type:
@@ -155,15 +167,15 @@ def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
                 pending = [
                     (pt, pi)
                     for pt, pi in pending
-                    if not ((pt, pi) < (t, eid) and t - pt <= gap_ms)
+                    if not ((pt, pi) < (t, eid) and t - pt <= gap_us)
                 ]
             if ety == first_type:
                 pending.append((t, eid))
 
         # a pending first is SAFE once the watermark passes its deadline:
         # any future event has ts >= wm > ts + gap, out of refuting range
-        emitted = [(pt, pi) for pt, pi in pending if wm > pt + gap_ms]
-        pending = [(pt, pi) for pt, pi in pending if wm <= pt + gap_ms]
+        emitted = [(pt, pi) for pt, pi in pending if wm_us > pt + gap_us]
+        pending = [(pt, pi) for pt, pi in pending if wm_us <= pt + gap_us]
 
         if not rest and not pending:
             state.remove()
@@ -177,8 +189,12 @@ def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
                     [p[1] for p in pending],
                 )
             )
-            candidates = [e[0] for e in rest] + [p[0] + gap_ms for p in pending]
-            state.setTimeoutTimestamp(max(min(candidates) + 1, wm + 1))
+            candidates = [e[0] for e in rest] + [p[0] + gap_us for p in pending]
+            # timer API is ms-grain: floor-to-ms + 1 makes the fired
+            # watermark (ms*1000) strictly exceed the µs deadline
+            state.setTimeoutTimestamp(
+                max(min(candidates) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
 
         if emitted:
             emitted.sort()
@@ -186,7 +202,7 @@ def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
                 {
                     "user_id": [user] * len(emitted),
                     "step1_id": [i for _, i in emitted],
-                    "step1_ts": [pd.Timestamp(t, unit="ms") for t, _ in emitted],
+                    "step1_ts": [pd.Timestamp(t, unit="us") for t, _ in emitted],
                 }
             )
 

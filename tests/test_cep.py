@@ -197,3 +197,48 @@ def test_not_followed_by(spark):
         (1, 3),
         (2, 4),
     ]
+
+
+def test_large_event_ids_do_not_collide(spark):
+    """Regression: lpad TRUNCATES strings longer than the pad width, so
+    a 12-digit id pad collided ids 10^12 and 10^13 (identical keys ->
+    join fan-out / wrong binding). The 20-digit pad must keep any
+    non-negative int64 id distinct and correctly ordered."""
+    rows = [
+        ev(1, 0, 1, "view"),
+        (10**12, dt.datetime(2024, 1, 1, 0, 1), 1, "click"),
+        (10**13, dt.datetime(2024, 1, 1, 0, 2), 1, "click"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = funnel(df, ["view", "click"], "10 minutes")
+    # exactly one match, bound to the EARLIER click (10^12), no fan-out
+    assert matches(out) == [(1, 1, 10**12)]
+
+
+def test_funnel_cache_pinning_is_bounded(spark):
+    """Each funnel() pins one cached intermediate; the module must keep
+    at most _PIN_LIMIT pinned and unpersist evicted ones, so a long-
+    lived session running many funnels can't leak storage memory."""
+    from pyspark import StorageLevel
+
+    from flink_learning_practise_spark.operators import cep
+
+    from pyspark.sql import functions as F
+
+    cep.release_caches()
+    df = spark.createDataFrame(
+        [ev(1, 0, 1, "view"), ev(2, 1, 1, "click")], SCHEMA
+    )
+    # distinct plans (identical-plan funnels share ONE cache entry by
+    # Spark's plan-matching CacheManager, which is the desired sharing)
+    outs = [
+        funnel(df.filter(F.col("event_id") > -m), ["view", "click"], "10 minutes")
+        for m in range(1, 8)
+    ]
+    assert len(cep._PINNED) == cep._PIN_LIMIT
+    for cached in cep._PINNED:
+        assert cached.storageLevel != StorageLevel.NONE
+    # evicted entries recompute fine: every funnel still answers
+    assert all(matches(o) == [(1, 1, 2)] for o in outs)
+    cep.release_caches()
+    assert len(cep._PINNED) == 0

@@ -181,6 +181,11 @@ def test_sketch_profile_within_stated_error(spark, sf_medium):
         e, s = exact[t], sketch[t]
         assert abs(s.n_users_approx - e.n_users) <= 0.10 * e.n_users
         assert abs(s.med_value_approx - e.med_value) <= 0.10 * abs(e.med_value)
+
+
+def test_knn_ivf_deterministic(spark, sf_medium):
+    """Same inputs ⇒ identical IVF results across invocations (inlined
+    deterministic centroids, no RNG)."""
     emb = load(spark, sf_medium, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     a = sorted(map(tuple, similarity.knn_ivf(emb, queries).collect()))

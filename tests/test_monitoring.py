@@ -104,3 +104,40 @@ def test_streaming_listener_collects_progress(spark, tmp_path):
 def test_spark_ui_rest_url_shape(spark):
     url = spark_ui_rest_url(spark)
     assert url is None or url.endswith("/api/v1")
+
+
+def test_listener_history_bounded_totals_lifetime():
+    """History evicts beyond max_batches (driver-leak guard) while
+    totals stay lifetime-accurate via running sums; termination status
+    must transition under the query NAME even though the terminated
+    event carries only the id."""
+    from types import SimpleNamespace as NS
+
+    lst = MetricsListener(max_batches=5)
+    lst.onQueryStarted(NS(id="uuid-1", name="q"))
+    assert lst.status("q") == "RUNNING"
+    for b in range(12):
+        lst.onQueryProgress(
+            NS(
+                progress=NS(
+                    batchId=b,
+                    name="q",
+                    id="uuid-1",
+                    numInputRows=10,
+                    inputRowsPerSecond=1.0,
+                    processedRowsPerSecond=1.0,
+                    observedMetrics={},
+                    stateOperators=[NS(numRowsTotal=b)],
+                    eventTime={"watermark": "2024-01-01T00:00:00"},
+                )
+            )
+        )
+    assert len(lst.history("q")) == 5  # bounded
+    assert lst.history("q")[-1]["batch_id"] == 11
+    t = lst.totals("q")
+    assert t == {"batches": 12, "rows_in": 120, "max_state_rows": 11}
+    lst.onQueryTerminated(NS(id="uuid-1", exception=None))
+    assert lst.status("q") == "TERMINATED"
+    lst.onQueryStarted(NS(id="uuid-2", name="q2"))
+    lst.onQueryTerminated(NS(id="uuid-2", exception="boom"))
+    assert lst.status("q2") == "FAILED: boom"

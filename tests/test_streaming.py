@@ -520,3 +520,43 @@ def test_streaming_windowed_top_n(spark, tmp_path):
     assert got[("2024-01-01T00:00:00", 2)] == (1, 5.0)  # user 3 cut by N=2
     assert got[("2024-01-01T00:01:00", 1)] == (1, 6.0)
     assert got[("2024-01-01T00:01:00", 2)] == (2, 4.0)
+
+
+def test_funnel_stream_microsecond_precision_matches_batch(spark, tmp_path):
+    """Regression: the stream matcher once truncated timestamps to ms,
+    tying events <1ms apart and binding by id order instead of the
+    batch operator's (µs ts, id) order. Events 200µs apart with
+    INVERTED id order must bind identically on both engines."""
+    from flink_learning_practise_spark.operators.cep import funnel
+    from flink_learning_practise_spark.streaming.cep import funnel_stream
+
+    real = [
+        # view at 100µs; the µs-earliest click (300µs) has the LARGER id,
+        # so ms-truncated (ts, id) ordering would bind click id=5 instead
+        {"event_id": 1, "ts": "2024-01-01 00:00:00.000100", "user_id": 1, "event_type": "view"},
+        {"event_id": 9, "ts": "2024-01-01 00:00:00.000300", "user_id": 1, "event_type": "click"},
+        {"event_id": 5, "ts": "2024-01-01 00:00:00.000900", "user_id": 1, "event_type": "click"},
+    ]
+    flush = [{"event_id": 99, "ts": "2024-01-01 01:00:00", "user_id": 1, "event_type": "noise"}]
+    src_dir = str(tmp_path / "cep_us_in")
+    write_events(src_dir, real)
+    write_events(src_dir, flush)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    src = file_stream_source(spark, src_dir, schema, fmt="json", max_files_per_trigger=1)
+    out = funnel_stream(src, ["view", "click"], "10 minutes", watermark_delay="1 minute")
+    q = memory_sink(out, "cep_us_out", mode="append").start()
+    sp.run_until_drained(q)
+    streamed = {
+        (r.user_id, r.step1_id, r.step1_ts, r.step2_id, r.step2_ts)
+        for r in spark.table("cep_us_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(x["event_id"], x["ts"], x["user_id"], x["event_type"]) for x in real + flush],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.step1_id, r.step1_ts, r.step2_id, r.step2_ts)
+        for r in funnel(batch_df, ["view", "click"], "10 minutes").collect()
+    }
+    assert streamed == batched
+    assert {s[3] for s in streamed} == {9}  # µs-earliest click, not id order
