@@ -144,6 +144,17 @@ def _populate() -> None:
         oe.ORDER_JSON_ROUNDTRIP_SQL,
     )
 
+    # multi-stream composition (#60-62: union/connect, cogroup, running reduce)
+    from .plans import composition as comp
+
+    register("q_union_activity", comp.union_activity, comp.UNION_ACTIVITY_SQL)
+    register(
+        "q_cogroup_user_activity",
+        comp.cogroup_user_activity,
+        comp.COGROUP_USER_ACTIVITY_SQL,
+    )
+    register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
+
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
     register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
