@@ -1,0 +1,106 @@
+"""Iterative graph operators — Spark analog of Flink's DataSet
+iterations (reference flink_typora.md:885 — Bulk Iteration / Delta
+Iteration). The bulk-iteration analog already lives in
+``similarity.refine_centroids`` (fixed-count k-means refinement); this
+module adds the delta-iteration analog: connected components by
+min-label propagation, driving a distributed join-agg loop to fixpoint.
+
+The flagship use is dedup clustering: near-dup PAIRS (any tier —
+n-gram Jaccard, MinHash-LSH, SimHash, embedding) are edges; a
+component is one duplicate cluster; the canonical representative is
+the component's minimum doc id.
+
+Scale notes:
+- Each iteration = one join (labels onto the symmetrized edge list) +
+  one min-aggregate — both shuffle on the same vertex key, so AQE
+  reuses the layout. No driver-side graph state, ever.
+- Convergence is detected by a SCALAR invariant: labels only decrease,
+  so the iteration is at fixpoint iff ``sum(label)`` is unchanged. One
+  extra scalar agg per iteration, no extra join against the previous
+  labels.
+- Round count is O(component diameter). Dup clusters are short chains
+  (diameter ≤ ~5 in practice), so this converges in a handful of
+  rounds. For adversarial long-path graphs, the published fix is
+  large-star/small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14) at O(log² n) rounds — not needed for
+  dedup workloads and deliberately not implemented.
+- Lineage is truncated with ``localCheckpoint`` every few rounds so
+  plan size stays constant regardless of iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 4
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Undirected connected components over an edge list.
+
+    Returns ``(vertex, component)`` for every vertex appearing in an
+    edge, where ``component`` is the minimum vertex id in its connected
+    component. Raises if ``max_iters`` rounds don't reach fixpoint
+    (= a component with diameter > max_iters; see module notes).
+    """
+    # symmetrize once so propagation needs only one join direction —
+    # via explode, NOT union of two selects: a union would evaluate the
+    # upstream edge pipeline (e.g. the full near-dup pair computation)
+    # twice when sym materializes
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+        .persist()
+    )
+
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+
+    for i in range(max_iters):
+        # each vertex offers its current label to every neighbor;
+        # new label = min(own, offers) — monotone non-increasing
+        offers = sym.join(labels, sym["a"] == labels["vertex"]).select(
+            F.col("b").alias("vertex"), "component"
+        )
+        updated = (
+            labels.unionByName(offers)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            updated = updated.localCheckpoint(eager=False)
+        updated = updated.persist()
+        new_sum = updated.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = updated
+        if new_sum == prev_sum:  # labels only decrease ⇒ fixpoint
+            sym.unpersist()
+            return labels
+        prev_sum = new_sum
+
+    sym.unpersist()
+    labels.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters; raise it or switch to a "
+        "large-star/small-star formulation)"
+    )

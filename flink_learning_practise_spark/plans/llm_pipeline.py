@@ -385,3 +385,62 @@ SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE doc_id NOT IN (SELECT id_b FROM losers)
 """
+
+
+# ---------------------------------------------------------------------------
+# #63 dedup clusters: connected components over the near-dup pair graph
+# (delta-iteration analog — operators/graph.py; reference
+# flink_typora.md:885 Delta Iteration)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its duplicate-cluster id (minimum
+    doc_id reachable through near-dup pairs; singletons label
+    themselves). Unlike the greedy pair-wise survivor rule (#53), the
+    cluster id is TRANSITIVE: a~b and b~c put a, b, c in one cluster
+    even when a and c are not directly similar."""
+    from ..operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+    )
+    cc = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+cluster AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cluster c ON d.doc_id = c.doc_id
+"""

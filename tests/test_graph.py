@@ -1,0 +1,50 @@
+"""Connected components (SURVEY §2 #63, delta-iteration analog):
+min-label propagation over near-dup pair graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_learning_practise_spark.operators.graph import connected_components
+
+
+def cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst", **kw)
+    return sorted((r.vertex, r.component) for r in out.collect())
+
+
+def test_two_components(spark):
+    got = cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+
+
+def test_transitive_chain_beyond_one_hop(spark):
+    """a~b, b~c, c~d with no direct a~d edge: the whole chain is ONE
+    cluster — the transitivity the greedy survivor rule lacks."""
+    got = cc(spark, [(4, 7), (7, 9), (9, 12)])
+    assert got == [(4, 4), (7, 4), (9, 4), (12, 4)]
+
+
+def test_min_label_wins_regardless_of_direction(spark):
+    # min id sits on the dst side; propagation is undirected
+    got = cc(spark, [(5, 1), (5, 3)])
+    assert got == [(1, 1), (3, 1), (5, 1)]
+
+
+def test_cycle(spark):
+    got = cc(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_non_convergence_raises(spark):
+    # a diameter-4 path cannot finish in 1 round
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iters=1)
+
+
+def test_converges_within_diameter_rounds(spark):
+    # path of length 6: min label must walk the full chain
+    edges = [(i, i + 1) for i in range(1, 7)]
+    got = cc(spark, edges)
+    assert got == [(v, 1) for v in range(1, 8)]
