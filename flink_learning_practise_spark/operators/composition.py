@@ -84,7 +84,13 @@ def cogroup_agg(
     la = left.groupBy(*keys).agg(*left_aggs)
     ra = right.groupBy(*keys).agg(*right_aggs)
     cond = [la[k].eqNullSafe(ra[k]) for k in keys]
-    joined = la.join(ra, cond, "full_outer")
+    # full outer can't broadcast (both sides must be complete); the
+    # default would be SortMergeJoin. Both inputs are already hash-
+    # partitioned on the key by their aggregates, so a shuffled hash
+    # join (supported for full outer since Spark 3.1) reuses that
+    # layout and skips both sorts; per-partition build = groups/
+    # partitions, the post-agg row count.
+    joined = la.join(ra.hint("SHUFFLE_HASH"), cond, "full_outer")
     merged = [F.coalesce(la[k], ra[k]).alias(k) for k in keys]
     rest = [c for c in joined.columns if c not in keys]
     return joined.select(*merged, *rest)

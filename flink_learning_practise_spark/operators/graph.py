@@ -49,16 +49,23 @@ def connected_components(
     component. Raises if ``max_iters`` rounds don't reach fixpoint
     (= a component with diameter > max_iters; see module notes).
     """
-    # symmetrize once so propagation needs only one join direction —
-    # via explode, NOT union of two selects: a union would evaluate the
-    # upstream edge pipeline (e.g. the full near-dup pair computation)
-    # twice when sym materializes
+    # symmetrize once (plus a self-loop per vertex) so each round is
+    # ONE join + ONE aggregate over a single reference to the labels
+    # frame. Via explode, NOT a union of selects: a union would
+    # evaluate the upstream edge pipeline (e.g. the full near-dup pair
+    # computation) twice when sym materializes. The self-loops fold
+    # "min(own label, neighbor offers)" into the same aggregate —
+    # without them the round would reference labels a second time
+    # (union side), and a twice-referenced iterate DOUBLES the lineage
+    # every round (exponential plan growth by ~2^rounds).
     sym = (
         edges.select(
             F.explode(
                 F.array(
                     F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
                     F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                    F.struct(F.col(src).alias("a"), F.col(src).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(dst).alias("b")),
                 )
             ).alias("e")
         )
@@ -76,14 +83,11 @@ def connected_components(
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for i in range(max_iters):
-        # each vertex offers its current label to every neighbor;
-        # new label = min(own, offers) — monotone non-increasing
-        offers = sym.join(labels, sym["a"] == labels["vertex"]).select(
-            F.col("b").alias("vertex"), "component"
-        )
+        # every vertex offers its label to each neighbor AND itself
+        # (self-loop); new label = min(offers) — monotone non-increasing
         updated = (
-            labels.unionByName(offers)
-            .groupBy("vertex")
+            sym.join(labels, sym["a"] == labels["vertex"])
+            .groupBy(F.col("b").alias("vertex"))
             .agg(F.min("component").alias("component"))
         )
         if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
@@ -93,8 +97,16 @@ def connected_components(
         labels.unpersist()
         labels = updated
         if new_sum == prev_sum:  # labels only decrease ⇒ fixpoint
+            # hand back a checkpointed frame and release every cache
+            # this call pinned: repeated invocations (bench loops, a
+            # service) must not accumulate persisted label frames, and
+            # the caller must not silently re-run the whole iteration
+            # if it recomputes. Final labels are vertex-count-sized —
+            # cheap to materialize.
+            final = labels.localCheckpoint(eager=True)
+            labels.unpersist()
             sym.unpersist()
-            return labels
+            return final
         prev_sum = new_sum
 
     sym.unpersist()
