@@ -114,3 +114,36 @@ def assign_split(
     for name, hi in edges[1:]:
         expr = expr.when(bucket < hi, F.lit(name))
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (`sampleBy` without the RNG):
+    keep a row iff its md5 bucket falls under its stratum's fraction.
+    The curation tool for rebalancing a training corpus (downsample the
+    over-represented language/source, keep the rare ones whole) with
+    the same reproducibility contract as ``assign_split``: pure
+    function of (id, seed) ⇒ stable across runs, engines, partitionings
+    — and MONOTONE in the fraction (a row kept at 20% is still kept at
+    30%), so raising a quota only ADDS documents. Map-only, no shuffle;
+    strata missing from ``fractions`` get ``default_fraction``.
+
+    Uses a basis-point grid (bucket mod 10000 < fraction*10000), so
+    fractions are honored to 0.01%."""
+    bucket = F.expr(
+        f"conv(substring(md5(concat('{seed}', ':', CAST({id_col} AS STRING))), 1, 8), 16, 10)"
+    ).cast("bigint") % 10000
+    threshold = F.lit(int(round(default_fraction * 10000)))
+    for stratum, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0,1], got {frac}")
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * 10000)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

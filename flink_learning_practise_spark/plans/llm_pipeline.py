@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datasets import load
-from ..operators import dedup, similarity, text
+from ..operators import dedup, similarity, text, transforms
 
 NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 JACCARD_THRESHOLD = 0.8
@@ -334,8 +334,6 @@ SPLIT_SEED = "v1"
 
 
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import transforms
-
     docs = load(spark, sf_dir, "documents")
     return transforms.assign_split(docs, "doc_id", seed=SPLIT_SEED).select(
         "doc_id", "split"
@@ -443,4 +441,33 @@ reach(v, r) AS (
 cluster AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
 SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cluster c ON d.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #67 stratified sampling: rebalance the corpus per language
+
+
+SAMPLE_SEED = "v1"
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the over-represented language (en → 50%) while
+    keeping the rest whole — deterministic md5-bucket sampleBy, the
+    reproducible corpus-rebalancing op."""
+    docs = load(spark, sf_dir, "documents")
+    return transforms.stratified_sample(
+        docs, "lang", "doc_id", SAMPLE_FRACTIONS, seed=SAMPLE_SEED
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *,
+         ('0x' || substr(md5('{SAMPLE_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+  FROM documents
+)
+WHERE b < (CASE lang {" ".join(f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in sorted(SAMPLE_FRACTIONS.items()))} ELSE 0 END)
 """

@@ -113,6 +113,31 @@ def stream_window_join(
     return lw.join(rw, cond).drop("_rw")
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join — the streaming form of the lookup/dim join
+    (ref flink_transform_utils.py lookup join `FOR SYSTEM_TIME AS OF`,
+    and the Flink broadcast-state pattern: a small rules/dim table
+    visible in full on every stream task).
+
+    Structured Streaming re-executes the static side's plan on every
+    micro-batch: sources that re-scan at execution time (JDBC queries,
+    Delta tables) surface dim updates between batches — Flink's
+    broadcast-state refresh minus the custom state plumbing. Plain
+    file sources snapshot their file LISTING when the DataFrame is
+    created, so new dim files need a re-created frame (do it inside
+    ``foreachBatch`` if refresh matters). The broadcast hint keeps the
+    stream side shuffle-free (no Exchange on the unbounded side);
+    stateless, so no watermark is needed."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on=list(on), how=how)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -58,3 +58,52 @@ def test_cosine_pairs_vectorized_empty_corpus(spark):
     out = cosine_pairs_vectorized(empty, 0.5)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample (SURVEY §2 #67)
+
+
+def test_stratified_sample_monotone_and_exact(spark):
+    from flink_learning_practise_spark.operators import transforms
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    keep_small = transforms.stratified_sample(df, "lang", "doc_id", {"en": 0.2, "fr": 1.0})
+    keep_big = transforms.stratified_sample(df, "lang", "doc_id", {"en": 0.5, "fr": 1.0})
+    small_ids = {r.doc_id for r in keep_small.collect()}
+    big_ids = {r.doc_id for r in keep_big.collect()}
+    # monotone: raising a quota only ADDS documents
+    assert small_ids <= big_ids
+    # fr kept whole on both
+    fr_ids = {i for i in range(2000) if i % 2 == 1}
+    assert fr_ids <= small_ids
+    # en fraction lands near target (md5 buckets are uniform)
+    en_small = len(small_ids - fr_ids)
+    assert abs(en_small / 1000 - 0.2) < 0.05
+    # deterministic across invocations
+    again = {r.doc_id for r in transforms.stratified_sample(
+        df, "lang", "doc_id", {"en": 0.2, "fr": 1.0}).collect()}
+    assert again == small_ids
+
+
+def test_stratified_sample_default_fraction_and_bounds(spark):
+    import pytest as _pytest
+
+    from flink_learning_practise_spark.operators import transforms
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "xx")], "doc_id long, lang string"
+    )
+    # unknown stratum dropped by default
+    kept = transforms.stratified_sample(df, "lang", "doc_id", {"en": 1.0})
+    assert {r.lang for r in kept.collect()} == {"en"}
+    # ... or kept whole with default_fraction=1.0
+    kept_all = transforms.stratified_sample(
+        df, "lang", "doc_id", {"en": 1.0}, default_fraction=1.0
+    )
+    assert kept_all.count() == 3
+    with _pytest.raises(ValueError, match="fraction"):
+        transforms.stratified_sample(df, "lang", "doc_id", {"en": 1.5})

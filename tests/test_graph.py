@@ -48,3 +48,37 @@ def test_converges_within_diameter_rounds(spark):
     edges = [(i, i + 1) for i in range(1, 7)]
     got = cc(spark, edges)
     assert got == [(v, 1) for v in range(1, 8)]
+
+
+def test_cc_matches_union_find_property(spark):
+    """Property: CC must agree with a driver-side union-find reference
+    on pseudo-random graphs of varying density (deterministic seeds)."""
+    import random
+
+    for seed, n_vertices, n_edges in [(1, 12, 6), (2, 15, 18), (3, 20, 10)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_vertices), rng.randrange(n_vertices))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_vertices))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        # canonical label = min vertex in the component
+        comp_min: dict[int, int] = {}
+        for v in touched:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = sorted((v, comp_min[find(v)]) for v in touched)
+
+        assert cc(spark, edges) == expect

@@ -560,3 +560,28 @@ def test_funnel_stream_microsecond_precision_matches_batch(spark, tmp_path):
     }
     assert streamed == batched
     assert {s[3] for s in streamed} == {9}  # µs-earliest click, not id order
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast join: every micro-batch enriches against
+    the dim table; unmatched stream rows survive with nulls (left)."""
+    src_dir = str(tmp_path / "enrich_in")
+    write_events(src_dir, [
+        {"event_id": 1, "ts": "2024-01-01 00:00:10", "user_id": 1, "value": 10.0},
+        {"event_id": 2, "ts": "2024-01-01 00:00:20", "user_id": 99, "value": 5.0},
+    ])
+    write_events(src_dir, [
+        {"event_id": 3, "ts": "2024-01-01 00:01:10", "user_id": 2, "value": 7.0},
+    ])
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    src = file_stream_source(
+        spark, src_dir, EVENT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    out = sp.stream_static_enrich(src, dim, on=["user_id"])
+    assert out.isStreaming
+    q = memory_sink(out.select("event_id", "user_id", "tier"), "enrich_out").start()
+    sp.run_until_drained(q)
+    got = {r.event_id: r.tier for r in spark.table("enrich_out").collect()}
+    assert got == {1: "gold", 2: None, 3: "silver"}
