@@ -33,24 +33,30 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .stateful import _interval_to_ms
 
 _STATE_SCHEMA = (
-    "buf_ts ARRAY<BIGINT>, buf_id ARRAY<BIGINT>, buf_type ARRAY<STRING>, "
+    "buf_ts ARRAY<BIGINT>, buf_id ARRAY<BIGINT>, buf_sat ARRAY<BIGINT>, "
     "partials ARRAY<STRING>"
 )
 
+# step predicates (Flink CEP where()) evaluate JVM-side BEFORE the
+# state operator: funnel_stream projects one packed bitmask column —
+# bit i set ⇔ the row satisfies step i's predicate — so the Python
+# matcher stays a pure sequencer (no expression evaluation per event)
+# and the predicate work happens in whole-stage codegen.
+_SAT = "_sat"
 
-def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id_col: str):
-    n = len(steps)
+
+def _funnel_fn(n: int, gap_ms: int, ts_col: str, id_col: str):
     gap_us = gap_ms * 1000  # matcher runs at µs grain — see below
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
-        buf: list[tuple[int, int, str]] = []
+        buf: list[tuple[int, int, int]] = []
         partials: list[dict] = []
         if state.exists:
-            bt, bi, bty, ps = state.get
-            buf = list(zip(bt, bi, bty))
+            bt, bi, bs, ps = state.get
+            buf = list(zip(bt, bi, bs))
             partials = [json.loads(p) for p in ps]
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -62,7 +68,7 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
                 # the documented parity. (Spark timestamps are µs-grain,
                 # so ns→µs loses nothing.)
                 ts_us = (pdf[ts_col].astype("int64") // 1_000).tolist()
-                buf.extend(zip(ts_us, pdf[id_col].tolist(), pdf[type_col].tolist()))
+                buf.extend(zip(ts_us, pdf[id_col].tolist(), pdf[_SAT].tolist()))
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         # events strictly below the watermark are final: later batches
@@ -73,12 +79,13 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
         rest = [e for e in buf if e[0] >= wm_us]
 
         completed: list[dict] = []
-        for t, eid, ety in ready:
+        for t, eid, sat in ready:
             survivors: list[dict] = []
             for p in partials:
-                if steps[p["step"]] == ety:
-                    # the NEXT event of the awaited type: binds if within
-                    # gap, otherwise the partial dies (strict next-match)
+                if (sat >> p["step"]) & 1:
+                    # the NEXT event satisfying the awaited step: binds
+                    # if within gap, otherwise the partial dies
+                    # (strict next-match)
                     if t - p["last"] <= gap_us:
                         p2 = {
                             "step": p["step"] + 1,
@@ -90,7 +97,7 @@ def _funnel_fn(steps: Sequence[str], gap_ms: int, ts_col: str, type_col: str, id
                 else:
                     survivors.append(p)
             partials = survivors
-            if ety == steps[0]:
+            if sat & 1:
                 partials.append({"step": 1, "last": t, "ids": [eid], "tss": [t]})
 
         # prune doomed partials: any future event has ts > wm, so once
@@ -245,7 +252,7 @@ def not_followed_by_stream(
 
 def funnel_stream(
     df: DataFrame,
-    steps: Sequence[str],
+    steps: Sequence,
     gap: str,
     watermark_delay: str = "1 minute",
     user_col: str = "user_id",
@@ -254,6 +261,12 @@ def funnel_stream(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Continuous skip-till-next-match funnel over an event stream.
+
+    ``steps`` accepts the same forms as the batch operator: event-type
+    strings or ``(label, Column)`` predicate pairs (Flink CEP
+    ``where()``), freely mixed. Predicates are evaluated JVM-side into
+    a packed bitmask before the state operator, so arbitrary Column
+    logic costs nothing per-event in Python.
 
     Emits one append-mode row per COMPLETED match:
     (user_id, step1_id, step1_ts, ..., stepN_id, stepN_ts) — the same
@@ -267,14 +280,25 @@ def funnel_stream(
     )
     from pyspark.sql import functions as F
 
+    from ..operators.cep import _normalize_steps
+
+    preds = _normalize_steps(steps, type_col)
+    sat = None
+    for i, (_, pred) in enumerate(preds):
+        bit = F.when(pred, F.lit(1 << i)).otherwise(F.lit(0))
+        sat = bit if sat is None else sat + bit
     # null-time/id events can't be sequenced (and NaT would corrupt the
     # int64 buffer encoding) — drop them before the watermark.
     df = df.filter(F.col(ts_col).isNotNull() & F.col(id_col).isNotNull())
+    projected = df.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col),
+        sat.cast("bigint").alias(_SAT),
+    )
     return (
-        df.withWatermark(ts_col, watermark_delay)
+        projected.withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
-            _funnel_fn(list(steps), _interval_to_ms(gap), ts_col, type_col, id_col),
+            _funnel_fn(len(preds), _interval_to_ms(gap), ts_col, id_col),
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

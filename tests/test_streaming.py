@@ -585,3 +585,49 @@ def test_stream_static_enrich(spark, tmp_path):
     sp.run_until_drained(q)
     got = {r.event_id: r.tier for r in spark.table("enrich_out").collect()}
     assert got == {1: "gold", 2: None, 3: "silver"}
+
+
+def test_funnel_stream_predicate_steps_match_batch(spark, tmp_path):
+    """Streaming CEP predicate steps (where()): the stream matcher must
+    bind exactly what the batch operator binds — including skipping a
+    type-matching event that FAILS the predicate."""
+    from pyspark.sql import functions as F
+
+    from flink_learning_practise_spark.operators.cep import funnel
+    from flink_learning_practise_spark.streaming.cep import funnel_stream
+
+    real = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "view", "value": 0.0},
+        # purchase below threshold: type matches, predicate doesn't — skipped
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "purchase", "value": 50.0},
+        {"event_id": 3, "ts": "2024-01-01 00:02:00", "user_id": 1, "event_type": "purchase", "value": 500.0},
+        # user 2: only a small purchase — no match
+        {"event_id": 4, "ts": "2024-01-01 00:00:30", "user_id": 2, "event_type": "view", "value": 0.0},
+        {"event_id": 5, "ts": "2024-01-01 00:01:30", "user_id": 2, "event_type": "purchase", "value": 10.0},
+    ]
+    flush = [{"event_id": 99, "ts": "2024-01-01 01:00:00", "user_id": 1, "event_type": "noise", "value": 0.0}]
+    steps = [
+        "view",
+        ("big_buy", (F.col("event_type") == "purchase") & (F.col("value") > 100)),
+    ]
+    src_dir = str(tmp_path / "cep_pred_in")
+    write_events(src_dir, real)
+    write_events(src_dir, flush)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    src = file_stream_source(spark, src_dir, schema, fmt="json", max_files_per_trigger=1)
+    out = funnel_stream(src, steps, "10 minutes", watermark_delay="1 minute")
+    q = memory_sink(out, "cep_pred_out", mode="append").start()
+    sp.run_until_drained(q)
+    streamed = {
+        (r.user_id, r.step1_id, r.step2_id)
+        for r in spark.table("cep_pred_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(x["event_id"], x["ts"], x["user_id"], x["event_type"], x["value"]) for x in real + flush],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.step1_id, r.step2_id)
+        for r in funnel(batch_df, steps, "10 minutes").collect()
+    }
+    assert streamed == batched == {(1, 1, 3)}
