@@ -138,45 +138,46 @@ def _funnel_fn(n: int, gap_ms: int, ts_col: str, id_col: str):
 
 
 _ABSENCE_STATE_SCHEMA = (
-    "buf_ts ARRAY<BIGINT>, buf_id ARRAY<BIGINT>, buf_type ARRAY<STRING>, "
+    "buf_ts ARRAY<BIGINT>, buf_id ARRAY<BIGINT>, buf_sat ARRAY<BIGINT>, "
     "pend_ts ARRAY<BIGINT>, pend_id ARRAY<BIGINT>"
 )
 
 
-def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
-                ts_col: str, type_col: str, id_col: str):
+def _absence_fn(gap_ms: int, ts_col: str, id_col: str):
+    # sat bit 0 = matches `first`, bit 1 = matches `absent` (JVM-side
+    # predicate evaluation, same scheme as the funnel matcher)
     gap_us = gap_ms * 1000  # µs grain, matching the batch operator
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
-        buf: list[tuple[int, int, str]] = []
+        buf: list[tuple[int, int, int]] = []
         pending: list[tuple[int, int]] = []  # (ts, id) of unrefuted firsts
         if state.exists:
-            bt, bi, bty, pt, pi = state.get
-            buf = list(zip(bt, bi, bty))
+            bt, bi, bs, pt, pi = state.get
+            buf = list(zip(bt, bi, bs))
             pending = list(zip(pt, pi))
         if not state.hasTimedOut:
             for pdf in pdfs:
                 if not len(pdf):
                     continue
                 ts_us = (pdf[ts_col].astype("int64") // 1_000).tolist()
-                buf.extend(zip(ts_us, pdf[id_col].tolist(), pdf[type_col].tolist()))
+                buf.extend(zip(ts_us, pdf[id_col].tolist(), pdf[_SAT].tolist()))
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         ready = sorted(e for e in buf if e[0] < wm_us)
         rest = [e for e in buf if e[0] >= wm_us]
 
-        for t, eid, ety in ready:
-            if ety == absent_type:
+        for t, eid, sat in ready:
+            if (sat >> 1) & 1:
                 # refutes every earlier pending first within gap
                 pending = [
                     (pt, pi)
                     for pt, pi in pending
                     if not ((pt, pi) < (t, eid) and t - pt <= gap_us)
                 ]
-            if ety == first_type:
+            if sat & 1:
                 pending.append((t, eid))
 
         # a pending first is SAFE once the watermark passes its deadline:
@@ -218,8 +219,8 @@ def _absence_fn(first_type: str, absent_type: str, gap_ms: int,
 
 def not_followed_by_stream(
     df: DataFrame,
-    first: str,
-    absent: str,
+    first,
+    absent,
     gap: str,
     watermark_delay: str = "1 minute",
     user_col: str = "user_id",
@@ -231,17 +232,29 @@ def not_followed_by_stream(
     emit each ``first`` event once the watermark proves NO ``absent``
     event followed it within ``gap`` — the pattern that can only fire on
     the passage of time, hence the event-time timer. State = buffered
-    out-of-order events + unrefuted firsts, both watermark-bounded."""
+    out-of-order events + unrefuted firsts, both watermark-bounded.
+
+    ``first``/``absent`` take the batch operator's step forms: an
+    event-type string or a ``(label, Column)`` predicate pair."""
     from pyspark.sql import functions as F
 
+    from ..operators.cep import _normalize_steps
+
+    (_, fpred), (_, apred) = _normalize_steps([first, absent], type_col)
+    sat = (
+        F.when(fpred, F.lit(1)).otherwise(F.lit(0))
+        + F.when(apred, F.lit(2)).otherwise(F.lit(0))
+    )
     df = df.filter(F.col(ts_col).isNotNull() & F.col(id_col).isNotNull())
+    projected = df.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col),
+        sat.cast("bigint").alias(_SAT),
+    )
     return (
-        df.withWatermark(ts_col, watermark_delay)
+        projected.withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
-            _absence_fn(
-                first, absent, _interval_to_ms(gap), ts_col, type_col, id_col
-            ),
+            _absence_fn(_interval_to_ms(gap), ts_col, id_col),
             outputStructType="user_id BIGINT, step1_id BIGINT, step1_ts TIMESTAMP",
             stateStructType=_ABSENCE_STATE_SCHEMA,
             outputMode="append",

@@ -631,3 +631,78 @@ def test_funnel_stream_predicate_steps_match_batch(spark, tmp_path):
         for r in funnel(batch_df, steps, "10 minutes").collect()
     }
     assert streamed == batched == {(1, 1, 3)}
+
+
+def test_funnel_stream_times_n_repeated_steps(spark, tmp_path):
+    """Flink times(n) on the stream: a repeated step is the same
+    predicate twice — each occurrence binds a DISTINCT next event."""
+    from flink_learning_practise_spark.operators.cep import funnel
+    from flink_learning_practise_spark.streaming.cep import funnel_stream
+
+    real = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01 00:02:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 4, "ts": "2024-01-01 00:00:00", "user_id": 2, "event_type": "click"},
+    ]
+    flush = [{"event_id": 99, "ts": "2024-01-01 01:00:00", "user_id": 1, "event_type": "noise"}]
+    src_dir = str(tmp_path / "cep_times_in")
+    write_events(src_dir, real)
+    write_events(src_dir, flush)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    src = file_stream_source(spark, src_dir, schema, fmt="json", max_files_per_trigger=1)
+    out = funnel_stream(src, ["click", "click"], "10 minutes", watermark_delay="1 minute")
+    q = memory_sink(out, "cep_times_out", mode="append").start()
+    sp.run_until_drained(q)
+    streamed = {
+        (r.user_id, r.step1_id, r.step2_id)
+        for r in spark.table("cep_times_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(x["event_id"], x["ts"], x["user_id"], x["event_type"]) for x in real + flush],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.step1_id, r.step2_id)
+        for r in funnel(batch_df, ["click", "click"], "10 minutes").collect()
+    }
+    # two matches for user 1 (1→2, 2→3), none for user 2 (single click)
+    assert streamed == batched == {(1, 1, 2), (1, 2, 3)}
+
+
+def test_not_followed_by_stream_predicates_match_batch(spark, tmp_path):
+    """Streaming absence with predicate steps: a big view is 'abandoned'
+    unless followed by a LARGE purchase — a small purchase must NOT
+    refute it."""
+    from flink_learning_practise_spark.operators.cep import not_followed_by
+    from flink_learning_practise_spark.streaming.cep import not_followed_by_stream
+
+    real = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "view", "value": 0.0},
+        # small purchase: type matches, predicate doesn't — no refute
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "purchase", "value": 10.0},
+        {"event_id": 3, "ts": "2024-01-01 00:00:00", "user_id": 2, "event_type": "view", "value": 0.0},
+        {"event_id": 4, "ts": "2024-01-01 00:01:00", "user_id": 2, "event_type": "purchase", "value": 500.0},
+    ]
+    flush = [{"event_id": 99, "ts": "2024-01-01 01:00:00", "user_id": 1, "event_type": "noise", "value": 0.0}]
+    first = "view"
+    absent = ("big_buy", (F.col("event_type") == "purchase") & (F.col("value") > 100))
+    src_dir = str(tmp_path / "cep_nfb_pred_in")
+    write_events(src_dir, real)
+    write_events(src_dir, flush)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    src = file_stream_source(spark, src_dir, schema, fmt="json", max_files_per_trigger=1)
+    out = not_followed_by_stream(src, first, absent, "10 minutes", watermark_delay="1 minute")
+    q = memory_sink(out, "cep_nfb_pred_out", mode="append").start()
+    sp.run_until_drained(q)
+    streamed = {(r.user_id, r.step1_id) for r in spark.table("cep_nfb_pred_out").collect()}
+    batch_df = spark.createDataFrame(
+        [(x["event_id"], x["ts"], x["user_id"], x["event_type"], x["value"]) for x in real + flush],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batched = {
+        (r.user_id, r.step1_id)
+        for r in not_followed_by(batch_df, first, absent, "10 minutes").collect()
+    }
+    # user 1's view abandoned (only a small purchase), user 2's refuted
+    assert streamed == batched == {(1, 1)}
