@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..datasets import load
 from ..num import davg, dsum, sql_davg, sql_dsum
+from ..operators.dedup import widen
 
 Q1_CUTOFF = "1998-09-02 00:00:00"
 
@@ -31,8 +32,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # widen(): the 8-aggregate partial agg dominates the (pushed-down)
+    # scan ~6:1 on a single-split local file; no-op at scale where the
+    # scan already parallelizes (measured 0.96s -> 0.64s at sf0.1)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        widen(li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
