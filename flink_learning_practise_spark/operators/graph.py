@@ -80,7 +80,9 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # no up-front sum action over the initial labels: round 1 always
+    # runs, so its sum is the first comparison point (prev None ≠ any)
+    prev_sum = None
 
     for i in range(max_iters):
         # every vertex offers its label to each neighbor AND itself
