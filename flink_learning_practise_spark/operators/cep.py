@@ -76,7 +76,17 @@ def release_caches() -> None:
 # inputs longer than the pad width, so anything narrower would silently
 # corrupt large ids (e.g. monotonically_increasing_id = partition<<33).
 # Negative epochs/ids would break lpad ordering (documented unsupported).
-_KEY = "lpad(cast(unix_micros({ts}) as string), 20, '0') || lpad(cast({id} as string), 20, '0')"
+# The cast makes the key type-agnostic: unix_micros only accepts TIMESTAMP
+# (instant), but parquet written without a UTC flag arrives as
+# TIMESTAMP_NTZ. Under the engine's UTC session timezone (session.py) the
+# NTZ->instant cast is value-preserving; with a non-UTC session tz it is
+# still a consistent monotone shift on both the key and the deadline, so
+# ordering and gap arithmetic are unaffected (DST-ambiguous local times
+# are the documented exception — run event-time jobs in UTC).
+_KEY = (
+    "lpad(cast(unix_micros(cast({ts} as timestamp)) as string), 20, '0')"
+    " || lpad(cast({id} as string), 20, '0')"
+)
 
 
 def _normalize_steps(steps, type_col):
@@ -227,7 +237,9 @@ def not_followed_by(
         "_na", F.min(F.when(F.col("_isa"), F.col("_k"))).over(w)
     )
     next_absent_us = F.expr("CAST(substring(_na, 1, 20) AS BIGINT)")
-    deadline_us = F.expr(f"unix_micros({ts_col} + INTERVAL {gap})")
+    deadline_us = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp) + INTERVAL {gap})"
+    )
     return (
         seq.filter(F.col("_isf"))
         .filter(F.col("_na").isNull() | (next_absent_us > deadline_us))
