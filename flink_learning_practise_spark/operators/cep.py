@@ -21,53 +21,94 @@ by user, and no state ever exceeds a row's fixed set of pointers.
 
 from __future__ import annotations
 
+import weakref
 from collections import deque
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# funnel() persists its scan+window intermediate so the chain links
-# re-read it instead of recomputing; each distinct invocation is a new
-# cache entry, so a long-lived session running many funnels (a bench
-# loop, a service) would pin storage without bound. Bounded LRU: keep
-# the newest _PIN_LIMIT entries pinned, unpersist the rest. Unpersist
-# is always correctness-safe — a plan over a released cache recomputes.
-_PINNED: deque[DataFrame] = deque()
-_PIN_LIMIT = 4
 
+class FunnelCache:
+    """Bounded LRU pool of the persisted intermediates funnel() creates
+    (the chain links re-read the scan+window frame instead of
+    recomputing it). Each distinct funnel invocation is a new cache
+    entry, so an unbounded pool would pin storage for the life of the
+    session; eviction unpersists the oldest entry. Unpersist is always
+    correctness-safe — a plan over a released cache just recomputes.
 
-def _pin(cached: DataFrame) -> None:
-    # CacheManager keys entries by plan equivalence, so two pins of the
-    # same plan are ONE cache entry — evicting the older pin would kill
-    # the newer one's cache too. Dedupe by sameResult: re-pinning an
-    # already-pinned plan is an LRU touch, not a second entry.
-    try:
-        new_plan = cached._jdf.queryExecution().analyzed()
-        for i, d in enumerate(_PINNED):
-            if d._jdf.queryExecution().analyzed().sameResult(new_plan):
-                del _PINNED[i]
-                break
-    except Exception:
-        pass
-    _PINNED.append(cached)
-    while len(_PINNED) > _PIN_LIMIT:
-        old = _PINNED.popleft()
+    Ownership is the caller's: pass a pool to ``funnel(..., cache=...)``
+    and call :meth:`release` when done. Callers that don't care get a
+    default pool scoped to their SparkSession (dropped automatically
+    when the session is garbage-collected) — no module-global state.
+    """
+
+    def __init__(self, limit: int = 4) -> None:
+        self.limit = limit
+        self._pinned: deque[DataFrame] = deque()
+
+    def __len__(self) -> int:
+        return len(self._pinned)
+
+    def pinned(self) -> tuple[DataFrame, ...]:
+        return tuple(self._pinned)
+
+    def pin(self, cached: DataFrame) -> None:
+        # CacheManager keys entries by plan equivalence, so two pins of
+        # the same plan are ONE cache entry — evicting the older pin
+        # would kill the newer one's cache too. Dedupe by sameResult:
+        # re-pinning an already-pinned plan is an LRU touch, not a
+        # second entry.
         try:
-            old.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing left to release
-
-
-def release_caches() -> None:
-    """Unpersist every funnel intermediate still pinned (explicit
-    cleanup for tests / services that want storage back now)."""
-    while _PINNED:
-        old = _PINNED.popleft()
-        try:
-            old.unpersist()
+            new_plan = cached._jdf.queryExecution().analyzed()
+            for i, d in enumerate(self._pinned):
+                if d._jdf.queryExecution().analyzed().sameResult(new_plan):
+                    del self._pinned[i]
+                    break
         except Exception:
             pass
+        self._pinned.append(cached)
+        while len(self._pinned) > self.limit:
+            old = self._pinned.popleft()
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing left to release
+
+    def release(self) -> None:
+        """Unpersist every intermediate still pinned in this pool."""
+        while self._pinned:
+            old = self._pinned.popleft()
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+
+
+# Default pools, one per live SparkSession. Weak keys: when a session is
+# garbage-collected its pool (and the unpersist bookkeeping for caches
+# that died with the session) goes with it — the module itself keeps no
+# session-outliving state.
+_SESSION_POOLS: weakref.WeakKeyDictionary[SparkSession, FunnelCache] = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _default_pool(spark: SparkSession) -> FunnelCache:
+    pool = _SESSION_POOLS.get(spark)
+    if pool is None:
+        pool = FunnelCache()
+        _SESSION_POOLS[spark] = pool
+    return pool
+
+
+def release_caches(spark: SparkSession | None = None) -> None:
+    """Release the session-default pool (explicit cleanup for tests /
+    services that want storage back now). With no argument, releases
+    the active session's pool, if any."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None and spark in _SESSION_POOLS:
+        _SESSION_POOLS[spark].release()
 
 # (ts, id) encoded as one fixed-width sortable string so a single MIN
 # suffices for "earliest later event" (a struct-min would need engine-
@@ -110,6 +151,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    cache: FunnelCache | None = None,
 ) -> DataFrame:
     """Match the ordered event pattern ``steps`` per user.
 
@@ -119,6 +161,10 @@ def funnel(
     Flink's ``times(n)`` quantifier is the same step repeated n times
     (``["click", "click", "click"]`` = three consecutive next-matched
     clicks, each within ``gap`` of the previous).
+
+    ``cache`` scopes the persisted scan+window intermediate: pass your
+    own :class:`FunnelCache` to own its lifetime (call ``release()``
+    when done), or leave None for a pool tied to the SparkSession.
 
     Returns one row per completed match:
     (user, step1_id, step1_ts, step2_id, step2_ts, ..., stepN_ts) with
@@ -155,7 +201,9 @@ def funnel(
             F.min(F.when(F.col(f"_is{i}"), F.col("_k"))).over(w),
         )
     seq = seq.persist()  # each chain link re-reads seq; scan+window once
-    _pin(seq)
+    if cache is None:
+        cache = _default_pool(events.sparkSession)
+    cache.pin(seq)
 
     # out carries exactly ONE pointer at a time — the key of the next
     # step to bind. After binding step i, the pointer for step i+1 comes
@@ -237,8 +285,14 @@ def not_followed_by(
         "_na", F.min(F.when(F.col("_isa"), F.col("_k"))).over(w)
     )
     next_absent_us = F.expr("CAST(substring(_na, 1, 20) AS BIGINT)")
+    # add the gap BEFORE casting to instant: for NTZ inputs the deadline
+    # is then a wall-clock gap, matching funnel's per-link filter
+    # (step_ts <= prev_ts + INTERVAL) which compares in the input's own
+    # domain. For TIMESTAMP inputs the cast is a no-op, so the two forms
+    # agree; they differ only for NTZ across a DST transition under a
+    # non-UTC session tz (documented unsupported — run event time in UTC).
     deadline_us = F.expr(
-        f"unix_micros(cast({ts_col} as timestamp) + INTERVAL {gap})"
+        f"unix_micros(cast(({ts_col} + INTERVAL {gap}) as timestamp))"
     )
     return (
         seq.filter(F.col("_isf"))

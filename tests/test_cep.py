@@ -216,29 +216,82 @@ def test_large_event_ids_do_not_collide(spark):
 
 
 def test_funnel_cache_pinning_is_bounded(spark):
-    """Each funnel() pins one cached intermediate; the module must keep
-    at most _PIN_LIMIT pinned and unpersist evicted ones, so a long-
-    lived session running many funnels can't leak storage memory."""
+    """A caller-owned FunnelCache keeps at most ``limit`` intermediates
+    pinned and unpersists evicted ones, so a long-lived session running
+    many funnels can't leak storage memory; release() drops the rest."""
     from pyspark import StorageLevel
 
     from flink_learning_practise_spark.operators import cep
 
     from pyspark.sql import functions as F
 
-    cep.release_caches()
+    pool = cep.FunnelCache(limit=4)
     df = spark.createDataFrame(
         [ev(1, 0, 1, "view"), ev(2, 1, 1, "click")], SCHEMA
     )
     # distinct plans (identical-plan funnels share ONE cache entry by
     # Spark's plan-matching CacheManager, which is the desired sharing)
     outs = [
-        funnel(df.filter(F.col("event_id") > -m), ["view", "click"], "10 minutes")
+        funnel(
+            df.filter(F.col("event_id") > -m),
+            ["view", "click"],
+            "10 minutes",
+            cache=pool,
+        )
         for m in range(1, 8)
     ]
-    assert len(cep._PINNED) == cep._PIN_LIMIT
-    for cached in cep._PINNED:
+    assert len(pool) == pool.limit
+    for cached in pool.pinned():
         assert cached.storageLevel != StorageLevel.NONE
     # evicted entries recompute fine: every funnel still answers
     assert all(matches(o) == [(1, 1, 2)] for o in outs)
-    cep.release_caches()
-    assert len(cep._PINNED) == 0
+    pool.release()
+    assert len(pool) == 0
+
+
+def test_default_pool_is_session_scoped_not_module_global(spark):
+    """funnel() without an explicit cache pins into a pool tied to the
+    SparkSession (no module-global registry); release_caches(spark)
+    empties exactly that pool."""
+    from flink_learning_practise_spark.operators import cep
+
+    cep.release_caches(spark)
+    df = spark.createDataFrame(
+        [ev(1, 0, 1, "view"), ev(2, 1, 1, "click")], SCHEMA
+    )
+    out = funnel(df, ["view", "click"], "10 minutes")
+    assert matches(out) == [(1, 1, 2)]
+    assert len(cep._SESSION_POOLS[spark]) == 1
+    cep.release_caches(spark)
+    assert len(cep._SESSION_POOLS[spark]) == 0
+
+
+def test_ntz_timestamps_match_timestamp_fixture(spark):
+    """Regression (round-2 fix): parquet written without a UTC flag
+    loads event times as TIMESTAMP_NTZ; funnel and not_followed_by must
+    produce the same matches as with TIMESTAMP input (the sequence key
+    and the absence deadline both cast via the session UTC zone)."""
+    from pyspark.sql import functions as F
+
+    from flink_learning_practise_spark.operators.cep import not_followed_by
+
+    rows = [
+        ev(1, 0, 1, "view"),
+        ev(2, 1, 1, "click"),
+        ev(3, 10, 1, "view"),  # no click after: abandoned
+        ev(4, 0, 2, "view"),
+        ev(5, 40, 2, "click"),  # out of 10m gap: abandoned + no funnel
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    ntz = df.withColumn("ts", F.to_timestamp_ntz("ts"))
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+
+    for frame in (df, ntz):
+        assert matches(funnel(frame, ["view", "click"], "10 minutes")) == [
+            (1, 1, 2)
+        ]
+        out = not_followed_by(frame, "view", "click", "10 minutes")
+        assert sorted((r.user_id, r.step1_id) for r in out.collect()) == [
+            (1, 3),
+            (2, 4),
+        ]
