@@ -15,9 +15,15 @@ Four tiers, trading exactness for scale:
 - :func:`simhash_pairs` — 63-bit SimHash + band blocking + Hamming
   verification. Cheapest signature; catches small-edit near-dups.
 
-All hashing uses Spark's built-in ``xxhash64`` (JVM-side, seedable via
-extra literal args) so signatures are deterministic across runs and
-cluster layouts.
+Hashing: MinHash bases and LSH band buckets use Spark's built-in
+``xxhash64`` (JVM-side, seedable via extra literal args) —
+deterministic across runs and cluster layouts. SimHash token hashes
+use :func:`portable_hash60` (md5-derived) instead: SimHash OUTPUT is a
+function of the token hash, so an engine-portable hash makes the whole
+operator reproducible bit-for-bit in the DuckDB oracle (xxhash64
+exists only in Spark). MinHash doesn't need that — its output pairs
+are exact-Jaccard-verified, so the oracle checks them against the
+exact tier regardless of signature internals.
 """
 
 from __future__ import annotations
@@ -255,12 +261,24 @@ def minhash_lsh_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-SIMHASH_BITS = 63  # stay inside BIGINT so ANSI-mode sums can't overflow
+SIMHASH_BITS = 60  # 15 md5 hex digits; inside BIGINT so sums can't overflow
+
+
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex digits of md5, as
+    a non-negative BIGINT. Spark: ``conv(substr(md5(x),1,15),16,10)``;
+    DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT`` — identical
+    values, so hash-DEPENDENT outputs (SimHash) stay oracle-checkable
+    across engines. md5 costs ~2× xxhash64 per call; use it only where
+    the hash value is externally visible."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """63-bit SimHash per doc: each token votes ±1 on every bit of its
-    xxhash64; bit j of the result is 1 iff the vote sum is positive.
+    """60-bit SimHash per doc: each token votes ±1 on every bit of its
+    :func:`portable_hash60`; bit j of the result is 1 iff the vote sum
+    is positive (md5-derived hash so the DuckDB oracle can recompute
+    the identical signature — see module docstring).
 
     Explode + codegen'd bit-count sums. A higher-order-function fold
     (no shuffle) is semantically identical but runs interpreted, ~50×
@@ -268,8 +286,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     carries one partially-aggregated row per doc per partition — cheap.
     Bit j's vote sum is positive iff 2*(count of 1-votes) > n_tokens.
 
-    The 63 per-bit counters are packed 3-per-long (21-bit lanes at
-    offsets 0/21/42), so the aggregate has 21 sum columns instead of 63
+    The 60 per-bit counters are packed 3-per-long (21-bit lanes at
+    offsets 0/21/42), so the aggregate has 20 sum columns instead of 60
     — whole-stage-codegen compile time scales with column count, and
     21-bit lanes can't overflow below 2^21 ≈ 2M tokens per doc (chunk
     longer docs upstream)."""
@@ -277,9 +295,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(F.split(normalize(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("_h"))
+    hashed = toks.select(id_col, portable_hash60(F.col("tok")).alias("_h"))
     lanes = 3
-    n_groups = 21  # ceil(63 / lanes)
+    n_groups = SIMHASH_BITS // lanes  # 20 sum columns
+    lane_width = 21  # bits per packed counter lane
     one = F.lit(1).cast("bigint")
 
     def packed(g: int):
@@ -287,7 +306,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for lane in range(1, lanes):
             j = g + lane * n_groups
             term = term + F.shiftleft(
-                F.shiftright("_h", j).bitwiseAND(one), lane * n_groups
+                F.shiftright("_h", j).bitwiseAND(one), lane * lane_width
             )
         return term
 
@@ -297,13 +316,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     # unpack + majority-vote in ONE compact higher-order expression: it
     # runs on post-aggregate rows (one per doc), where interpreted eval
-    # is free and a 63-term codegen'd projection would only bloat
+    # is free and a 60-term codegen'd projection would only bloat
     # whole-stage-codegen compile time.
-    mask = (1 << n_groups) - 1
+    mask = (1 << lane_width) - 1
     unpack = (
         f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, j) -> "
         f"acc + IF(2 * (shiftright(element_at(_ps, CAST(j % {n_groups} AS INT) + 1), "
-        f"21 * CAST(j DIV {n_groups} AS INT)) & {mask}) > _n, "
+        f"{lane_width} * CAST(j DIV {n_groups} AS INT)) & {mask}) > _n, "
         f"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
     )
     return counts.select(
@@ -317,12 +336,13 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bands: int = 7,
+    bands: int = 6,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band blocking (pigeonhole: any pair
     within ``max_hamming`` ≤ bands-1 bit flips agrees on ≥1 band), then
-    exact Hamming verification with bit_count(xor)."""
+    exact Hamming verification with bit_count(xor). Default 6 bands of
+    10 bits tile all 60 signature bits."""
     bits_per_band = SIMHASH_BITS // bands
     sig = simhash(df, id_col, text_col)
     # repartition on the join key so the self-join's two sides share one

@@ -1,7 +1,10 @@
 """LLM-training-data pipeline plans (SURVEY §2 #37-47): dedup tiers,
 similarity search, text analysis — over the ``documents`` and
-``embeddings`` tables, each with a DuckDB oracle where the semantics are
-SQL-expressible (hash-function-based ops are rows-only checked).
+``embeddings`` tables, each with a DuckDB oracle where the semantics
+are SQL-expressible. SimHash uses an engine-portable md5-derived hash
+so even its hash-dependent output is oracle-checked bit-for-bit; only
+the ANN top-k queries (bucketing-dependent result sets) stay
+rows-only.
 """
 
 from __future__ import annotations
@@ -77,7 +80,7 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 # ---------------------------------------------------------------------------
-# #39 MinHash LSH (rows-only: xxhash64 signatures aren't SQL-portable)
+# #39 MinHash LSH
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,13 +91,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle: the full exact-Jaccard pair set. Sound because every
+# LSH-emitted pair is exact-verified (⊆ exact always, with identical
+# jaccard values), and complete because 16 bands × 4 rows over this
+# corpus finds every τ=0.8 pair — banding theory puts miss probability
+# at (1-j⁴)¹⁶ ≤ 4% per pair at j=0.8, and the signatures are
+# DETERMINISTIC (seeded xxhash64 of fixed data), so recall=1.0 here is
+# a verified constant of the corpus, not a lucky draw (checked at
+# sf0.001/0.01/0.1: tests/test_dedup_consistency.py::
+# test_minhash_subset_of_exact measures it). A recall miss would show
+# up as a row-count mismatch — exactly what the gate should catch.
+DEDUP_MINHASH_LSH_SQL = DEDUP_NGRAM_JACCARD_SQL
+
+
 # ---------------------------------------------------------------------------
-# #40 SimHash (rows-only)
+# #40 SimHash
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", bands=7, max_hamming=3)
+    return dedup.simhash_pairs(docs, "doc_id", "text", bands=6, max_hamming=3)
+
+
+# Full-pipeline oracle: the 60-bit token hash is md5-derived
+# (dedup.portable_hash60) so DuckDB recomputes the IDENTICAL simhash
+# per doc, then brute-forces all pairs within Hamming radius 3 — which
+# is exactly simhash_pairs' output, since band blocking is provably
+# exact within the radius (pigeonhole; tests/test_dedup_consistency.py
+# ::test_simhash_blocking_is_exact_within_radius).
+SIMHASH_MAX_HAMMING = 3
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, j, SUM((h >> j) & 1) AS ones, COUNT(*) AS n
+  FROM hashed, unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS t(j)
+  GROUP BY doc_id, j
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -110,8 +110,13 @@ def _populate() -> None:
 
     register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
     register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
-    register("q_dedup_minhash_lsh", llm.dedup_minhash_lsh, None, headline=True)
-    register("q_dedup_simhash", llm.dedup_simhash, None)
+    register(
+        "q_dedup_minhash_lsh",
+        llm.dedup_minhash_lsh,
+        llm.DEDUP_MINHASH_LSH_SQL,
+        headline=True,
+    )
+    register("q_dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_SQL)
     register("q_dedup_embedding", llm.dedup_embedding, llm.DEDUP_EMBEDDING_SQL)
     register("q_knn_bruteforce", llm.knn_bruteforce, llm.KNN_BRUTEFORCE_SQL, headline=True)
     register("q_knn_lsh", llm.knn_lsh, None)

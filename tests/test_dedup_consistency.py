@@ -88,11 +88,12 @@ def test_knn_ivf_scores_match_bruteforce(spark, sf_medium):
 
 
 def test_simhash_blocking_is_exact_within_radius(spark, docs):
-    """Pigeonhole guarantee: with 7 bands over 63 bits, ≤3 flips can
-    touch at most 3 bands, so ≥4 bands agree and the pair IS blocked.
-    Therefore simhash_pairs must equal the FULL set of signature pairs
-    with hamming ≤ max_hamming — blocking loses nothing inside the
-    radius. Brute-force the ground truth from collected signatures."""
+    """Pigeonhole guarantee: with 6 bands tiling the 60 bits, ≤3 flips
+    can touch at most 3 bands, so ≥3 bands agree and the pair IS
+    blocked. Therefore simhash_pairs must equal the FULL set of
+    signature pairs with hamming ≤ max_hamming — blocking loses nothing
+    inside the radius. Brute-force the ground truth from collected
+    signatures."""
     sigs = dedup.simhash(docs, "doc_id", "text").collect()
     want = set()
     for i, a in enumerate(sigs):
@@ -102,10 +103,29 @@ def test_simhash_blocking_is_exact_within_radius(spark, docs):
                 want.add(p)
     got = {
         (r.id_a, r.id_b)
-        for r in dedup.simhash_pairs(docs, "doc_id", "text", bands=7, max_hamming=3).collect()
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", bands=6, max_hamming=3).collect()
     }
     assert got == want
     assert want, "corpus should contain simhash near-dups"
+
+
+def test_simhash_portable_hash_matches_duckdb(spark, docs):
+    """The md5-derived 60-bit token hash must be bit-identical in both
+    engines — the foundation of the SimHash oracle."""
+    import duckdb
+
+    toks = ["hello", "wörld", "的", "x", "1234"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.h
+        for r in df.select("tok", dedup.portable_hash60(F.col("tok")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
+        ).fetchone()[0]
+        assert got[t] == want, t
 
 
 def test_knn_lsh_recall_floor(spark, sf_medium):
