@@ -128,14 +128,21 @@ def ngram_jaccard_pairs(
         F.size("_sh").alias("_n"),
         F.explode("_sh").alias("shingle"),
     ).repartition("shingle")
-    # document frequency via a window over the SAME hash exchange the
-    # self-join needs (shingles are distinct per doc, so count == DF):
-    # no extra shuffle, just a local sort under WindowExec.
-    from pyspark.sql import Window
-
-    sh = sh.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).filter(F.col("_df") <= df_cap)
+    # drop hot shingles via a hash-aggregate over the SAME exchange the
+    # self-join needs (shingles are distinct per doc, so count == DF)
+    # plus a broadcast anti-join of the tiny hot set. A window count
+    # over the exchange computes the same thing without the extra
+    # aggregate, but WindowExec must SORT every exploded row by shingle
+    # — O(rows log rows) per partition vs the aggregate's linear probe;
+    # measured ~2x faster at sf0.1. The hot set is bounded by
+    # corpus_shingles/df_cap, comfortably broadcastable.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle")
     jac = (

@@ -71,13 +71,24 @@ def connected_components(
         )
         .select("e.a", "e.b")
         .distinct()
-        .persist()
+        # EAGER localCheckpoint, not persist: materializes the edge list
+        # once and truncates its lineage, so every round's plan
+        # references a compact LogicalRDD instead of re-analyzing and
+        # re-optimizing the full edge-producing pipeline (for dedup
+        # clustering, the entire near-dup pair tier) — at a handful of
+        # rounds the repeated driver-side planning of that subtree was
+        # a measurable share of wall time. The edge list is pair-count
+        # sized, far smaller than its inputs — cheap to materialize.
+        .localCheckpoint(eager=True)
     )
 
+    # Free first round: starting labels = min over each vertex's
+    # incoming offers under identity labeling (its own id and its
+    # neighbors' ids) — exactly what loop round 1 would produce, minus
+    # the join against an identity label frame.
     labels = (
-        sym.select(F.col("a").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
+        sym.groupBy(F.col("b").alias("vertex"))
+        .agg(F.min("a").alias("component"))
         .persist()
     )
     # no up-front sum action over the initial labels: round 1 always
@@ -107,11 +118,9 @@ def connected_components(
             # cheap to materialize.
             final = labels.localCheckpoint(eager=True)
             labels.unpersist()
-            sym.unpersist()
             return final
         prev_sum = new_sum
 
-    sym.unpersist()
     labels.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
