@@ -81,6 +81,24 @@ def test_no_cartesian_product_anywhere(spark, sf_medium):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def test_survivors_anti_join_adapts_to_broadcast(spark, sf_medium):
+    """near_dedup_survivors plans its LeftAnti join as a shuffle
+    (SortMergeJoin) STATICALLY — the right conservative call at scale,
+    where the loser set can be arbitrarily large — and AQE converts it
+    to a broadcast anti-join at RUNTIME when the loser set turns out
+    small, as it does here. This is the one intentional static SMJ in
+    the suite (SURVEY §8 join audit); this test pins the runtime
+    conversion so the claim and the plan can't drift apart."""
+    df = all_queries()["q_dedup_survivors"].fn(spark, sf_medium)
+    static = plan_of(df)
+    assert "SortMergeJoin" in static  # conservative static plan
+    df.collect()  # AQE finalizes the adaptive plan only after execution
+    final = plan_of(df).split("Initial Plan")[0]  # drop the pre-AQE echo
+    assert "LeftAnti" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final  # converted at runtime
+
+
 def test_event_funnel_reuses_pointer_computation(spark, sf_medium):
     """The funnel's scan+window (pointer computation) must materialize
     ONCE and be re-read by every chain link — the plan shows cached
