@@ -20,13 +20,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "flink-learning-practise-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the shared SparkSession."""
+    """Build (or fetch) the shared SparkSession.
+
+    ``state_store="rocksdb"`` selects the RocksDB state-store provider
+    for stateful streaming (sessions, streaming dedup/CEP): state lives
+    off-heap in per-partition RocksDB instances spilling to local disk,
+    so state size is bounded by disk, not executor heap — the Spark
+    analog of the reference's large-state RocksDBStateBackend
+    (flink_learning/flink_typora.md:651). Changelog checkpointing is
+    enabled with it so per-batch checkpoints upload deltas instead of
+    full snapshots. ``None``/"hdfs" keeps Spark's default in-heap
+    HDFS-backed provider (fine while state fits in memory). The
+    provider is a runtime SQL conf, applied even when an existing
+    session is reused.
+    """
+    if state_store not in (None, "hdfs", "rocksdb"):
+        raise ValueError(f"unknown state_store {state_store!r}")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -53,6 +74,24 @@ def get_spark(
         # Enable per-job at scale where a selective dim prunes a huge
         # fact scan, not as a blanket default.
     )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if state_store == "rocksdb":
+        # getOrCreate only best-efforts configs onto a pre-existing
+        # session; these are runtime SQL confs, so set them explicitly.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    return spark

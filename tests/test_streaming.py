@@ -706,3 +706,45 @@ def test_not_followed_by_stream_predicates_match_batch(spark, tmp_path):
     }
     # user 1's view abandoned (only a small purchase), user 2's refuted
     assert streamed == batched == {(1, 1)}
+
+
+def test_sessionize_on_rocksdb_state_store(spark, event_dir):
+    """Large-state backend surface (SURVEY §2 #35/#57; reference
+    flink_learning/flink_typora.md:651 RocksDBStateBackend): the
+    stateful sessionizer must run unchanged on the RocksDB state-store
+    provider, and the state operator's metrics must prove RocksDB was
+    actually in use (not silently defaulted back to HDFS-backed)."""
+    from flink_learning_practise_spark.session import get_spark
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    s = get_spark(state_store="rocksdb")
+    assert s is spark  # getOrCreate reuses the test session
+    try:
+        src = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json")
+        sessions = sessionize(src.select("user_id", "ts", "value"), gap="2 minutes")
+        q = memory_sink(sessions, "sessions_rocks", mode="update").start()
+        try:
+            q.processAllAvailable()
+            progress = [p for p in q.recentProgress if p.get("stateOperators")]
+            assert progress, "no stateful progress recorded"
+            metrics = progress[-1]["stateOperators"][0]["customMetrics"]
+            assert any(k.startswith("rocksdb") for k in metrics), metrics
+        finally:
+            q.stop()
+        out = spark.table("sessions_rocks").collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r.user_id, []).append(r)
+        u1 = sorted(by_user[1], key=lambda r: r.session_start)
+        assert u1[0].n_events == 2 and u1[0].sum_value == 15.0 and u1[0].closed is True
+        assert u1[1].n_events == 1 and u1[1].closed is False
+        assert by_user[2][0].n_events == 1
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
