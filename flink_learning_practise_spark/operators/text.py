@@ -171,11 +171,15 @@ def chunk_documents(
     slice+join per chunk (~n_words/stride interpreted lambda calls per
     doc — the cheap per-row HOF regime). Output is one row per chunk:
     (id, chunk_id, chunk_text, n_tokens)."""
+    # explode_outer: plain explode adds a size(..) > 0 pruning filter
+    # that re-evaluates the whole chunk-building transform per row
+    # (non-foldable expression); sequence(1, size(_w), stride) is never
+    # empty since split yields at least [""], so rows are identical.
     per_doc = df.select(
         F.col(id_col), words(F.col(text_col)).alias("_w")
     ).select(
         id_col,
-        F.explode(
+        F.explode_outer(
             F.expr(
                 f"transform(sequence(1, size(_w), {stride}), i -> struct("
                 f"CAST((i - 1) DIV {stride} AS INT) AS chunk_id, "
