@@ -1,0 +1,313 @@
+"""Corpus-curation operators for large-scale training-data pipelines,
+extending the dedup/text tiers (SURVEY §2 #37-53) with the remaining
+steps of a production data-curation flow: PII scrubbing, Gopher-style
+repetition filtering, sequence packing, benchmark decontamination,
+temperature-based domain mixing, and incremental (snapshot-delta)
+dedup.
+
+Scale design: every operator is either a pure map-side projection
+(scrub_pii, the per-row repetition features) or a small number of
+keyed aggregates with map-side partial aggregation; the only joins are
+a broadcast of a provably-small set (benchmark shingles, per-domain
+rates) or a shuffle-on-digest anti-join (incremental dedup — same
+shape as :func:`dedup.near_dedup_survivors`). No Python in any path.
+
+All hash-dependent decisions (sampling buckets) use the portable
+md5-prefix bucket of :func:`transforms.assign_split`, so every output
+is reproducible bit-for-bit in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize
+
+# PII patterns, restricted to the regex subset that behaves identically
+# in Java regex (Spark) and RE2 (DuckDB): character classes,
+# alternation, bounded repetition, \b, \d. Order matters: emails are
+# scrubbed before the free-standing-number rule so the number rule
+# can't chew the local part first.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # free-standing digit runs: aggressive identifier scrubbing (user
+    # ids, account numbers); applied LAST so structured forms above
+    # keep their specific tokens.
+    ("num", r"\b\d+\b", "<NUM>"),
+)
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact PII-shaped spans and count redactions per category.
+
+    Returns (id, scrubbed, n_<category>...). Each pattern is counted on
+    the text AFTER the preceding patterns' replacements, so a span
+    belongs to exactly one category (the digits inside an email or
+    phone number don't also count as free-standing numbers) and
+    ``n_<c>`` equals the number of ``<C>`` tokens the scrub inserted.
+    Map-only projection — runs at scan speed at any scale.
+    """
+    scrubbed: Column = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+
+
+# Gopher-style repetition / shape gates (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1 repetition filters — public
+# paper). Thresholds are corpus-tunable; defaults split the synthetic
+# corpus non-trivially.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_TOP2GRAM = 0.05
+GOPHER_MAX_DUP3GRAM = 0.10
+
+
+def _ngram_array(w: Column, n: int) -> Column:
+    """NON-distinct n-gram array of a word array (repetition stats need
+    multiplicity, unlike dedup's distinct shingle_array)."""
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    acc = F.slice(w, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(w, j, m), lambda x, y: F.concat_ws(" ", x, y))
+    return acc
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition and shape features plus a keep flag.
+
+    - ``top_2gram_frac``: occurrences of the most frequent bigram over
+      all bigram occurrences (boilerplate detector).
+    - ``dup_3gram_frac``: fraction of trigram occurrences that are
+      repeats — computed per row from array sizes, no shuffle.
+    - ``mean_word_len``, ``n_words``: shape gates.
+    - ``keep``: every gate passes.
+
+    The only shuffles are the two aggregates behind top_2gram_frac
+    (explode bigrams → count per (doc, bigram) → max/sum per doc), both
+    with map-side partial aggregation; everything else is map-only.
+    Docs too short for bigrams/trigrams get fraction 0 (nothing is
+    repeated in them).
+    """
+    norm = normalize(F.col(text_col))
+    w = F.split(norm, " ")
+    tri = _ngram_array(w, 3)
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        (
+            (F.length(norm) - (F.size(w) - 1)).cast("double") / F.size(w)
+        ).alias("mean_word_len"),
+        F.when(
+            F.size(tri) > 0,
+            (F.size(tri) - F.size(F.array_distinct(tri))).cast("double")
+            / F.size(tri),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+        _ngram_array(w, 2).alias("_bg"),
+    )
+    bg_counts = (
+        base.select(F.col(id_col), F.explode_outer("_bg").alias("_b"))
+        .filter(F.col("_b").isNotNull())
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    top = bg_counts.groupBy(id_col).agg(
+        (F.max("_c").cast("double") / F.sum("_c")).alias("top_2gram_frac")
+    )
+    out = (
+        base.drop("_bg")
+        .join(top, id_col, "left")
+        .withColumn("top_2gram_frac", F.coalesce("top_2gram_frac", F.lit(0.0)))
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_WORD_LEN)
+        & (F.col("top_2gram_frac") <= GOPHER_MAX_TOP2GRAM)
+        & (F.col("dup_3gram_frac") <= GOPHER_MAX_DUP3GRAM)
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "top_2gram_frac",
+        "dup_3gram_frac",
+        keep.alias("keep"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    capacity: int = 128,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each shard, documents
+    (in id order) fill fixed-capacity token bins — the batch-shaping
+    step before training (padding waste ∝ 1/capacity_utilization).
+
+    A document goes to bin ``floor(tokens_before_it / capacity)``
+    (running-sum packing): deterministic, one pass, and parallel per
+    shard. One shuffle keys by shard for the running sum; per-shard
+    sequential scan is the inherent cost of order-dependent packing —
+    at 100 TB the shard column must be finer than a source label (e.g.
+    a hash-bucket of the id) so no single shard serializes the job.
+
+    Returns one row per (shard, pack): n_docs, n_tokens, first/last id.
+    """
+    from pyspark.sql import Window
+
+    tok = F.size(F.split(normalize(F.col(text_col)), " "))
+    win = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = df.select(
+        F.col(shard_col), F.col(id_col), tok.alias("_tok")
+    ).withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("_tok").over(win), F.lit(0)) / F.lit(capacity)
+        ),
+    )
+    return packed.groupBy(shard_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_pred: Column,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-word shingle with the held-out benchmark set (rows matching
+    ``benchmark_pred``), with the count of distinct shared shingles.
+
+    The benchmark shingle set is small by construction (eval sets are
+    thousands of docs, not billions) → broadcast; the training side
+    streams through one explode + broadcast semi-join + count, so the
+    full corpus is never shuffled. Production pipelines use k of 8-13
+    (n-gram collision at k=3 is common English); k is a parameter.
+    """
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(df, id_col, text_col, k)  # distinct per doc
+    bench_sh = (
+        sh.filter(benchmark_pred).select("shingle").distinct()
+    )
+    return (
+        sh.filter(~benchmark_pred)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    keep_frac: float = 0.5,
+    seed: str = "mix1",
+) -> DataFrame:
+    """Temperature-weighted domain rebalancing (α = 0.5): keep
+    ``keep_frac`` of the corpus overall, with per-domain quotas
+    ∝ sqrt(domain size) — the standard sampling-temperature scheme
+    that flattens the domain distribution (big domains are downsampled
+    harder, small domains kept nearly whole) without the starvation of
+    uniform quotas.
+
+    Per-domain keep rate: ``min(1, target_total·w_d / (Σw·n_d))`` with
+    ``w_d = floor(sqrt(n_d)·1000)`` held in INTEGERS so the rate is a
+    single IEEE-double expression — bit-identical across engines — and
+    membership is the md5-bucket grid of ``transforms.stratified_sample``
+    (reproducible, monotone in the rate). Two tiny aggregates (per-domain
+    counts; their sum) + one broadcast join back; the corpus itself is
+    never shuffled. Returns kept rows as (id, domain, rate_bp).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_all = Window.partitionBy()  # counts is |domains| rows — tiny
+    rates = (
+        counts.withColumn("_w", F.floor(F.sqrt("_n") * 1000))
+        .withColumn("_sumw", F.sum("_w").over(w_all))
+        .withColumn(
+            "_target", F.floor(F.lit(keep_frac) * F.sum("_n").over(w_all))
+        )
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("_target").cast("double") * F.col("_w"))
+                / (F.col("_sumw").cast("double") * F.col("_n")),
+            ),
+        )
+        .select(
+            domain_col,
+            F.floor(F.col("_rate") * 10000).cast("int").alias("rate_bp"),
+        )
+    )
+    bucket = (
+        F.expr(
+            f"conv(substring(md5(concat('{seed}', ':', CAST({id_col} AS STRING))), 1, 8), 16, 10)"
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("rate_bp"))
+        .select(id_col, domain_col, "rate_bp")
+    )
+
+
+def incremental_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    snapshot_pred: Column,
+) -> DataFrame:
+    """Snapshot-delta dedup: from the DELTA rows (those NOT matching
+    ``snapshot_pred``), keep one representative per normalized-content
+    digest that does not already exist in the SNAPSHOT — the daily
+    ingest step of a continuously-updated corpus (dedup new crawl
+    against yesterday's corpus without re-deduping the whole corpus).
+
+    Digest anti-join (shuffle on fixed-width md5 keys; AQE broadcasts
+    when the delta is small) + min-id groupBy, the same shapes as
+    :func:`dedup.exact_dedup` / ``near_dedup_survivors``. Returns
+    (id, n_copies) where n_copies counts the delta-internal copies.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        snapshot_pred.alias("_snap"),
+        F.md5(normalize(F.col(text_col))).alias("_h"),
+    )
+    snap_h = hashed.filter("_snap").select("_h").distinct()
+    fresh = hashed.filter(~F.col("_snap")).join(snap_h, "_h", "left_anti")
+    return (
+        fresh.groupBy("_h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )

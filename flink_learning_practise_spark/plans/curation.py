@@ -1,0 +1,226 @@
+"""Corpus-curation plans (SURVEY §2 #69-74): PII scrubbing, Gopher
+repetition gates, sequence packing, benchmark decontamination,
+temperature domain mixing, incremental snapshot-delta dedup — each
+with a DuckDB oracle that recomputes the result bit-for-bit (all
+hash-dependent choices use the portable md5 bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datasets import load
+from ..operators import curation
+from ..operators.curation import (
+    GOPHER_MAX_DUP3GRAM,
+    GOPHER_MAX_TOP2GRAM,
+    GOPHER_MAX_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    PII_PATTERNS,
+)
+from .llm_pipeline import NORM_SQL, SHINGLES_CTE
+
+# ---------------------------------------------------------------------------
+# #69 PII scrubbing (over the event stream's payload strings)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return curation.scrub_pii(events, "event_id", "props")
+
+
+def _pii_scrub_sql() -> str:
+    # counts mirror the Spark op: pattern i is counted on the text
+    # after patterns < i were already replaced.
+    scrub = "props"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            "len(regexp_extract_all(" + scrub + ", '" + pat + "')) AS n_" + name
+        )
+        scrub = "regexp_replace(" + scrub + ", '" + pat + "', '" + token + "', 'g')"
+    return (
+        "SELECT event_id,\n       "
+        + scrub
+        + " AS scrubbed,\n       "
+        + ",\n       ".join(counts)
+        + "\nFROM events"
+    )
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()
+
+# ---------------------------------------------------------------------------
+# #70 Gopher-style repetition / shape gates
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return curation.repetition_features(docs, "doc_id", "text")
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {NORM_SQL} AS t, string_split({NORM_SQL}, ' ') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(length(t) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+         CASE WHEN len(w) >= 3 THEN
+           CAST(
+             (len(w) - 2)
+             - len(list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+             AS DOUBLE) / (len(w) - 2)
+         ELSE 0.0 END AS dup_3gram_frac
+  FROM w
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS b, COUNT(*) AS c
+  FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_frac
+  FROM bg GROUP BY doc_id
+)
+SELECT base.doc_id, n_words, mean_word_len,
+       COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac,
+       dup_3gram_frac,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_WORD_LEN}
+        AND COALESCE(top_2gram_frac, 0.0) <= {GOPHER_MAX_TOP2GRAM}
+        AND dup_3gram_frac <= {GOPHER_MAX_DUP3GRAM}) AS keep
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# #71 sequence packing
+
+PACK_CAPACITY = 128
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        docs, "doc_id", "text", "source", capacity=PACK_CAPACITY
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH tok AS (
+  SELECT source, doc_id, len(string_split({NORM_SQL}, ' ')) AS tok
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, tok,
+         CAST(floor(
+           COALESCE(SUM(tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+  FROM tok
+)
+SELECT source, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, pack_id
+"""
+
+# ---------------------------------------------------------------------------
+# #72 benchmark decontamination
+
+DECON_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return curation.decontaminate(
+        docs, "doc_id", "text", F.col("doc_id") % DECON_MOD == 0, k=3
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH {SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT s.doc_id, COUNT(*) AS n_shared
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id % {DECON_MOD} <> 0
+GROUP BY s.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# #73 temperature domain mixing
+
+MIX_KEEP_FRAC = 0.5
+MIX_SEED = "mix1"
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return curation.domain_mixture(
+        docs, "lang", "doc_id", keep_frac=MIX_KEEP_FRAC, seed=MIX_SEED
+    )
+
+
+DOMAIN_MIX_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+weighted AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w,
+         CAST(SUM(CAST(floor(sqrt(n) * 1000) AS BIGINT)) OVER () AS BIGINT) AS sumw,
+         CAST(floor({MIX_KEEP_FRAC} * SUM(n) OVER ()) AS BIGINT) AS target
+  FROM counts
+),
+rates AS (
+  SELECT lang,
+         CAST(floor(least(1.0,
+           (CAST(target AS DOUBLE) * w) / (CAST(sumw AS DOUBLE) * n)
+         ) * 10000) AS INT) AS rate_bp
+  FROM weighted
+)
+SELECT d.doc_id, d.lang, r.rate_bp
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5('{MIX_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000 < r.rate_bp
+"""
+
+# ---------------------------------------------------------------------------
+# #74 incremental (snapshot-delta) dedup
+
+SNAP_MOD = 2  # doc_id % 2 == 0 plays yesterday's corpus snapshot
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return curation.incremental_dedup(
+        docs, "doc_id", "text", F.col("doc_id") % SNAP_MOD == 0
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH h AS (
+  SELECT doc_id, doc_id % {SNAP_MOD} = 0 AS snap, md5({NORM_SQL}) AS hh
+  FROM documents
+),
+snap_h AS (SELECT DISTINCT hh FROM h WHERE snap),
+fresh AS (
+  SELECT doc_id, hh FROM h
+  WHERE NOT snap AND hh NOT IN (SELECT hh FROM snap_h)
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM fresh GROUP BY hh
+"""

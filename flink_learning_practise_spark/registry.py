@@ -131,6 +131,17 @@ def _populate() -> None:
     register("q_dedup_clusters", llm.dedup_clusters, llm.DEDUP_CLUSTERS_SQL)
     register("q_stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL)
 
+    # corpus curation (#69-74: PII scrub, Gopher gates, packing,
+    # decontamination, domain mixing, incremental dedup)
+    from .plans import curation as cur
+
+    register("q_pii_scrub", cur.pii_scrub, cur.PII_SCRUB_SQL)
+    register("q_gopher_quality", cur.gopher_quality, cur.GOPHER_QUALITY_SQL, headline=True)
+    register("q_pack_sequences", cur.pack_sequences, cur.PACK_SEQUENCES_SQL)
+    register("q_decontaminate", cur.decontaminate, cur.DECONTAMINATE_SQL, headline=True)
+    register("q_domain_mix", cur.domain_mix, cur.DOMAIN_MIX_SQL)
+    register("q_dedup_incremental", cur.dedup_incremental, cur.DEDUP_INCREMENTAL_SQL)
+
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)
     register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
