@@ -80,31 +80,68 @@ def _ngram_array(w: Column, n: int) -> Column:
     return acc
 
 
+def _max_run_frac(arr: Column) -> Column:
+    """Fraction of array occupied by its most frequent element:
+    sort, then fold for the longest run of equal neighbors. Interpreted
+    HOF per ELEMENT, but n-gram arrays are document-sized (~n_words),
+    so this stays in the cheap per-row regime — and it keeps the whole
+    operator map-only (the alternative — explode + two aggregates +
+    join back — shuffles every n-gram occurrence and re-evaluates the
+    feature projection on both join sides; measured 3× slower)."""
+    fold = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.when(F.size(arr) > 0, fold.cast("double") / F.size(arr)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition and shape features plus a keep flag.
 
     - ``top_2gram_frac``: occurrences of the most frequent bigram over
-      all bigram occurrences (boilerplate detector).
+      all bigram occurrences (boilerplate detector) — the max
+      equal-neighbor run in the sorted bigram array.
     - ``dup_3gram_frac``: fraction of trigram occurrences that are
-      repeats — computed per row from array sizes, no shuffle.
+      repeats — total minus distinct, over total.
     - ``mean_word_len``, ``n_words``: shape gates.
     - ``keep``: every gate passes.
 
-    The only shuffles are the two aggregates behind top_2gram_frac
-    (explode bigrams → count per (doc, bigram) → max/sum per doc), both
-    with map-side partial aggregation; everything else is map-only.
-    Docs too short for bigrams/trigrams get fraction 0 (nothing is
-    repeated in them).
+    Every feature is computed per row from the document's own n-gram
+    arrays: ONE projection over the scan, no shuffle, no join — at
+    100 TB this runs at I/O speed like the other text gates. Docs too
+    short for bigrams/trigrams get fraction 0 (nothing is repeated in
+    them).
     """
+    from .dedup import widen
+
     norm = normalize(F.col(text_col))
     w = F.split(norm, " ")
     tri = _ngram_array(w, 3)
-    base = df.select(
+    # widen: the n-gram HOFs run interpreted per element, so a
+    # single-split local scan would serialize ~n_words lambda evals per
+    # doc onto one core; a no-op at scale where the scan has splits.
+    out = widen(df).select(
         F.col(id_col),
         F.size(w).alias("n_words"),
         (
             (F.length(norm) - (F.size(w) - 1)).cast("double") / F.size(w)
         ).alias("mean_word_len"),
+        _max_run_frac(_ngram_array(w, 2)).alias("top_2gram_frac"),
         F.when(
             F.size(tri) > 0,
             (F.size(tri) - F.size(F.array_distinct(tri))).cast("double")
@@ -112,21 +149,6 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_3gram_frac"),
-        _ngram_array(w, 2).alias("_bg"),
-    )
-    bg_counts = (
-        base.select(F.col(id_col), F.explode_outer("_bg").alias("_b"))
-        .filter(F.col("_b").isNotNull())
-        .groupBy(id_col, "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    top = bg_counts.groupBy(id_col).agg(
-        (F.max("_c").cast("double") / F.sum("_c")).alias("top_2gram_frac")
-    )
-    out = (
-        base.drop("_bg")
-        .join(top, id_col, "left")
-        .withColumn("top_2gram_frac", F.coalesce("top_2gram_frac", F.lit(0.0)))
     )
     keep = (
         (F.col("n_words") >= GOPHER_MIN_WORDS)
