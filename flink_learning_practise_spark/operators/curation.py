@@ -110,8 +110,14 @@ def _max_run_frac(arr: Column) -> Column:
     )
 
 
-def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Gopher-style repetition and shape features plus a keep flag.
+
+    ``carry`` columns are passed through the projection so downstream
+    stages (dedup, packing) keep working on the same single scan
+    instead of joining features back onto the corpus.
 
     - ``top_2gram_frac``: occurrences of the most frequent bigram over
       all bigram occurrences (boilerplate detector) — the max
@@ -149,6 +155,7 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_3gram_frac"),
+        *carry,
     )
     keep = (
         (F.col("n_words") >= GOPHER_MIN_WORDS)
@@ -165,6 +172,7 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "top_2gram_frac",
         "dup_3gram_frac",
         keep.alias("keep"),
+        *carry,
     )
 
 

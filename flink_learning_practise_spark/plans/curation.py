@@ -199,6 +199,65 @@ WHERE ('0x' || substr(md5('{MIX_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 # ---------------------------------------------------------------------------
+# #75 composed curation pipeline: gates → exact dedup → split → pack
+# (the operators are DataFrame→DataFrame, so the whole flow is ONE lazy
+# Catalyst plan — filters/projections fuse across stage boundaries, no
+# materialization between steps)
+
+SPLIT_SEED = "v1"  # same deal as q_train_val_split
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup, transforms
+
+    docs = load(spark, sf_dir, "documents")
+    feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
+    kept = feats.filter("keep").select("doc_id", "text")
+    winners = dedup.exact_dedup(kept, "doc_id", "text").select("doc_id")
+    clean = kept.join(winners, "doc_id", "left_semi")
+    split = transforms.assign_split(clean, "doc_id", seed=SPLIT_SEED)
+    return curation.pack_sequences(
+        split, "doc_id", "text", "split", capacity=PACK_CAPACITY
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH gq AS ({GOPHER_QUALITY_SQL}),
+kept AS (
+  SELECT d.doc_id, {NORM_SQL} AS t
+  FROM documents d JOIN gq ON d.doc_id = gq.doc_id AND gq.keep
+),
+winners AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY t),
+clean AS (SELECT k.doc_id, k.t FROM kept k JOIN winners w ON k.doc_id = w.doc_id),
+splitd AS (
+  SELECT doc_id, t,
+         CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, t,
+           ('0x' || substr(md5('{SPLIT_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+    FROM clean
+  )
+),
+tok AS (SELECT split, doc_id, len(string_split(t, ' ')) AS tok FROM splitd),
+packed AS (
+  SELECT split, doc_id, tok,
+         CAST(floor(
+           COALESCE(SUM(tok) OVER (
+             PARTITION BY split ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+  FROM tok
+)
+SELECT split, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY split, pack_id
+"""
+
+# ---------------------------------------------------------------------------
 # #74 incremental (snapshot-delta) dedup
 
 SNAP_MOD = 2  # doc_id % 2 == 0 plays yesterday's corpus snapshot

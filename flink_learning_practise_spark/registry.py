@@ -141,6 +141,12 @@ def _populate() -> None:
     register("q_decontaminate", cur.decontaminate, cur.DECONTAMINATE_SQL, headline=True)
     register("q_domain_mix", cur.domain_mix, cur.DOMAIN_MIX_SQL)
     register("q_dedup_incremental", cur.dedup_incremental, cur.DEDUP_INCREMENTAL_SQL)
+    register(
+        "q_curation_pipeline",
+        cur.curation_pipeline,
+        cur.CURATION_PIPELINE_SQL,
+        headline=True,
+    )
 
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)

@@ -193,3 +193,28 @@ def test_incremental_dedup_semantics(spark):
         ).collect()
     }
     assert out == {3: 2, 5: 2}
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline (#75)
+
+
+def test_curation_pipeline_composes_lazily(spark):
+    from flink_learning_practise_spark.plans.curation import curation_pipeline
+
+    df = curation_pipeline(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows, "pipeline produced no packs"
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # one Catalyst plan end-to-end: no cartesian product, no Python
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # packs are contiguous per split: ids don't interleave across packs
+    by_split = {}
+    for r in sorted(rows, key=lambda r: (r["split"], r["pack_id"])):
+        prev = by_split.get(r["split"])
+        if prev is not None:
+            assert prev < r["first_doc"]
+        by_split[r["split"]] = r["last_doc"]
