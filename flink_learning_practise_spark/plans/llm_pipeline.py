@@ -520,3 +520,35 @@ FROM (
 )
 WHERE b < (CASE lang {" ".join(f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in sorted(SAMPLE_FRACTIONS.items()))} ELSE 0 END)
 """
+
+
+# ---------------------------------------------------------------------------
+# #76 int8 embedding quantization (storage/bandwidth reduction for ANN)
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+EMBED_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CASE WHEN scale > 0.0
+                     THEN CAST(round(CAST(x AS DOUBLE) / scale) AS INT)
+                     ELSE 0 END) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+FROM q
+"""

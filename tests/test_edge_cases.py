@@ -107,3 +107,26 @@ def test_stratified_sample_default_fraction_and_bounds(spark):
     assert kept_all.count() == 3
     with _pytest.raises(ValueError, match="fraction"):
         transforms.stratified_sample(df, "lang", "doc_id", {"en": 1.5})
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
+    from flink_learning_practise_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero q
+            (3, [127.0]),  # max element maps exactly to 127
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert r1["scale"] == 1.0 / 127.0
+    assert (r1["q_min"], r1["q_max"]) == (-127, 64)  # -1.0->-127, 0.5->64 (HALF_UP)
+    assert r1["q_l1"] == 127 + 64 + 32 + 0
+    r2 = out[2]
+    assert (r2["scale"], r2["q_min"], r2["q_max"], r2["q_sum"], r2["q_l1"]) == (
+        0.0, 0, 0, 0, 0,
+    )
+    assert (out[3]["q_min"], out[3]["q_max"]) == (127, 127)
