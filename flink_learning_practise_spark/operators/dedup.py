@@ -38,7 +38,14 @@ def widen(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input scan has fewer splits (e.g. one small parquet file locally).
     A no-op at scale, where the scan already has plenty of partitions —
-    never a data-dependent shuffle of a big input."""
+    never a data-dependent shuffle of a big input.
+
+    Streaming frames pass through untouched: the partition probe would
+    be illegal pre-start (and micro-batch sources already size their
+    own splits), so operators built on widen() stay batch/stream
+    unified."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -748,3 +748,59 @@ def test_sessionize_on_rocksdb_state_store(spark, event_dir):
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+def test_curation_projections_work_on_streams(spark, tmp_path):
+    """The curation tier's map-only operators (PII scrub, Gopher gates)
+    are plain projections, so the SAME operator code runs unchanged on
+    an unbounded source — Structured Streaming's batch/stream
+    unification. Prove it: stream a file-drop source through scrub_pii
+    and repetition_features and compare against the batch run."""
+    import json
+
+    from flink_learning_practise_spark.operators import curation
+
+    path = str(tmp_path / "cur_in")
+    rows = [
+        {"doc_id": 1, "text": "contact bob@example.com id 12345"},
+        {"doc_id": 2, "text": "buy now " * 40},
+        {"doc_id": 3, "text": " ".join(f"word{i}" for i in range(40))},
+    ]
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id long, text string"
+    src = spark.readStream.schema(schema).json(path)
+    batch = spark.read.schema(schema).json(path)
+
+    scrub_q = (
+        curation.scrub_pii(src, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("cur_scrub")
+        .outputMode("append")
+        .start()
+    )
+    gates_q = (
+        curation.repetition_features(src, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("cur_gates")
+        .outputMode("append")
+        .start()
+    )
+    for q in (scrub_q, gates_q):
+        q.processAllAvailable()
+        q.stop()
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows_of(spark.table("cur_scrub")) == rows_of(
+        curation.scrub_pii(batch, "doc_id", "text")
+    )
+    assert rows_of(spark.table("cur_gates")) == rows_of(
+        curation.repetition_features(batch, "doc_id", "text")
+    )
