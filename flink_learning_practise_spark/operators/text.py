@@ -189,3 +189,36 @@ def chunk_documents(
         ).alias("_c"),
     )
     return per_doc.select(id_col, "_c.chunk_id", "_c.chunk_text", "_c.n_tokens")
+
+
+def vocab_topk(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group top-k token frequencies — the corpus-statistics step
+    of tokenizer/vocabulary induction (BPE training starts from exactly
+    these counts).
+
+    Token counts partial-aggregate map-side before the (group, token)
+    shuffle, so the exchange carries vocabulary-sized data, not corpus-
+    sized; the ranking window then runs over distinct (group, token)
+    rows only — bounded by vocabulary size per group, no corpus-scale
+    sort. Ties break lexicographically for determinism.
+    """
+    from .dedup import widen
+
+    toks = widen(df).select(
+        F.col(group_col),
+        F.explode_outer(F.split(normalize(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "token", "n", "rank")
+    )

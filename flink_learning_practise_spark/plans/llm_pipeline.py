@@ -552,3 +552,30 @@ SELECT vec_id, scale,
        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# #77 vocabulary induction: per-language top-k token frequencies
+
+VOCAB_K = 10
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, "lang", "text", k=VOCAB_K)
+
+
+VOCAB_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split({NORM_SQL}, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+counts AS (SELECT lang, tok AS token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM counts
+)
+SELECT lang, token, n, rank FROM ranked WHERE rank <= {VOCAB_K}
+"""
