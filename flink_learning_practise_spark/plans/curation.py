@@ -208,13 +208,30 @@ SPLIT_SEED = "v1"  # same deal as q_train_val_split
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup, transforms
+    from pyspark.sql import Window
+
+    from ..operators import transforms
+    from ..operators.text import normalize
 
     docs = load(spark, sf_dir, "documents")
     feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
-    kept = feats.filter("keep").select("doc_id", "text")
-    winners = dedup.exact_dedup(kept, "doc_id", "text").select("doc_id")
-    clean = kept.join(winners, "doc_id", "left_semi")
+    # exact-dedup survivors INLINE via a first-row window over the
+    # content digest, not exact_dedup + semi-join: a join would place
+    # the heavy gate projection on BOTH sides (Catalyst doesn't CSE
+    # across join branches — measured 3× slower). The keep filter sits
+    # ABOVE the window, not between projection and shuffle: a filter
+    # directly on the projection gets its predicate pushed below it,
+    # re-evaluating the whole gate expression per row, while Catalyst
+    # won't push a non-partition-column predicate through a Window —
+    # so the gates are evaluated exactly once. Reordering is sound:
+    # identical normalized text ⇒ identical gates, so dedup-then-gate
+    # ≡ gate-then-dedup (min doc_id per digest survives either way).
+    win = Window.partitionBy(F.md5(normalize(F.col("text")))).orderBy("doc_id")
+    clean = (
+        feats.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("keep") & (F.col("_rn") == 1))
+        .select("doc_id", "text")
+    )
     split = transforms.assign_split(clean, "doc_id", seed=SPLIT_SEED)
     return curation.pack_sequences(
         split, "doc_id", "text", "split", capacity=PACK_CAPACITY
