@@ -91,9 +91,14 @@ def connected_components(
         .agg(F.min("a").alias("component"))
         .persist()
     )
-    # no up-front sum action over the initial labels: round 1 always
-    # runs, so its sum is the first comparison point (prev None ≠ any)
-    prev_sum = None
+    # Up-front sum over the initial labels: since init IS round 1's
+    # output (min over neighbors), dup graphs whose clusters are
+    # star-shaped from their minimum — the common case — are already at
+    # fixpoint, and comparing round 1 against this sum terminates one
+    # full join+aggregate round earlier. The action itself only
+    # materializes the persisted labels the first round would have
+    # materialized anyway.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for i in range(max_iters):
         # every vertex offers its label to each neighbor AND itself
