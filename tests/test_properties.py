@@ -143,3 +143,105 @@ def test_funnel_matches_bruteforce(spark, events):
         (r.user_id, r.step1_id, r.step2_id, r.step3_id) for r in out.collect()
     }
     assert got == _funnel_reference(rows, ["a", "b", "c"], 20)
+
+
+# ---------------------------------------------------------------------------
+# curation-tier properties
+
+words_strategy = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=1,
+    max_size=12,
+)
+corpus_strategy = st.lists(
+    st.tuples(st.integers(0, 1), words_strategy),  # (shard, words)
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(corpus=corpus_strategy, capacity=st.integers(2, 10))
+def test_pack_sequences_conserves_tokens_and_stays_contiguous(spark, corpus, capacity):
+    from flink_learning_practise_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(w), f"s{shard}") for i, (shard, w) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    packs = pack_sequences(df, "doc_id", "text", "source", capacity=capacity).collect()
+    # conservation: every doc lands in exactly one pack, all tokens kept
+    assert sum(r["n_docs"] for r in packs) == len(rows)
+    assert sum(r["n_tokens"] for r in packs) == sum(len(w) for _, w in corpus)
+    # contiguity per shard: id ranges of consecutive packs don't overlap
+    by_shard: dict[str, list] = {}
+    for r in packs:
+        by_shard.setdefault(r["source"], []).append(r)
+    for shard_packs in by_shard.values():
+        shard_packs.sort(key=lambda r: r["pack_id"])
+        for a, b in zip(shard_packs, shard_packs[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+
+pii_bits = st.lists(
+    st.sampled_from(
+        [
+            "plain", "words", "here",
+            "a@b.com", "x.y@mail.org",
+            "555-123-4567",
+            "10.0.0.1",
+            "12345", "7",
+        ]
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(bits=pii_bits)
+def test_scrub_pii_is_idempotent_and_counts_match(spark, bits):
+    from flink_learning_practise_spark.operators.curation import scrub_pii
+
+    text = " ".join(bits)
+    df = spark.createDataFrame([(1, text)], "event_id long, props string")
+    once = scrub_pii(df, "event_id", "props").collect()[0]
+    # counts match the planted items (each bit is a whole token)
+    assert once["n_email"] == sum("@" in b for b in bits)
+    assert once["n_phone"] == sum(b == "555-123-4567" for b in bits)
+    assert once["n_ip"] == sum(b == "10.0.0.1" for b in bits)
+    assert once["n_num"] == sum(b in ("12345", "7") for b in bits)
+    # idempotence: scrubbing scrubbed text changes nothing
+    df2 = spark.createDataFrame([(1, once["scrubbed"])], "event_id long, props string")
+    twice = scrub_pii(df2, "event_id", "props").collect()[0]
+    assert twice["scrubbed"] == once["scrubbed"]
+    assert all(twice[f"n_{c}"] == 0 for c in ("email", "phone", "ip", "num"))
+
+
+delta_corpus = st.lists(
+    st.tuples(st.booleans(), words_strategy),  # (in_snapshot, words)
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(corpus=delta_corpus)
+def test_incremental_dedup_partitions_the_delta(spark, corpus):
+    from flink_learning_practise_spark.operators.curation import incremental_dedup
+
+    rows = [(i * 2 + (0 if snap else 1), " ".join(w)) for i, (snap, w) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_dedup(df, "doc_id", "text", F.col("doc_id") % 2 == 0).collect()
+    texts = {i: t for i, t in rows}
+    snap_texts = {t for i, t in rows if i % 2 == 0}
+    got_ids = [r["doc_id"] for r in out]
+    # survivors are delta-only, novel vs snapshot, unique, and min-id
+    assert all(i % 2 == 1 for i in got_ids)
+    assert all(texts[i] not in snap_texts for i in got_ids)
+    assert len({texts[i] for i in got_ids}) == len(got_ids)
+    for i in got_ids:
+        assert i == min(
+            j for j, t in rows if j % 2 == 1 and t == texts[i]
+        )
+    # completeness: every novel delta text is represented
+    novel = {t for j, t in rows if j % 2 == 1 and t not in snap_texts}
+    assert {texts[i] for i in got_ids} == novel
