@@ -228,3 +228,55 @@ def run_until_drained(query: StreamingQuery) -> None:
         query.processAllAvailable()
     finally:
         query.stop()
+
+
+def trending_tokens(
+    events: DataFrame,
+    ts_col: str,
+    text_col: str,
+    window: str = "1 minute",
+    watermark_delay: str = "30 seconds",
+    k: int = 5,
+) -> DataFrame:
+    """Streaming windowed token counts — the unbounded half of
+    ``text.vocab_topk`` (trending-terms analytics over an event
+    stream).
+
+    Returns the per-(window, token) APPEND-mode aggregate (emitted once
+    the watermark closes the window). Ranking to top-k is not
+    stream-expressible (window functions don't run on unbounded
+    relations), so the standard pattern applies: rank each CLOSED
+    window's counts in the sink — compose with
+    :func:`rank_topk_batch` inside ``foreachBatch`` (each micro-batch
+    then holds complete windows only, so the per-batch ranking is
+    exact). State is bounded by (windows in flight × vocabulary).
+    """
+    from ..operators.text import normalize
+
+    toks = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(ts_col),
+        F.explode_outer(F.split(normalize(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy(F.window(ts_col, window).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )
+
+
+def rank_topk_batch(batch: DataFrame, k: int = 5) -> DataFrame:
+    """Rank a closed-window count batch to top-k per window (the
+    foreachBatch companion of :func:`trending_tokens`); deterministic
+    lexicographic tie-break."""
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        batch.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

@@ -804,3 +804,57 @@ def test_curation_projections_work_on_streams(spark, tmp_path):
     assert rows_of(spark.table("cur_gates")) == rows_of(
         curation.repetition_features(batch, "doc_id", "text")
     )
+
+
+def test_trending_tokens_matches_batch_topk(spark, tmp_path):
+    """Streaming windowed token counts + foreachBatch ranking == the
+    batch vocab ranking per window, under out-of-order delivery across
+    micro-batches."""
+    import json
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        rank_topk_batch,
+        trending_tokens,
+    )
+
+    path = str(tmp_path / "trend_in")
+    os.makedirs(path, exist_ok=True)
+    batch1 = [
+        {"ts": "2024-01-01 00:00:05", "text": "spark spark flink"},
+        {"ts": "2024-01-01 00:00:40", "text": "spark table table"},
+        {"ts": "2024-01-01 00:01:10", "text": "rows rows rows"},
+    ]
+    batch2 = [
+        {"ts": "2024-01-01 00:00:50", "text": "flink flink flink"},  # late, in window 0
+        {"ts": "2024-01-01 00:03:00", "text": "done done done"},  # advances watermark
+    ]
+    with open(f"{path}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in batch1))
+
+    schema = "ts timestamp, text string"
+    src = spark.readStream.schema(schema).json(path)
+    counts = trending_tokens(src, "ts", "text", window="1 minute", k=2)
+
+    ranked_batches = []
+
+    def sink(batch, _bid):
+        ranked_batches.append(rank_topk_batch(batch, k=2).collect())
+
+    q = counts.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    with open(f"{path}/b2.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in batch2))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["window_start"].isoformat(), r["rank"]): (r["token"], r["n"])
+        for rows in ranked_batches
+        for r in rows
+    }
+    # window 00:00 closed only after batch2's late row arrived: counts
+    # include it (spark 2+1=3, flink 1+3=4 -> flink ranks first)
+    assert got[("2024-01-01T00:00:00", 1)] == ("flink", 4)
+    assert got[("2024-01-01T00:00:00", 2)] == ("spark", 3)
+    assert got[("2024-01-01T00:01:00", 1)] == ("rows", 3)
