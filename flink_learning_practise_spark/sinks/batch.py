@@ -64,3 +64,42 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Compact a small-file parquet dataset into ~target-sized files —
+    the maintenance op every long-running ingest needs: streaming
+    ingest and fine-grained partitioning both strand thousands of tiny
+    files, and at 100 TB scan throughput dies on per-file open/footer
+    overhead long before I/O saturates (the reason table formats ship
+    OPTIMIZE/rewriteDataFiles).
+
+    File count comes from the dataset's actual on-disk bytes (Hadoop
+    FileSystem listing — no data read), then one round-robin
+    ``repartition(n)`` rewrite: even output sizes regardless of input
+    skew, one shuffle of the data being rewritten and nothing else.
+    Returns the target file count. Row-identical, schema-identical;
+    ordering is not preserved (parquet datasets are unordered).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return n_files

@@ -87,3 +87,22 @@ def test_rate_and_synthetic_order_source(spark):
         "order_ts", "purchase_order_id", "customer_id", "amount", "order_status",
     }
     assert rate_source(spark).isStreaming
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from flink_learning_practise_spark.sinks.batch import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # strand many tiny files deliberately
+    spark.range(2000).selectExpr("id", "id % 7 AS k").repartition(64).write.parquet(src)
+    import glob
+
+    n_before = len(glob.glob(f"{src}/*.parquet"))
+    assert n_before >= 32
+    n_target = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024)
+    n_after = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_after == n_target < n_before
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
