@@ -133,3 +133,43 @@ def test_cosine_pairs_vectorized_is_distributed(spark):
     assert "FlatMapGroupsInPandas" in plan
     with pytest.raises(Exception, match="executed during plan construction"):
         out.collect()
+
+
+# --- curation tier (SURVEY §2 #69-77) plan pins -------------------------
+
+
+def test_map_only_curation_ops_have_zero_exchanges(spark, sf_medium):
+    """PII scrub, Gopher gates, quantization, train/val split: pure
+    projections (plus widen's local repartition at most) — a shuffle
+    appearing here is a scale regression."""
+    import re
+
+    for name in ("q_pii_scrub", "q_gopher_quality", "q_embed_quantize"):
+        plan = plan_of(all_queries()[name].fn(spark, sf_medium))
+        # widen()'s round-robin repartition is allowed; keyed exchanges are not
+        keyed = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+        assert not keyed, f"{name} grew a keyed shuffle: {keyed}"
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_medium):
+    plan = plan_of(all_queries()["q_decontaminate"].fn(spark, sf_medium))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_medium):
+    plan = plan_of(all_queries()["q_domain_mix"].fn(spark, sf_medium))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_single_gate_evaluation(spark, sf_medium):
+    """The composed pipeline must evaluate the heavy gate projection
+    exactly once: one occurrence of the n-gram zip_with machinery in
+    the plan (a join-based dedup or a pushed keep predicate would
+    duplicate it — measured 3-4x slower)."""
+    plan = plan_of(all_queries()["q_curation_pipeline"].fn(spark, sf_medium))
+    gate_projects = sum(
+        1 for ln in plan.splitlines() if "zip_with" in ln and "Project" in ln
+    )
+    assert gate_projects == 1, f"gate projection evaluated {gate_projects}x"
