@@ -280,3 +280,40 @@ def rank_topk_batch(batch: DataFrame, k: int = 5) -> DataFrame:
         batch.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    snapshot: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming half of ``curation.incremental_dedup``: dedup a live
+    ingest stream against yesterday's corpus snapshot AND against
+    itself — the continuous form of the daily snapshot-delta ingest.
+
+    Two stages, both bounded-state:
+
+    1. stream-static LEFT ANTI join on the content digest — the
+       snapshot digest set is broadcast (stateless, re-planned per
+       micro-batch, no Exchange on the unbounded side);
+    2. ``dropDuplicatesWithinWatermark`` on the digest for
+       stream-internal copies — state evicts once the watermark passes
+       (bounded by rate × delay), unlike an unbounded dropDuplicates.
+
+    First-arrival wins within the stream (arrival order, not min-id:
+    a stream can't know a smaller id arrives later — the batch op
+    remains the authority for reproducible reprocessing).
+    """
+    from ..operators.text import normalize
+
+    snap_h = snapshot.select(
+        F.md5(normalize(F.col(text_col))).alias("_h")
+    ).distinct()
+    hashed = stream.withWatermark(ts_col, watermark_delay).withColumn(
+        "_h", F.md5(normalize(F.col(text_col)))
+    )
+    fresh = hashed.join(F.broadcast(snap_h), "_h", "left_anti")
+    return fresh.dropDuplicatesWithinWatermark(["_h"]).drop("_h")

@@ -858,3 +858,37 @@ def test_trending_tokens_matches_batch_topk(spark, tmp_path):
     assert got[("2024-01-01T00:00:00", 1)] == ("flink", 4)
     assert got[("2024-01-01T00:00:00", 2)] == ("spark", 3)
     assert got[("2024-01-01T00:01:00", 1)] == ("rows", 3)
+
+
+def test_stream_incremental_dedup_matches_batch_semantics(spark, tmp_path):
+    """Stream-vs-snapshot dedup: snapshot copies are dropped,
+    stream-internal copies keep the first arrival, novel docs pass."""
+    import json
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        stream_incremental_dedup,
+    )
+
+    path = str(tmp_path / "inc_in")
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        {"doc_id": 10, "ts": "2024-01-01 00:00:01", "text": "already in corpus"},
+        {"doc_id": 11, "ts": "2024-01-01 00:00:02", "text": "novel one"},
+        {"doc_id": 12, "ts": "2024-01-01 00:00:03", "text": "repeated stream doc"},
+        {"doc_id": 13, "ts": "2024-01-01 00:00:04", "text": "Repeated  STREAM doc"},
+        {"doc_id": 14, "ts": "2024-01-01 00:00:05", "text": "novel two"},
+    ]
+    with open(f"{path}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    snapshot = spark.createDataFrame(
+        [(1, "already in corpus"), (2, "other old doc")], "doc_id long, text string"
+    )
+    src = spark.readStream.schema("doc_id long, ts timestamp, text string").json(path)
+    out = stream_incremental_dedup(src, snapshot, "doc_id", "text", "ts")
+    q = out.writeStream.format("memory").queryName("inc_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.table("inc_out").collect())
+    assert got == [11, 12, 14]  # 10: snapshot dup; 13: stream dup of 12
