@@ -82,6 +82,7 @@ def _populate() -> None:
         tpch.LOCAL_SUPPLIER_VOLUME_SQL,
         headline=True,
     )
+    register("q_market_share", tpch.market_share, tpch.MARKET_SHARE_SQL, headline=True)
 
     # relational core (SURVEY §2 #1-6, #20)
     register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
