@@ -251,3 +251,60 @@ SELECT year(o_orderdate) AS order_year, o_orderstatus,
 FROM orders
 GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
 """
+
+
+ORDER_STATUSES = ("F", "O", "P")  # closed set in the data model
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab: per-year order counts spread across status
+    COLUMNS — the report-shaping operator (Table API's pivot analog).
+    The status list is pinned (closed set in the data model), so the
+    pivot is a single groupBy(year) with one conditional count per
+    status — one shuffle, map-side partials, no second pass to
+    discover column names (which at 100 TB would be an extra
+    full scan)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ORDER_STATUSES],
+        )
+    )
+
+
+STATUS_PIVOT_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       {", ".join(f"COUNT(*) FILTER (WHERE o_orderstatus = '{s}') AS n_{s}" for s in ORDER_STATUSES)}
+FROM orders
+GROUP BY 1
+"""
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status): every subtotal combination — rollup's
+    per-year tiers PLUS per-status-across-years — in one grouping-sets
+    expansion, still a single shuffle with map-side partials."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select("order_year", "o_orderstatus", "n_orders", "total_price")
+    )
+
+
+SALES_CUBE_SQL = f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+"""

@@ -154,6 +154,8 @@ def _populate() -> None:
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)
     register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
+    register("q_sales_cube", os_.sales_cube, os_.SALES_CUBE_SQL)
+    register("q_status_pivot", os_.status_pivot, os_.STATUS_PIVOT_SQL)
     register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
     register("q_event_profile_sketch", ea.event_profile_sketch, None)
     register(
