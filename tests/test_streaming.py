@@ -892,3 +892,57 @@ def test_stream_incremental_dedup_matches_batch_semantics(spark, tmp_path):
     q.stop()
     got = sorted(r["doc_id"] for r in spark.table("inc_out").collect())
     assert got == [11, 12, 14]  # 10: snapshot dup; 13: stream dup of 12
+
+
+def test_exactly_once_across_restart_from_checkpoint(spark, tmp_path):
+    """The exactly-once contract end-to-end: a query stopped and
+    RESTARTED from its checkpoint must not re-deliver already-committed
+    micro-batches, and an idempotent per-batch-id sink must absorb any
+    replay of the in-flight batch — each source row lands exactly once
+    across the restart."""
+    import glob
+    import json
+    import os
+
+    src = str(tmp_path / "eo_in")
+    sink = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def start_query():
+        stream = spark.readStream.schema("event_id long, value double").json(src)
+
+        def write_batch(batch, batch_id):
+            # idempotent: a replayed batch id overwrites its own dir
+            batch.write.mode("overwrite").parquet(f"{sink}/b{batch_id}")
+
+        return (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    with open(f"{src}/f1.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "value": 1.0}) + "\n")
+        f.write(json.dumps({"event_id": 2, "value": 2.0}) + "\n")
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    with open(f"{src}/f2.json", "w") as f:
+        f.write(json.dumps({"event_id": 3, "value": 3.0}) + "\n")
+    q = start_query()  # same checkpoint: resumes at committed offsets
+    q.processAllAvailable()
+    q.stop()
+
+    # restart once more with NO new data: must deliver nothing new
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    batches = sorted(glob.glob(f"{sink}/b*"))
+    rows = sorted(
+        r["event_id"] for r in spark.read.parquet(f"{sink}/b*").collect()
+    )
+    assert rows == [1, 2, 3], f"each row exactly once, got {rows}"
+    assert len(batches) == 2  # batch1 (rows 1,2) + batch2 (row 3); no replays
