@@ -554,3 +554,72 @@ def quantize_embeddings(
             ).alias("q_l1"),
         )
     )
+
+
+def knn_quantized(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over the int8-QUANTIZED corpus — SQ8 serving: score
+    with integer dot products of quantized vectors. In cosine the two
+    per-vector scales cancel, so the score is a pure function of three
+    INTEGER dots (q_a·q_b, q_a·q_a, q_b·q_b) — deterministic to the
+    bit across engines (and oracle-checkable exactly, unlike
+    float-accumulated cosines that need rounding discipline).
+
+    Same broadcast-queries/one-pass shape as :func:`knn_bruteforce`;
+    memory-bandwidth per row is 4× lower than float32 — the reason
+    SQ8 is the default serving layout at corpus scale.
+    """
+    scale = F.array_max(
+        F.transform(F.col(emb_col), lambda x: F.abs(x.cast("double")))
+    ) / F.lit(127.0)
+    qv = F.expr(
+        f"transform({emb_col}, x -> IF(_scale > 0.0, "
+        f"CAST(round(CAST(x AS DOUBLE) / _scale) AS BIGINT), CAST(0 AS BIGINT)))"
+    )
+
+    def quantized(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            widen(df)
+            .select(F.col(id_col), F.col(emb_col), scale.alias("_scale"))
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                qv.alias(f"{prefix}_q"),
+                F.expr(
+                    "aggregate(transform(" + emb_col + ", x -> IF(_scale > 0.0, "
+                    "CAST(round(CAST(x AS DOUBLE) / _scale) AS BIGINT), CAST(0 AS BIGINT))), "
+                    "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+                ).alias(f"{prefix}_qq"),
+            )
+        )
+
+    corpus = quantized(emb, "n")
+    qs = quantized(queries, "q")
+    dot = "aggregate(zip_with(q_q, n_q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("n_id") != F.col("q_id"))
+        .filter((F.col("n_qq") > 0) & (F.col("q_qq") > 0))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round(
+                F.expr(dot)
+                / (F.sqrt(F.col("q_qq").cast("double")) * F.sqrt(F.col("n_qq").cast("double"))),
+                COSINE_NDIGITS,
+            ).alias("qcosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("qcosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qcosine")
+    )

@@ -579,3 +579,52 @@ ranked AS (
 )
 SELECT lang, token, n, rank FROM ranked WHERE rank <= {VOCAB_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# #76b SQ8-serving top-k: search the quantized corpus (scales cancel in
+# cosine → the score is a pure function of integer dots → exact oracle)
+
+
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_quantized(emb, queries, k=KNN_K)
+
+
+KNN_QUANTIZED_SQL = f"""
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN scale > 0.0
+                     THEN CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+    FROM embeddings
+  )
+),
+norms AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qq
+  FROM q8
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(
+           CAST((SELECT SUM(a.qv[i] * b.qv[i])
+                 FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) AS DOUBLE)
+           / (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(b.qq AS DOUBLE))), 6) AS qcosine
+  FROM norms a JOIN norms b
+    ON a.vec_id < {KNN_QUERY_MAX_ID} AND b.vec_id <> a.vec_id
+  WHERE a.qq > 0 AND b.qq > 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qcosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, qcosine FROM ranked WHERE rank <= {KNN_K}
+"""

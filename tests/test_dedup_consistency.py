@@ -269,3 +269,25 @@ def test_exact_dedup_survivors(spark, docs):
     total = docs.count()
     survivors = out.agg(F.sum("n_copies")).collect()[0][0]
     assert survivors == total  # every doc accounted for exactly once
+
+
+def test_quantized_knn_recall_vs_float(spark, sf_medium):
+    """SQ8 serving must track full-precision search: recall@5 of the
+    quantized top-k vs the float brute-force top-k. int8 keeps ~0.4%
+    relative error per component, so overlap should be near-total."""
+    from flink_learning_practise_spark.plans.llm_pipeline import (
+        knn_bruteforce,
+        knn_quantized,
+    )
+
+    exact = {}
+    for r in knn_bruteforce(spark, sf_medium).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    quant = {}
+    for r in knn_quantized(spark, sf_medium).collect():
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(quant) == set(exact)
+    recalls = [
+        len(quant[q] & exact[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
