@@ -88,20 +88,33 @@ def main() -> None:
     load_points: list[float | None] = [_loadavg()]
     ticks0 = _cpu_ticks()
 
+    errors: dict[str, str] = {}
+
     for p in range(PASSES + 1):  # pass 0 = compile warm-up, discarded
         t0 = time.perf_counter()
         for n in names:
-            t = run_once(n)
+            if n in errors:
+                continue
+            # one failing query must not lose the whole run's JSON:
+            # record the error, keep timing everything else.
+            try:
+                t = run_once(n)
+            except Exception as e:  # noqa: BLE001
+                errors[n] = f"{type(e).__name__}: {e}"[:300]
+                continue
             if p > 0:
                 samples[n].append(t)
         pass_wall.append(round(time.perf_counter() - t0, 2))
         load_points.append(_loadavg())
 
+    samples = {n: s for n, s in samples.items() if s}
     # Targeted re-sample for unstable queries (skip sub-0.3s noise floor).
-    for n in names:
-        s = samples[n]
+    for n, s in samples.items():
         if min(s) >= 0.3 and (max(s) - min(s)) / min(s) > SPREAD_RERUN:
-            samples[n].append(run_once(n))
+            try:
+                s.append(run_once(n))
+            except Exception as e:  # noqa: BLE001
+                errors[n] = f"{type(e).__name__}: {e}"[:300]
 
     ticks1 = _cpu_ticks()
     busy_frac = None
@@ -126,6 +139,7 @@ def main() -> None:
         "pass_wall_sec": pass_wall,  # [warmup, pass1, pass2, ...]
         "loadavg_1m": load_points,  # before warmup, after each pass
         "cpu_busy_frac": busy_frac,  # whole-box busy share during the run
+        "errors": errors,  # queries that threw (excluded from timings)
     }
     print(json.dumps(out))
     spark.stop()
