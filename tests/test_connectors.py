@@ -106,3 +106,23 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived datasets evolve: files written before a column was
+    added must read as nulls alongside new files — mergeSchema pays a
+    footer scan per file, so production pins the schema instead: the
+    explicit-schema read must give the same rows without that cost."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    pinned = spark.read.schema("id long, name string, score double").parquet(path)
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, merged.collect()))
