@@ -82,3 +82,49 @@ def test_cc_matches_union_find_property(spark):
         expect = sorted((v, comp_min[find(v)]) for v in touched)
 
         assert cc(spark, edges) == expect
+
+
+def test_star_cc_long_chain_converges_fast(spark):
+    """A 64-node path is the adversarial case for label propagation
+    (O(diameter) rounds); large-star/small-star must collapse it into
+    one component within its O(log^2 n) budget."""
+    from flink_learning_practise_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    out = connected_components_star(edges, "a", "b", max_iters=12).collect()
+    assert len(out) == 64
+    assert {r["component"] for r in out} == {0}
+
+
+def test_star_cc_matches_label_propagation_on_random_graphs(spark):
+    """Both CC formulations must produce identical components on
+    random graphs (deterministic seeds, mixed chains/stars/isolated
+    pairs)."""
+    import random
+
+    from flink_learning_practise_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        base = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, "a", "b").collect()
+        }
+        star = {
+            r["vertex"]: r["component"]
+            for r in connected_components_star(df, "a", "b").collect()
+        }
+        assert star == base, f"seed {seed}: {star} != {base}"
