@@ -628,3 +628,33 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, qcosine FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# #63b dedup clusters via large-star/small-star (adversarial-diameter path)
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as :func:`dedup_clusters`, computed with the
+    O(log² n)-round star formulation instead of O(diameter) label
+    propagation — the variant to reach for when duplicate chains can
+    be long (same DuckDB recursive-CTE oracle, so both formulations
+    are independently value-checked on the same data)."""
+    from ..operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+    )
+    cc = graph.connected_components_star(pairs, src="id_a", dst="id_b")
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+
+
+DEDUP_CLUSTERS_STAR_SQL = DEDUP_CLUSTERS_SQL

@@ -133,6 +133,7 @@ def _populate() -> None:
     register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
     register("q_dedup_survivors", llm.dedup_survivors, llm.DEDUP_SURVIVORS_SQL)
     register("q_dedup_clusters", llm.dedup_clusters, llm.DEDUP_CLUSTERS_SQL)
+    register("q_dedup_clusters_star", llm.dedup_clusters_star, llm.DEDUP_CLUSTERS_STAR_SQL)
     register("q_stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL)
 
     # corpus curation (#69-74: PII scrub, Gopher gates, packing,
