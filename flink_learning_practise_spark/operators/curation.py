@@ -184,15 +184,22 @@ def pack_sequences(
     capacity: int = 128,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: within each shard, documents
-    (in id order) fill fixed-capacity token bins — the batch-shaping
+    (in id order) fill capacity-TARGETED token bins — the batch-shaping
     step before training (padding waste ∝ 1/capacity_utilization).
 
     A document goes to bin ``floor(tokens_before_it / capacity)``
     (running-sum packing): deterministic, one pass, and parallel per
-    shard. One shuffle keys by shard for the running sum; per-shard
-    sequential scan is the inherent cost of order-dependent packing —
-    at 100 TB the shard column must be finer than a source label (e.g.
-    a hash-bucket of the id) so no single shard serializes the job.
+    shard. Bin sizes are a TARGET, not a hard cap — a document
+    straddling a bin boundary lands wholly in the earlier bin, so a
+    bin can overflow by up to (doc_len - 1) tokens (and an oversized
+    document always overflows its own bin); consumers that need a hard
+    token budget truncate at read time. An exact never-overflow packer
+    needs a sequential per-shard decision chain that no windowed
+    expression computes. One shuffle keys by shard for the running
+    sum; per-shard sequential scan is the inherent cost of
+    order-dependent packing — at 100 TB the shard column must be finer
+    than a source label (e.g. a hash-bucket of the id) so no single
+    shard serializes the job.
 
     Returns one row per (shard, pack): n_docs, n_tokens, first/last id.
     """
@@ -236,16 +243,21 @@ def decontaminate(
     streams through one explode + broadcast semi-join + count, so the
     full corpus is never shuffled. Production pipelines use k of 8-13
     (n-gram collision at k=3 is common English); k is a parameter.
+
+    ``benchmark_pred`` is evaluated against ``df`` itself (any column
+    works — a source label, an id rule), BEFORE shingling: the
+    exploded frame only carries (id, shingle).
     """
     from .dedup import doc_shingles
 
-    sh = doc_shingles(df, id_col, text_col, k)  # distinct per doc
     bench_sh = (
-        sh.filter(benchmark_pred).select("shingle").distinct()
+        doc_shingles(df.filter(benchmark_pred), id_col, text_col, k)
+        .select("shingle")
+        .distinct()
     )
+    corpus_sh = doc_shingles(df.filter(~benchmark_pred), id_col, text_col, k)
     return (
-        sh.filter(~benchmark_pred)
-        .join(F.broadcast(bench_sh), "shingle")
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

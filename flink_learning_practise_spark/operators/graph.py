@@ -164,15 +164,18 @@ def connected_components_star(
     Returns ``(vertex, component)`` with component = min vertex id
     reachable, exactly like :func:`connected_components`.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # vertices from the RAW edge list, before self-loops are dropped:
+    # a vertex whose only edge is (v, v) must still appear in the
+    # output (as its own component), exactly like connected_components.
+    vertices = (
+        raw.select(F.col("u").alias("vertex"))
+        .union(raw.select("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    vertices = (
-        e.select(F.col("u").alias("vertex"))
-        .union(e.select("v"))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -583,16 +583,22 @@ def knn_quantized(
     )
 
     def quantized(df: DataFrame, prefix: str) -> DataFrame:
+        # quantize ONCE into _q, then aggregate over _q — inlining the
+        # transform inside the aggregate would run the interpreted
+        # per-element quantization twice per row (the module's own HOF
+        # cost rule; quantize_embeddings uses the same staging).
         return (
             widen(df)
             .select(F.col(id_col), F.col(emb_col), scale.alias("_scale"))
             .select(
                 F.col(id_col).alias(f"{prefix}_id"),
                 qv.alias(f"{prefix}_q"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_q",
                 F.expr(
-                    "aggregate(transform(" + emb_col + ", x -> IF(_scale > 0.0, "
-                    "CAST(round(CAST(x AS DOUBLE) / _scale) AS BIGINT), CAST(0 AS BIGINT))), "
-                    "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+                    f"aggregate({prefix}_q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
                 ).alias(f"{prefix}_qq"),
             )
         )

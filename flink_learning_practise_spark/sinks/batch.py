@@ -92,12 +92,23 @@ def compact_parquet(
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(in_path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    # refuse in-place rewrite up front (resolved paths, not string
+    # compare): overwrite-while-reading deletes the source if Spark's
+    # own self-overwrite detection misses the aliasing.
+    out_resolved = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(out_path))
+    if fs.makeQualified(hpath).equals(out_resolved):
+        raise ValueError(
+            f"compact_parquet: out_path resolves to in_path ({in_path}); "
+            "write to a new location, then swap"
+        )
     it = fs.listFiles(hpath, True)
     total = 0
     while it.hasNext():
         f = it.next()
         if f.getPath().getName().endswith(".parquet"):
             total += f.getLen()
+    if total == 0:
+        raise ValueError(f"compact_parquet: no parquet files under {in_path}")
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(in_path).repartition(n_files).write.mode(
         "overwrite"

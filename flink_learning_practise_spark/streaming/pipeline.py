@@ -236,7 +236,6 @@ def trending_tokens(
     text_col: str,
     window: str = "1 minute",
     watermark_delay: str = "30 seconds",
-    k: int = 5,
 ) -> DataFrame:
     """Streaming windowed token counts — the unbounded half of
     ``text.vocab_topk`` (trending-terms analytics over an event

@@ -126,3 +126,20 @@ def test_schema_evolution_merge_read(spark, tmp_path):
 
     pinned = spark.read.schema("id long, name string, score double").parquet(path)
     assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_compact_parquet_refuses_in_place_and_empty(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_learning_practise_spark.sinks.batch import compact_parquet
+
+    src = str(tmp_path / "cp_src")
+    spark.range(10).write.parquet(src)
+    with _pytest.raises(ValueError, match="resolves to in_path"):
+        compact_parquet(spark, src, src)
+    empty = str(tmp_path / "cp_empty")
+    import os
+
+    os.makedirs(empty, exist_ok=True)
+    with _pytest.raises(ValueError, match="no parquet files"):
+        compact_parquet(spark, empty, str(tmp_path / "cp_out"))

@@ -218,3 +218,34 @@ def test_curation_pipeline_composes_lazily(spark):
         if prev is not None:
             assert prev < r["first_doc"]
         by_split[r["split"]] = r["last_doc"]
+
+
+def test_pack_sequences_straddling_doc_overflows_earlier_bin(spark):
+    # documented semantics: bins are capacity-TARGETED; a straddling
+    # doc lands wholly in the earlier bin (overflow < doc_len)
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "s"), (2, "f g h i j", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = sorted(
+        curation.pack_sequences(df, "doc_id", "text", "source", capacity=8).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    # doc2 has tokens_before=5 -> floor(5/8)=0: same bin, 10 tokens
+    assert [r["pack_id"] for r in out] == [0]
+    assert out[0]["n_tokens"] == 10 and out[0]["n_docs"] == 2
+
+
+def test_decontaminate_predicate_on_arbitrary_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "bench"),
+            (1, "x y alpha beta gamma z", "train"),
+            (2, "p q r s t u", "train"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curation.decontaminate(
+        df, "doc_id", "text", F.col("source") == "bench", k=3
+    ).collect()
+    assert [(r["doc_id"], r["n_shared"]) for r in out] == [(1, 1)]

@@ -128,3 +128,21 @@ def test_star_cc_matches_label_propagation_on_random_graphs(spark):
             for r in connected_components_star(df, "a", "b").collect()
         }
         assert star == base, f"seed {seed}: {star} != {base}"
+
+
+def test_star_cc_keeps_self_loop_only_vertices(spark):
+    from flink_learning_practise_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(7, 7), (1, 2)], "a long, b long")
+    star = {
+        r["vertex"]: r["component"]
+        for r in connected_components_star(edges, "a", "b").collect()
+    }
+    base = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert star == base == {7: 7, 1: 1, 2: 1}

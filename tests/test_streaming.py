@@ -834,7 +834,7 @@ def test_trending_tokens_matches_batch_topk(spark, tmp_path):
 
     schema = "ts timestamp, text string"
     src = spark.readStream.schema(schema).json(path)
-    counts = trending_tokens(src, "ts", "text", window="1 minute", k=2)
+    counts = trending_tokens(src, "ts", "text", window="1 minute")
 
     ranked_batches = []
 
