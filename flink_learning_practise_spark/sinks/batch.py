@@ -114,3 +114,32 @@ def compact_parquet(
         "overwrite"
     ).parquet(out_path)
     return n_files
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-clustered on ``cluster_cols``: rows are
+    range-partitioned across files and sorted within each, so per-file
+    (and per-row-group) min/max statistics on the cluster columns are
+    NON-overlapping — downstream range/point filters skip whole files
+    without a partition-directory scheme (the ZORDER-lite layout for
+    one clustering dimension; directory ``partitionBy`` stays the
+    right tool for low-cardinality keys).
+
+    repartitionByRange samples the keys to build balanced range
+    bounds (skew-tolerant, unlike hash or directory partitioning on a
+    skewed key); sortWithinPartitions costs one local sort per file —
+    no extra shuffle beyond the range exchange.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

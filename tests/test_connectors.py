@@ -143,3 +143,29 @@ def test_compact_parquet_refuses_in_place_and_empty(spark, tmp_path):
     os.makedirs(empty, exist_ok=True)
     with _pytest.raises(ValueError, match="no parquet files"):
         compact_parquet(spark, empty, str(tmp_path / "cp_out"))
+
+
+def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
+    import glob
+
+    from flink_learning_practise_spark.sinks.batch import write_range_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(10000).selectExpr(
+        "id % 977 AS k", "id AS payload"
+    )  # write order uncorrelated with k
+    write_range_clustered(df, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        part = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        if part["n"]:
+            ranges.append((part["lo"], part["hi"]))
+    assert len(ranges) >= 4  # balanced bounds actually split the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file key ranges overlap: {(lo1,hi1)} vs {(lo2,hi2)}"
+    # row-identical to the input
+    assert spark.read.parquet(path).count() == 10000
