@@ -164,7 +164,15 @@ def connected_components_star(
     Returns ``(vertex, component)`` with component = min vertex id
     reachable, exactly like :func:`connected_components`.
     """
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # ONE eager checkpoint of the raw edge list: vertices and the
+    # working edge set both derive from it — two separate eager
+    # checkpoints would each materialize the full upstream pipeline
+    # (for dedup clustering, the entire near-dup pair tier) once more.
+    raw = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # vertices from the RAW edge list, before self-loops are dropped:
     # a vertex whose only edge is (v, v) must still appear in the
     # output (as its own component), exactly like connected_components.
@@ -176,7 +184,6 @@ def connected_components_star(
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
 
@@ -217,11 +224,14 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(omins.select(F.col("u"), F.col("m")))
         )
+        # LAZY checkpoint: the signature collect right below is the
+        # action that materializes it — an eager checkpoint would add
+        # a second job per round for nothing.
         e = (
             large.union(small)
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sig = canon_sig(e)
         if (sig["n"], sig["h"]) == (prev["n"], prev["h"]):
