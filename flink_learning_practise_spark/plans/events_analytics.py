@@ -619,3 +619,38 @@ JOIN nxt p ON p.user_id = c.user_id AND p.k = c.next_purchase_k
           AND p.event_type = 'purchase'
           AND p.ts <= c.ts + INTERVAL {FUNNEL_GAP_DUCK}
 """
+
+
+# ---------------------------------------------------------------------------
+# #80 changelog compaction: latest-per-key current view (CDC staple)
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert-compaction view: each user's most recent event —
+    how a changelog stream becomes a current-state table (the batch
+    twin of the reference's Kafka→MySQL upsert sink, and of streaming
+    dropDuplicates-keep-last). One shuffle on the key; rank-1 window
+    with a deterministic (ts, event_id) tie-break, so replays and
+    engine differences can't flip survivors."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""

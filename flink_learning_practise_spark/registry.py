@@ -185,6 +185,7 @@ def _populate() -> None:
         comp.COGROUP_USER_ACTIVITY_SQL,
     )
     register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
+    register("q_latest_event_per_user", ea.latest_event_per_user, ea.LATEST_EVENT_PER_USER_SQL)
 
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
