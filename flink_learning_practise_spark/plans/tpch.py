@@ -229,3 +229,205 @@ WHERE p_type = 'ECONOMY'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY 1
 """
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one returned
+    line — the EXISTS-subquery / semi-join pattern
+    (``flink_typora.md`` SQL exercises; Table API ``in``/``exists``).
+
+    Scale shape: a LEFT SEMI join on the order key. Both sides are
+    fact-sized so the join shuffles on ``orderkey`` — but the lineitem
+    side is pruned to the single join column by Catalyst before the
+    exchange (semi joins emit no right-side columns), and the returned
+    flag filter is pushed to the parquet scan. The final aggregate is
+    5 groups; partial aggregation makes its shuffle negligible.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_CHECK_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    non-urgent orders they placed — the LEFT OUTER join where the
+    predicate must live in the JOIN (filtering in WHERE would drop the
+    zero-order customers the query exists to count).
+
+    Scale shape: orders pre-aggregate to (custkey, count) BEFORE the
+    outer join, so the join's shuffle carries one row per ordering
+    customer instead of every order (map-side partials shrink it
+    further). Customer joins on its key; at 100 TB both sides are
+    large and the shuffled hash join on ``custkey`` is the right plan
+    (no broadcast hint — AQE may still pick one at small SF). The
+    second aggregate is per-distinct-count — tiny.
+    """
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COALESCE(cnt, 0) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+  ) oc ON c_custkey = o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+Q18_MIN_QTY = 250.0
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity clears a
+    threshold, enriched with the customer — the GROUP BY ... HAVING
+    pattern feeding a join.
+
+    Scale shape: the HAVING runs FIRST (aggregate lineitem by order
+    key with map-side partials, filter the sums), so only qualifying
+    orders — a data-dependent, usually tiny fraction — flow into the
+    joins. No broadcast hints: the qualifying set's size is unknown at
+    plan time, and AQE converts the joins to broadcast at runtime
+    exactly when the filter was selective. The quantity sum routes
+    through decimal (num.dsum) so the threshold comparison is
+    partition-order-independent — a float sum could flip a borderline
+    order in and out of the result between runs.
+    """
+    qty = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > F.lit(Q18_MIN_QTY))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL = f"""
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, {sql_dsum("l_quantity", "total_qty")}
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > {Q18_MIN_QTY}
+) q ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+DORMANT_CUTOFF = "1998-01-01 00:00:00"
+
+
+def dormant_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, by nation — the scalar-subquery + NOT EXISTS (anti-join)
+    pattern.
+
+    Scale shape: the scalar threshold is one aggregate row broadcast
+    into a crossJoin (same single-row-broadcast shape as
+    ``q_status_distribution``). The above-average comparison is
+    cross-multiplied in decimal (``bal * cnt > total``) instead of
+    dividing to a float average: both engines then compare exact
+    integers, so no borderline customer can flip on a last-ulp
+    difference between Spark's and the oracle's summation order. The
+    NOT EXISTS is a LEFT ANTI join on ``custkey`` — the recent-orders
+    side is pruned to one column and date-filtered at the scan;
+    at 100 TB both sides are large so the anti-join shuffles on the
+    key (AQE broadcasts when the filtered side is small).
+    """
+    cust = load(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("tot"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(18,6)") * F.col("cnt") > F.col("tot"))
+    )
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+DORMANT_HIGH_VALUE_SQL = f"""
+SELECT
+  c_nationkey,
+  COUNT(*) AS numcust,
+  {sql_dsum("c_acctbal", "totacctbal")}
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,6))
+      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+

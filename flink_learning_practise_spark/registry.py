@@ -83,6 +83,28 @@ def _populate() -> None:
         headline=True,
     )
     register("q_market_share", tpch.market_share, tpch.MARKET_SHARE_SQL, headline=True)
+    register(
+        "q_order_priority_check",
+        tpch.order_priority_check,
+        tpch.ORDER_PRIORITY_CHECK_SQL,
+        headline=True,
+    )
+    register(
+        "q_customer_order_distribution",
+        tpch.customer_order_distribution,
+        tpch.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        headline=True,
+    )
+    register(
+        "q_large_volume_orders",
+        tpch.large_volume_orders,
+        tpch.LARGE_VOLUME_ORDERS_SQL,
+    )
+    register(
+        "q_dormant_high_value",
+        tpch.dormant_high_value,
+        tpch.DORMANT_HIGH_VALUE_SQL,
+    )
 
     # relational core (SURVEY §2 #1-6, #20)
     register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
