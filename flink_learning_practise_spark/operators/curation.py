@@ -353,3 +353,70 @@ def incremental_dedup(
         )
         .select(id_col, "n_copies")
     )
+
+
+# CCNet-style cross-document boilerplate removal (Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data" — public paper — deduplicates by PARAGRAPH hash across the
+# corpus before any document-level filter). The synthetic corpus has
+# no newlines, so the paragraph unit here is a fixed-width token
+# segment; the algorithm (segment → corpus-wide frequency → strip
+# over-represented segments, reassemble in order) is unchanged.
+BOILERPLATE_SEG_WORDS = 2
+BOILERPLATE_MIN_DOCS = 20
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = BOILERPLATE_SEG_WORDS,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Strip segments that recur across ``>= min_docs`` distinct
+    documents (headers, footers, navigation chrome at web scale);
+    returns (id, n_segments, n_boilerplate, cleaned) with the surviving
+    segments rejoined in document order.
+
+    Scale shape: one explode to (doc, seg_idx, segment) — ~n_tokens /
+    seg_words rows — then ONE repartition on the segment shared by the
+    frequency aggregate and the join back (ReusedExchange, the same
+    pattern as the n-gram shingle tier). The distinct-doc count plans
+    as two aggregates — partial (segment, doc) dedup map-side, then
+    counts — so a segment present in half the corpus shuffles counts,
+    not doc lists (skew-safe). Reassembly is one groupBy(doc):
+    collect_list is bounded by document size, not corpus size.
+    """
+    from .text import words
+
+    w = words(F.col(text_col))
+    nseg = F.greatest(
+        F.ceil(F.size(w) / F.lit(float(seg_words))).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(w, i * seg_words + 1, seg_words), " "),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg"))
+    part = ex.repartition("seg")
+    counts = part.groupBy("seg").agg(
+        F.count_distinct(F.col(id_col)).alias("ndocs")
+    )
+    tagged = part.join(counts, "seg").withColumn(
+        "is_bp", F.col("ndocs") >= F.lit(min_docs)
+    )
+    kept_in_order = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "is_bp", "seg"))),
+                lambda x: ~x["is_bp"],
+            ),
+            lambda x: x["seg"],
+        ),
+        " ",
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("is_bp"), 1)).alias("n_boilerplate"),
+        kept_in_order.alias("cleaned"),
+    )

@@ -222,3 +222,47 @@ def vocab_topk(
         .filter(F.col("rank") <= k)
         .select(group_col, "token", "n", "rank")
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the standard relevance /
+    feature-extraction weighting (Salton & Buckley 1988; smooth-free
+    ``tf * ln(N / df)`` since every counted token has df >= 1).
+
+    Returns (id, token, tf, score, rank). Scale shape: term counts
+    partial-aggregate map-side before ONE (doc, token) shuffle; the
+    document frequency comes from a window over the same rows keyed by
+    token (distinct (doc, token) pairs — vocabulary-bounded per token,
+    and computed WITHOUT re-evaluating the token pipeline, which a
+    self-join aggregate would: Catalyst does not CSE across join
+    branches). The corpus size N is a one-row broadcast crossJoin.
+    The score is rounded to 9 decimals BEFORE ranking so a last-ulp
+    ``ln`` difference between engines cannot reorder near-ties — the
+    remaining tie-break is the token itself (deterministic).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import widen
+
+    toks = widen(df).select(
+        F.col(id_col),
+        F.explode_outer(F.split(normalize(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    scored = (
+        tf.crossJoin(F.broadcast(n))
+        .withColumn("score", F.round(F.col("tf") * F.log(F.col("n") / dfreq), 9))
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "score", "rank")
+    )

@@ -300,3 +300,36 @@ fresh AS (
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM fresh GROUP BY hh
 """
+
+# ---------------------------------------------------------------------------
+# #81 CCNet-style boilerplate strip (cross-document segment dedup)
+
+SEG_WORDS = curation.BOILERPLATE_SEG_WORDS
+SEG_MIN_DOCS = curation.BOILERPLATE_MIN_DOCS
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return curation.boilerplate_strip(docs, "doc_id", "text")
+
+
+BOILERPLATE_STRIP_SQL = f"""
+WITH wn AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents),
+idx AS (
+  SELECT doc_id, w,
+         unnest(range(0, GREATEST(CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT), 1))) AS seg_idx
+  FROM wn
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(w[(seg_idx * {SEG_WORDS} + 1):(seg_idx * {SEG_WORDS} + {SEG_WORDS})], ' ') AS seg
+  FROM idx
+),
+cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)
+SELECT s.doc_id,
+       COUNT(*) AS n_segments,
+       COUNT(CASE WHEN ndocs >= {SEG_MIN_DOCS} THEN 1 END) AS n_boilerplate,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE ndocs < {SEG_MIN_DOCS}), '') AS cleaned
+FROM segs s JOIN cnt USING (seg)
+GROUP BY s.doc_id
+"""

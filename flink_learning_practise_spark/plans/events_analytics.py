@@ -654,3 +654,62 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-activity
+    week, counted in each subsequent week they return — the classic
+    product-analytics query (and a two-level keyBy exercise: per-user
+    reduce, then per-cohort-cell aggregate).
+
+    Scale shape: ONE shuffle on user_id computes both the cohort
+    (min week) and the distinct active weeks per user in the same
+    aggregate — the corpus-sized exchange. Exploding the per-user week
+    set yields one row per (user, week), already distinct, so the
+    final (cohort, offset) count needs no count_distinct machinery;
+    its shuffle is cohort-matrix-sized. A per-user week set spans at
+    most the corpus's week range — bounded state, no skew risk.
+    """
+    events = load(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("week").alias("cohort_week"),
+            F.collect_set("week").alias("weeks"),
+        )
+    )
+    return (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("week")
+        )
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH act AS (
+  -- DuckDB's date_trunc('week') yields DATE; Spark's yields TIMESTAMP.
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+       COUNT(*) AS active_users
+FROM act JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""

@@ -658,3 +658,35 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTERS_STAR_SQL = DEDUP_CLUSTERS_SQL
+
+# ---------------------------------------------------------------------------
+# #82 TF-IDF keyword extraction
+
+TFIDF_K = 5
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, "doc_id", "text", k=TFIDF_K)
+
+
+TFIDF_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+         ROUND(tf * LN(n / (COUNT(*) OVER (PARTITION BY token))), 9) AS score
+  FROM tf CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TFIDF_K}
+"""

@@ -174,6 +174,19 @@ def _populate() -> None:
         cur.CURATION_PIPELINE_SQL,
         headline=True,
     )
+    register(
+        "q_boilerplate_strip",
+        cur.boilerplate_strip,
+        cur.BOILERPLATE_STRIP_SQL,
+        headline=True,
+    )
+    register("q_tfidf_topk", llm.tfidf_topk, llm.TFIDF_TOPK_SQL)
+    register(
+        "q_retention_cohorts",
+        ea.retention_cohorts,
+        ea.RETENTION_COHORTS_SQL,
+        headline=True,
+    )
 
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)

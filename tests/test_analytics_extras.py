@@ -1,0 +1,141 @@
+"""Invariant tests for the late-round analytics additions: CCNet-style
+boilerplate stripping, TF-IDF keyword extraction, weekly retention
+cohorts, and the Q4/Q13/Q18/Q22 relational shapes (their value parity
+is covered by test_oracle_parity; these pin the semantic invariants an
+oracle hash can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_learning_practise_spark.datasets import load
+from flink_learning_practise_spark.operators.curation import (
+    BOILERPLATE_SEG_WORDS,
+    boilerplate_strip,
+)
+from flink_learning_practise_spark.operators.text import normalize, tfidf_topk
+from flink_learning_practise_spark.plans.events_analytics import retention_cohorts
+from flink_learning_practise_spark.registry import all_queries
+
+
+class TestBoilerplateStrip:
+    def test_segment_accounting_and_clean_docs(self, spark, sf_medium):
+        docs = load(spark, sf_medium, "documents")
+        out = boilerplate_strip(docs, "doc_id", "text")
+        joined = out.join(
+            docs.select("doc_id", normalize(F.col("text")).alias("norm")), "doc_id"
+        ).collect()
+        assert len(joined) == docs.count()  # no doc lost, even all-boilerplate
+        S = BOILERPLATE_SEG_WORDS
+        stripped_any = 0
+        for r in joined:
+            n_tokens = len(r["norm"].split(" "))
+            expect_segs = max(-(-n_tokens // S), 1)
+            assert r["n_segments"] == expect_segs
+            assert 0 <= r["n_boilerplate"] <= r["n_segments"]
+            if r["n_boilerplate"] == 0:
+                # nothing stripped => reassembly must be lossless
+                assert r["cleaned"] == r["norm"]
+            else:
+                stripped_any += 1
+                assert len(r["cleaned"]) < len(r["norm"])
+        assert stripped_any > 0  # threshold splits the corpus non-trivially
+
+    def test_cleaned_preserves_order(self, spark, sf_medium):
+        docs = load(spark, sf_medium, "documents")
+        out = boilerplate_strip(docs, "doc_id", "text")
+        row = (
+            out.join(docs.select("doc_id", normalize(F.col("text")).alias("norm")), "doc_id")
+            .filter((F.col("n_boilerplate") > 0) & (F.col("cleaned") != ""))
+            .orderBy("doc_id")
+            .first()
+        )
+        # kept segments appear in original order: cleaned tokens are a
+        # subsequence of the original tokens
+        orig = row["norm"].split(" ")
+        it = iter(orig)
+        assert all(tok in it for tok in row["cleaned"].split(" "))
+
+
+class TestTfidfTopk:
+    def test_ranks_contiguous_scores_monotone(self, spark, sf_medium):
+        docs = load(spark, sf_medium, "documents")
+        out = tfidf_topk(docs, "doc_id", "text", k=5).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc) == docs.count()
+        for rows in by_doc.values():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r["score"] for r in rows]
+            assert scores == sorted(scores, reverse=True)
+            assert all(r["tf"] >= 1 and r["score"] >= 0.0 for r in rows)
+
+    def test_corpus_wide_token_scores_zero(self, spark):
+        # a token present in EVERY doc has idf ln(N/N)=0 and can never
+        # out-rank a discriminating token
+        df = spark.createDataFrame(
+            [(1, "common alpha alpha"), (2, "common beta"), (3, "common gamma")],
+            ["doc_id", "text"],
+        )
+        out = {(r["doc_id"], r["token"]): r for r in tfidf_topk(df, "doc_id", "text", k=3).collect()}
+        assert out[(1, "common")]["score"] == 0.0
+        assert out[(1, "alpha")]["rank"] == 1  # tf=2, df=1 dominates
+
+
+class TestRetentionCohorts:
+    def test_offset_zero_counts_cohort_size(self, spark, sf_medium):
+        rows = retention_cohorts(spark, sf_medium).collect()
+        assert all(r["week_offset"] >= 0 for r in rows)
+        # every user is active in their own cohort week, so the
+        # offset-0 cell IS the cohort size and the offset-0 total is
+        # the distinct-user count
+        ev = load(spark, sf_medium, "events")
+        n_users = ev.select("user_id").distinct().count()
+        zero = [r for r in rows if r["week_offset"] == 0]
+        assert sum(r["active_users"] for r in zero) == n_users
+        for r in rows:  # no later cell can exceed its cohort's size
+            cohort = next(
+                z["active_users"] for z in zero if z["cohort_week"] == r["cohort_week"]
+            )
+            assert r["active_users"] <= cohort
+
+
+class TestRelationalShapes:
+    def test_semi_join_never_multiplies(self, spark, sf_medium):
+        """q_order_priority_check: the EXISTS must not duplicate orders
+        with many returned lines — total counted orders <= orders in
+        the date window."""
+        q = all_queries()["q_order_priority_check"].fn(spark, sf_medium)
+        total = sum(r["order_count"] for r in q.collect())
+        orders = load(spark, sf_medium, "orders").filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+        )
+        assert 0 < total <= orders.count()
+
+    def test_outer_join_keeps_zero_order_customers(self, spark, sf_medium):
+        """q_customer_order_distribution must account for EVERY
+        customer exactly once (the point of the outer join)."""
+        q = all_queries()["q_customer_order_distribution"].fn(spark, sf_medium)
+        n_cust = load(spark, sf_medium, "customer").count()
+        assert sum(r["custdist"] for r in q.collect()) == n_cust
+
+    def test_dormant_threshold_is_exact(self, spark, sf_medium):
+        """q_dormant_high_value: result must equal a brute-force
+        recomputation with driver-side decimal arithmetic."""
+        import decimal
+
+        cust = load(spark, sf_medium, "customer").collect()
+        orders = load(spark, sf_medium, "orders").collect()
+        recent = {r["o_custkey"] for r in orders if str(r["o_orderdate"]) >= "1998-01-01"}
+        pos = [decimal.Decimal(str(r["c_acctbal"])) for r in cust if r["c_acctbal"] > 0]
+        tot, cnt = sum(pos), len(pos)
+        expect = sum(
+            1
+            for r in cust
+            if decimal.Decimal(str(r["c_acctbal"])) * cnt > tot
+            and r["c_custkey"] not in recent
+        )
+        q = all_queries()["q_dormant_high_value"].fn(spark, sf_medium)
+        assert sum(r["numcust"] for r in q.collect()) == expect
