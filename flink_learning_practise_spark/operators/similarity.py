@@ -98,23 +98,60 @@ def knn_bruteforce(
     )
 
 
-def hyperplane_bucket_expr(
-    emb_col: str, planes: int, dim: int, table: str = "0"
-) -> str:
-    """Deterministic random-hyperplane LSH bucket id.
+# Odd leading hex digits of md5 — parity source for plane components.
+MD5_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
-    Plane p's component j is ±1 from bit parity of xxhash64(table, p, j)
-    — no stored model, reproducible on any cluster, and ``table`` (a SQL
-    expression, possibly a lambda variable) seeds independent hash
-    tables. Bucket bit p = sign of dot(plane_p, v).
+
+def plane_signs(planes: int, dim: int, tables: int) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane components, derived ENGINE-PORTABLY:
+    component (t, p, j) is the parity of the first hex digit of
+    ``md5("{t}_{p}_{j}")``. hashlib, Spark's ``md5()`` and DuckDB's
+    ``md5()`` agree on this string, so an oracle can re-derive the
+    exact same planes in SQL — which is what makes the whole LSH
+    pipeline (bucketing included) value-checkable, not just its
+    rescoring. Indexed ``[table][plane][dim]``."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.md5(f"{t}_{p}_{j}".encode()).hexdigest()[0] in MD5_ODD_HEX
+                else -1.0
+                for j in range(dim)
+            ]
+            for p in range(planes)
+        ]
+        for t in range(tables)
+    ]
+
+
+def hyperplane_bucket_expr(emb_col: str, planes: int, dim: int, table: int = 0) -> str:
+    """Deterministic random-hyperplane LSH bucket id for one hash table.
+
+    The sign matrix does not depend on the row, so it is derived ONCE
+    in Python (:func:`plane_signs`) and inlined as a nested array
+    literal — constant-folded to a single plan object, so the per-row
+    work is just the planes× dot products (the previous formulation
+    recomputed planes×dim hash calls per row inside the lambda, which
+    Catalyst cannot fold). Bucket bit p = sign of dot(plane_p, v).
 
     Deliberately a lambda fold, NOT an unrolled planes×dim expression:
     it runs once per ROW, where interpreted HOF eval is cheap, and the
     unrolled ~512-term tree costs more in optimizer/Janino time than it
     ever saves (measured 17s first-run vs 0.7s)."""
+    signs = plane_signs(planes, dim, table + 1)[table]
+    lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join("1.0D" if v > 0 else "-1.0D" for v in plane) + ")"
+            for plane in signs
+        )
+        + ")"
+    )
     plane_dot = (
-        f"aggregate(zip_with({emb_col}, sequence(0, {dim - 1}), "
-        f"(x, j) -> CAST(x AS DOUBLE) * CASE WHEN (xxhash64({table}, p, j) & 1) = 1 THEN 1.0 ELSE -1.0 END), "
+        f"aggregate(zip_with({emb_col}, element_at({lit}, p + 1), "
+        f"(x, s) -> CAST(x AS DOUBLE) * s), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (
@@ -124,9 +161,36 @@ def hyperplane_bucket_expr(
     )
 
 
+def _signs_literal(signs: list[list[list[float]]]) -> str:
+    """SQL nested-array literal for a [table][plane][dim] sign matrix."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join("1.0D" if v > 0 else "-1.0D" for v in plane) + ")"
+                for plane in tbl
+            )
+            + ")"
+            for tbl in signs
+        )
+        + ")"
+    )
+
+
 def _table_buckets_expr(emb_col: str, planes: int, dim: int, tables: int) -> str:
     """Array of (table, bucket) structs — one LSH bucket per table."""
-    bucket = hyperplane_bucket_expr(emb_col, planes, dim, table="t")
+    lit = _signs_literal(plane_signs(planes, dim, tables))
+    plane_dot = (
+        f"aggregate(zip_with({emb_col}, element_at(element_at({lit}, t + 1), p + 1), "
+        f"(x, s) -> CAST(x AS DOUBLE) * s), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    bucket = (
+        f"aggregate(transform(sequence(0, {planes - 1}), p -> "
+        f"CASE WHEN ({plane_dot}) > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
     return (
         f"transform(sequence(0, {tables - 1}), t -> "
         f"struct(t AS tbl, ({bucket}) AS bucket))"
@@ -193,17 +257,20 @@ def ivf_centroids(
     emb_col: str = "embedding",
 ) -> tuple[list[list[float]], list[float]]:
     """Deterministic IVF coarse quantizer: the ``nlist`` corpus vectors
-    with the smallest ``xxhash64(id)`` — a uniform, reproducible sample
+    with the smallest ``md5(id)`` — a uniform, reproducible sample
     (one TakeOrdered pass; no iterative k-means on the hot path, and at
     100 TB a k-means refinement would run offline on the same sample).
-    Returns (centroid vectors, centroid L2 norms) as plain Python lists;
-    they're tiny (nlist × dim) and get inlined as literals so that list
-    assignment is a map-only expression — zero shuffle."""
+    md5-of-string rather than xxhash64 so the sample is ENGINE-PORTABLE:
+    hashlib, Spark and DuckDB agree on it, which lets an SQL oracle
+    re-derive the exact centroid set and value-check the whole IVF
+    pipeline. Returns (centroid vectors, centroid L2 norms) as plain
+    Python lists; they're tiny (nlist × dim) and get inlined as literals
+    so that list assignment is a map-only expression — zero shuffle."""
     import math
 
     rows = (
         df.select(F.col(id_col).alias("cid"), F.col(emb_col).alias("emb"))
-        .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
         .limit(nlist)
         .collect()
     )

@@ -206,7 +206,13 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {KNN_K}
 """
 
 # ---------------------------------------------------------------------------
-# #43 LSH ANN (rows-only)
+# #43 LSH ANN — oracle-checked end-to-end: the hyperplane signs are
+# md5-parity-derived (similarity.plane_signs), which hashlib, Spark and
+# DuckDB all agree on, so the oracle re-derives the planes IN SQL and
+# replays bucketing + candidate join + exact rescoring + ranking.
+
+LSH_PLANES = 6
+LSH_TABLES = 16
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,18 +224,129 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
     return similarity.knn_lsh(
-        emb, queries, k=KNN_K, planes=6, tables=16, dim=EMB_DIM
+        emb, queries, k=KNN_K, planes=LSH_PLANES, tables=LSH_TABLES, dim=EMB_DIM
     )
 
 
+KNN_LSH_SQL = f"""
+WITH {NORM_CTE},
+comp AS (
+  SELECT vec_id, t, p,
+         SUM(CAST(embedding[j + 1] AS DOUBLE) *
+             CASE WHEN substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR)
+                                  || '_' || CAST(j AS VARCHAR)), 1, 1)
+                       IN ('1','3','5','7','9','b','d','f')
+                  THEN 1.0 ELSE -1.0 END) AS dot
+  FROM norms, range(0, {LSH_TABLES}) r1(t), range(0, {LSH_PLANES}) r2(p),
+       range(0, {EMB_DIM}) r3(j)
+  GROUP BY vec_id, t, p
+),
+buckets AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM comp GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb
+  JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {KNN_QUERY_MAX_ID} AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) / (a.nrm * b.nrm),
+           6) AS cosine
+  FROM cand c
+  JOIN norms a ON a.vec_id = c.query_id
+  JOIN norms b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
-# #43b IVF-Flat ANN (rows-only: centroid sample is engine-specific)
+# #43b IVF-Flat ANN — oracle-checked end-to-end: the centroid sample
+# orders by md5(vec_id) (portable across hashlib/Spark/DuckDB), so the
+# oracle re-derives the quantizer, replays list assignment (argmax with
+# Spark's first-position tie-break), probing (top-nprobe with Spark's
+# reverse-sort tie-break: score DESC, centroid index DESC), and exact
+# rescoring.
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_ivf(emb, queries, k=KNN_K, nlist=16, nprobe=4)
+    return similarity.knn_ivf(
+        emb, queries, k=KNN_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+    )
+
+
+KNN_IVF_SQL = f"""
+WITH {NORM_CTE},
+cent AS (
+  SELECT embedding, nrm, c FROM (
+    SELECT embedding, nrm,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS c
+    FROM norms
+  ) WHERE c <= {IVF_NLIST}
+),
+scores AS (
+  SELECT n.vec_id, c.c,
+         (SELECT SUM(CAST(n.embedding[i] AS DOUBLE)
+                     * (CAST(c.embedding[i] AS DOUBLE) / c.nrm))
+          FROM unnest(generate_series(1, {EMB_DIM})) t(i)) AS s
+  FROM norms n, cent c
+),
+assigned AS (
+  SELECT vec_id, c AS list_id FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c AS list_id FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM scores WHERE vec_id < {KNN_QUERY_MAX_ID}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) / (a.nrm * b.nrm),
+           6) AS cosine
+  FROM cand c
+  JOIN norms a ON a.vec_id = c.query_id
+  JOIN norms b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -142,8 +142,8 @@ def _populate() -> None:
     register("q_dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_SQL)
     register("q_dedup_embedding", llm.dedup_embedding, llm.DEDUP_EMBEDDING_SQL)
     register("q_knn_bruteforce", llm.knn_bruteforce, llm.KNN_BRUTEFORCE_SQL, headline=True)
-    register("q_knn_lsh", llm.knn_lsh, None)
-    register("q_knn_ivf", llm.knn_ivf, None, headline=True)
+    register("q_knn_lsh", llm.knn_lsh, llm.KNN_LSH_SQL)
+    register("q_knn_ivf", llm.knn_ivf, llm.KNN_IVF_SQL, headline=True)
     register("q_embed_quantize", llm.embed_quantize, llm.EMBED_QUANTIZE_SQL)
     register("q_knn_quantized", llm.knn_quantized, llm.KNN_QUANTIZED_SQL)
     register("q_vocab_topk", llm.vocab_topk, llm.VOCAB_TOPK_SQL)
