@@ -387,15 +387,19 @@ def boilerplate_strip(
     not doc lists (skew-safe). Reassembly is one groupBy(doc):
     collect_list is bounded by document size, not corpus size.
     """
-    from .text import words
+    from .text import normalize
 
-    w = words(F.col(text_col))
-    nseg = F.greatest(
-        F.ceil(F.size(w) / F.lit(float(seg_words))).cast("int"), F.lit(1)
-    )
-    segs = F.transform(
-        F.sequence(F.lit(0), nseg - 1),
-        lambda i: F.array_join(F.slice(w, i * seg_words + 1, seg_words), " "),
+    # Segment in ONE regex pass: insert a \x01 separator after every
+    # seg_words-th token, then split on it. A transform(i ->
+    # array_join(slice(words, ...))) re-evaluates the word split PER
+    # SEGMENT (HOF lambdas are interpreted, no subexpression reuse —
+    # measured ~2x slower end-to-end); the regex stays in codegen and
+    # touches each character once. The single-token tail segment falls
+    # out the same as the oracle's clipped list slice.
+    sep = "\x01"
+    group = r"((?:\S+ ){%d}\S+) " % (seg_words - 1)
+    segs = F.split(
+        F.regexp_replace(normalize(F.col(text_col)), group, "$1" + sep), sep
     )
     ex = df.select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg"))
     part = ex.repartition("seg")
