@@ -713,3 +713,108 @@ FROM act JOIN first USING (user_id)
 GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) materialization of the
+    event stream: per user, runs of equal event_type compress into
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    the warehouse-side twin of changelog compaction
+    (q_latest_event_per_user keeps the last state; this keeps the full
+    versioned history the as-of join consumes).
+
+    Scale shape: ONE shuffle on user_id; both window passes (lag to
+    detect changes, lead to close intervals) share the same
+    partitioning and ordering, and the filter between them preserves
+    sort order, so the second window adds no exchange and no sort.
+    Deterministic (ts, event_id) ordering makes interval boundaries
+    replay-stable.
+    """
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.withColumn(
+        "_prev", F.lag("event_type").over(w)
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+SCD2_INTERVALS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM chg
+"""
+
+
+def cascaded_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tier computed FROM the minute tier (not from raw events)
+    — the incremental-rollup pattern every 100 TB metrics pipeline
+    relies on: materialize fine-grained partials once, then maintain
+    coarser tiers by re-aggregating partials instead of re-scanning the
+    fact table. The oracle aggregates raw events directly at hour
+    grain, so parity PROVES the tiers compose losslessly.
+
+    The minute sums stay DECIMAL between tiers (cast to double only at
+    the end): decimal addition is associative, so cascade == direct is
+    exact, partition-order independent — a double-valued intermediate
+    tier would drift in the last ulp and break both the oracle and
+    cross-run reproducibility.
+
+    Scale shape: the minute aggregate is the only corpus-sized shuffle
+    (map-side partials); the hour tier re-shuffles minute-tier rows —
+    ~1/60th the keys. At scale the minute tier would persist (see
+    sinks/) and the hour tier would read it, not recompute it.
+    """
+    events = load(spark, sf_dir, "events")
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        )
+    )
+    return (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("minute_start")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+CASCADED_REAGG_SQL = f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""

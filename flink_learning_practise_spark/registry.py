@@ -221,6 +221,8 @@ def _populate() -> None:
     )
     register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
     register("q_latest_event_per_user", ea.latest_event_per_user, ea.LATEST_EVENT_PER_USER_SQL)
+    register("q_scd2_intervals", ea.scd2_intervals, ea.SCD2_INTERVALS_SQL)
+    register("q_cascaded_reagg", ea.cascaded_reaggregate, ea.CASCADED_REAGG_SQL)
 
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
