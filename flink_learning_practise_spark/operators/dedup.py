@@ -413,3 +413,85 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    width: int = 10,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995,
+    "The Merge/Purge Problem" — public paper): the THIRD blocking
+    family next to hashed (MinHash/SimHash bands) and inverted-index
+    (shared-shingle) blocking. Sort the corpus on a key, compare each
+    record only to its ``width`` successors; run MULTIPLE passes with
+    different keys (here: normalized text, then character-reversed
+    text) and union the candidates — the classic multi-pass fix for
+    sort-order blind spots. Candidates verify by EXACT Jaccard >= τ,
+    so output is a subset of the inverted-index tier with identical
+    jaccard values (asserted in tests).
+
+    Scale shape, per pass: block on the key's first token so the sort
+    is per-block (no global total order — a single-partition window is
+    the non-scalable formulation); neighbors join on (block, rank +
+    offset) after exploding offsets 1..width — a pure EQUI-join,
+    linear n×width candidates, never the in-block cross product a
+    rank-range join would risk on a hot block. Pairs straddling a
+    block boundary are missed by that pass — the multi-pass union is
+    the standard mitigation (and at 100 TB the block key doubles as
+    the range-partitioning key, so each pass is one
+    repartition+sort+self-join on co-partitioned data).
+    """
+    from pyspark.sql import Window as W
+
+    norm = normalize(F.col(text_col))
+    base = widen(df).select(
+        F.col(id_col), norm.alias("_key"), shingle_array(norm, k).alias("_sh")
+    )
+    tiers = []
+    for rev in (False, True):
+        key = F.reverse(F.col("_key")) if rev else F.col("_key")
+        ranked = base.select(
+            F.col(id_col),
+            F.col("_sh"),
+            key.alias("_k"),
+            F.substring_index(key, " ", 1).alias("_blk"),
+        )
+        win = W.partitionBy("_blk").orderBy("_k", id_col)
+        ranked = ranked.withColumn("_rn", F.row_number().over(win))
+        a = ranked.select(
+            F.col(id_col).alias("_ida"),
+            F.col("_sh").alias("_sha"),
+            F.col("_blk").alias("_blka"),
+            F.col("_rn").alias("_rna"),
+        ).withColumn("_d", F.explode(F.sequence(F.lit(1), F.lit(width))))
+        b = ranked.select(
+            F.col(id_col).alias("_idb"),
+            F.col("_sh").alias("_shb"),
+            F.col("_blk").alias("_blkb"),
+            F.col("_rn").alias("_rnb"),
+        )
+        pairs = a.join(
+            b,
+            (F.col("_blka") == F.col("_blkb"))
+            & ((F.col("_rna") + F.col("_d")) == F.col("_rnb")),
+        )
+        tiers.append(pairs.select("_ida", "_idb", "_sha", "_shb"))
+    cand = tiers[0].unionByName(tiers[1])
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter.cast("double") / (
+        F.size("_sha") + F.size("_shb") - inter
+    )
+    return (
+        cand.select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("jaccard").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

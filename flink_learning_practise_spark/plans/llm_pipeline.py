@@ -807,3 +807,55 @@ ranked AS (
 SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TFIDF_K}
 """
+
+# ---------------------------------------------------------------------------
+# #38b sorted-neighborhood near-dup (multi-pass SNM)
+
+SNM_WIDTH = 10
+
+
+def dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", k=3, width=SNM_WIDTH, threshold=JACCARD_THRESHOLD
+    )
+
+
+DEDUP_SNM_SQL = f"""
+WITH nrm AS (SELECT doc_id, {NORM_SQL} AS nkey FROM documents),
+{SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+keyed AS (
+  SELECT 0 AS pass, doc_id, nkey AS k FROM nrm
+  UNION ALL
+  SELECT 1 AS pass, doc_id, reverse(nkey) AS k FROM nrm
+),
+ranked AS (
+  SELECT pass, doc_id, k, split_part(k, ' ', 1) AS blk,
+         row_number() OVER (PARTITION BY pass, split_part(k, ' ', 1)
+                            ORDER BY k, doc_id) AS rn
+  FROM keyed
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM ranked a
+  JOIN ranked b ON a.pass = b.pass AND a.blk = b.blk
+               AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WIDTH}
+),
+ovl AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT o.id_a, o.id_b,
+         CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+  FROM ovl o
+  JOIN sizes sa ON sa.doc_id = o.id_a
+  JOIN sizes sb ON sb.doc_id = o.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""

@@ -133,6 +133,7 @@ def _populate() -> None:
 
     register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
     register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
+    register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
     register(
         "q_dedup_minhash_lsh",
         llm.dedup_minhash_lsh,

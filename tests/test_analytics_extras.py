@@ -139,3 +139,25 @@ class TestRelationalShapes:
         )
         q = all_queries()["q_dormant_high_value"].fn(spark, sf_medium)
         assert sum(r["numcust"] for r in q.collect()) == expect
+
+
+class TestSortedNeighborhood:
+    def test_subset_of_exact_tier_with_equal_values(self, spark, sf_medium):
+        """SNM candidates are exact-verified, so its pairs must be a
+        subset of the inverted-index tier with identical jaccard; on
+        this corpus the two passes find every τ-pair (exact dups sort
+        adjacent), so the tiers coincide."""
+        from flink_learning_practise_spark.registry import all_queries
+
+        qs = all_queries()
+        snm = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in qs["q_dedup_snm"].fn(spark, sf_medium).collect()
+        }
+        full = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in qs["q_dedup_ngram_jaccard"].fn(spark, sf_medium).collect()
+        }
+        assert snm and set(snm) <= set(full)
+        assert all(abs(snm[p] - full[p]) < 1e-12 for p in snm)
+        assert len(snm) / len(full) >= 0.9  # multi-pass recall floor
