@@ -173,3 +173,46 @@ def test_curation_pipeline_single_gate_evaluation(spark, sf_medium):
         1 for ln in plan.splitlines() if "zip_with" in ln and "Project" in ln
     )
     assert gate_projects == 1, f"gate projection evaluated {gate_projects}x"
+
+
+# --- late round-3 additions: temporal/relational plan pins ---------------
+
+
+def test_scd2_two_windows_share_one_exchange(spark, sf_medium):
+    """Both SCD2 window passes (lag-change-detect, lead-interval-close)
+    must run on a single user_id exchange and a single sort — the
+    filter between them preserves ordering, so a second Exchange or
+    Sort appearing here is a plan regression."""
+    import re
+
+    plan = plan_of(all_queries()["q_scd2_intervals"].fn(spark, sf_medium))
+    keyed = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+    assert len(keyed) == 1, f"expected 1 keyed exchange, got {keyed}"
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_cascaded_reagg_partial_aggregation_both_tiers(spark, sf_medium):
+    """Minute and hour tiers must each plan partial+final hash
+    aggregation (4 HashAggregates, 2 exchanges): the hour tier
+    aggregates minute-tier partials, never raw events."""
+    import re
+
+    plan = plan_of(all_queries()["q_cascaded_reagg"].fn(spark, sf_medium))
+    assert plan.count("HashAggregate") >= 4
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_customer_distribution_preaggregates_orders(spark, sf_medium):
+    """Q13 shape: the orders side must aggregate to (custkey, count)
+    BEFORE the outer join — a HashAggregate below the join on the
+    orders branch, so the join never sees raw order rows."""
+    df = all_queries()["q_customer_order_distribution"].fn(spark, sf_medium)
+    df.collect()  # finalize AQE
+    final = plan_of(df).split("Initial Plan")[0]
+    join_pos = min(
+        p for p in (final.find("SortMergeJoin"), final.find("ShuffledHashJoin"),
+                    final.find("BroadcastHashJoin")) if p >= 0
+    )
+    # at least one aggregate must appear BELOW (after, in tree print
+    # order) the outer join — the pre-aggregation
+    assert "HashAggregate" in final[join_pos:]
