@@ -623,6 +623,122 @@ def quantize_embeddings(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.4,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    centroids: tuple[list[list[float]], list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and scoring cosine
+    pairs ONLY within each cluster — the quadratic work is bounded by
+    the largest cluster, never the corpus. Within each over-τ pair the
+    KEPT member is the one with LOWER cosine to its cluster centroid
+    (the paper's rule: keep the atypical example, drop the prototypical
+    near-copy); ties break to the lower id.
+
+    Spark shape: map-only cluster assignment against inlined centroids
+    (the same engine-portable md5-sampled quantizer as :func:`knn_ivf`,
+    refinable offline via :func:`refine_centroids`), then ONE shuffle on
+    ``list_id`` into a per-cluster Arrow-batched numpy GEMM
+    (``applyInPandas``) with the module's bit-exactness discipline:
+    sequential-over-dims accumulation + decimal HALF_UP rounding, so
+    pairs AND the keep/drop decision are value-checked by a SQL oracle.
+
+    Per-task memory = one cluster (~n/nlist·dim·8 bytes); at 10⁸
+    vectors pick nlist ≥ ~10⁴ (the paper uses 11k clusters for LAION)
+    so clusters stay ~10⁴ rows. Skewed clusters are the known failure
+    mode — monitor cluster sizes and re-run k-means refinement rather
+    than salting (splitting a cluster changes semantics).
+
+    Returns (list_id, keep_id, drop_id, cosine), one row per over-τ
+    intra-cluster pair.
+    """
+    vecs, norms = centroids or ivf_centroids(df, nlist, id_col, emb_col)
+    scores = _ivf_scores_expr(emb_col, vecs, norms)
+    # stage _s once (array_position + array_max would otherwise run the
+    # nlist×dim interpreted fold twice per row — refine_centroids' rule)
+    assigned = (
+        with_norm(widen(df), emb_col, dim)
+        .select(
+            F.col(id_col).alias("pid"),
+            F.col(emb_col).alias("emb"),
+            F.col("norm"),
+            F.expr(scores).alias("_s"),
+        )
+        .select(
+            "pid",
+            "emb",
+            F.expr("CAST(array_position(_s, array_max(_s)) AS INT)").alias(
+                "list_id"
+            ),
+            F.round(
+                F.expr("array_max(_s)") / F.col("norm"), COSINE_NDIGITS
+            ).alias("cos_cent"),
+        )
+    )
+    margin = tau - 0.5 * 10.0 ** (-COSINE_NDIGITS) - 1e-12
+
+    def gemm(key, pdf):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal, ROUND_HALF_UP
+
+        empty = pd.DataFrame(
+            {
+                "list_id": pd.Series([], dtype="int32"),
+                "keep_id": pd.Series([], dtype="int64"),
+                "drop_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        ids = pdf["pid"].to_numpy()
+        if len(ids) < 2:
+            return empty
+        cc = pdf["cos_cent"].to_numpy()
+        M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        assert M.shape[1] == dim, (
+            f"embedding dim {M.shape[1]} != declared dim {dim}"
+        )
+        n = np.zeros(len(ids))
+        for d in range(dim):  # sequential over dims == the fold's order
+            n += M[:, d] * M[:, d]
+        n = np.sqrt(n)
+        dots = np.zeros((len(ids), len(ids)))
+        for d in range(dim):
+            dots += np.outer(M[:, d], M[:, d])
+        cos = dots / np.outer(n, n)
+        mask = (cos >= margin) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        q = Decimal(1).scaleb(-COSINE_NDIGITS)
+        vals = np.array(
+            [
+                float(Decimal(c).quantize(q, rounding=ROUND_HALF_UP))
+                for c in cos[ii, jj]
+            ]
+        )
+        # keep = lexicographic min of (cos_cent, id): atypical wins
+        i_keeps = (cc[ii] < cc[jj]) | ((cc[ii] == cc[jj]) & (ids[ii] < ids[jj]))
+        out = pd.DataFrame(
+            {
+                "list_id": np.full(len(ii), key[0], dtype="int32"),
+                "keep_id": np.where(i_keeps, ids[ii], ids[jj]),
+                "drop_id": np.where(i_keeps, ids[jj], ids[ii]),
+                "cosine": vals,
+            }
+        )
+        return out[out["cosine"] >= tau]
+
+    return assigned.groupBy("list_id").applyInPandas(
+        gemm, "list_id int, keep_id bigint, drop_id bigint, cosine double"
+    )
+
+
 def knn_quantized(
     emb: DataFrame,
     queries: DataFrame,

@@ -748,6 +748,68 @@ SELECT query_id, neighbor_id, rank, qcosine FROM ranked WHERE rank <= {KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# #84 SemDeDup — semantic dedup: cluster the embedding space, score
+# cosine pairs only WITHIN clusters, keep the atypical member of each
+# over-τ pair (Abbas et al. 2023). The quadratic work is bounded by the
+# largest cluster, never the corpus.
+
+SEMDEDUP_TAU = 0.4
+SEMDEDUP_NLIST = 16
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, tau=SEMDEDUP_TAU, nlist=SEMDEDUP_NLIST
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {NORM_CTE},
+cent AS (
+  SELECT embedding, nrm, c FROM (
+    SELECT embedding, nrm,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS c
+    FROM norms
+  ) WHERE c <= {SEMDEDUP_NLIST}
+),
+scores AS (
+  SELECT n.vec_id, n.nrm, c.c,
+         (SELECT SUM(CAST(n.embedding[i] AS DOUBLE)
+                     * (CAST(c.embedding[i] AS DOUBLE) / c.nrm))
+          FROM unnest(generate_series(1, {EMB_DIM})) t(i)) AS s
+  FROM norms n, cent c
+),
+assigned AS (
+  SELECT vec_id, c AS list_id, round(s / nrm, 6) AS cos_cent FROM (
+    SELECT vec_id, nrm, c, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.list_id,
+         CASE WHEN a.cos_cent < b.cos_cent
+                   OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id)
+              THEN a.vec_id ELSE b.vec_id END AS keep_id,
+         CASE WHEN a.cos_cent < b.cos_cent
+                   OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id)
+              THEN b.vec_id ELSE a.vec_id END AS drop_id,
+         round((SELECT SUM(CAST(x.embedding[i] AS DOUBLE)
+                           * CAST(y.embedding[i] AS DOUBLE))
+                FROM unnest(generate_series(1, {EMB_DIM})) t(i))
+               / (x.nrm * y.nrm), 6) AS cosine
+  FROM assigned a
+  JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN norms x ON x.vec_id = a.vec_id
+  JOIN norms y ON y.vec_id = b.vec_id
+)
+SELECT list_id, keep_id, drop_id, cosine
+FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # #63b dedup clusters via large-star/small-star (adversarial-diameter path)
 
 

@@ -291,3 +291,52 @@ def test_quantized_knn_recall_vs_float(spark, sf_medium):
         len(quant[q] & exact[q]) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_semantic_dedup_subset_of_exact_pairs(spark, sf_medium):
+    """Every SemDeDup pair is an exact all-pairs cosine pair with the
+    SAME rounded score (clustering only prunes, never invents), and the
+    kept member of each pair is the one with lower centroid similarity
+    (the paper's keep-the-atypical rule), lower id on ties."""
+    from flink_learning_practise_spark.plans.llm_pipeline import (
+        SEMDEDUP_NLIST,
+        SEMDEDUP_TAU,
+    )
+
+    emb = load(spark, sf_medium, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_pairs(emb, SEMDEDUP_TAU).collect()
+    }
+    sem = similarity.semantic_dedup(
+        emb, tau=SEMDEDUP_TAU, nlist=SEMDEDUP_NLIST
+    ).collect()
+    assert sem, "corpus should contain semantic duplicates"
+    for r in sem:
+        pair = (min(r.keep_id, r.drop_id), max(r.keep_id, r.drop_id))
+        assert pair in exact
+        assert r.cosine == pytest.approx(exact[pair], abs=1e-9)
+
+
+def test_semantic_dedup_keep_rule_handcrafted(spark):
+    """Three near-identical vectors + one far outlier: the dup pair's
+    keeper must be the member FARTHER from the cluster centroid."""
+    import math
+
+    base = [1.0] + [0.0] * 63
+    tilt = [math.cos(0.1), math.sin(0.1)] + [0.0] * 62  # ~0.995 cos to base
+    far = [0.0] * 62 + [1.0, 0.0]
+    rows = [(1, base), (2, tilt), (3, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # pin the quantizer (centroids = base, far) so 1 and 2 share a
+    # cluster regardless of which rows the hash sample would pick
+    cents = ([base, far], [1.0, 1.0])
+    out = similarity.semantic_dedup(
+        emb, tau=0.9, nlist=2, centroids=cents
+    ).collect()
+    assert len(out) == 1
+    (r,) = out
+    # vector 1 IS the centroid (cos_cent 1.0); vector 2 sits off-axis —
+    # the atypical member 2 is kept, the prototypical 1 dropped.
+    assert (r.keep_id, r.drop_id) == (2, 1)
+    assert r.cosine >= 0.99
