@@ -431,3 +431,333 @@ ORDER BY c_nationkey
 """
 
 
+VS_NATION_A = "NATION_1"
+VS_NATION_B = "NATION_2"
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations, BOTH
+    directions, per year — the directional-pair join (supplier nation ×
+    customer nation through the fact table).
+
+    Scale shape: each FACT side is pruned by its own broadcast dim
+    first — lineitem by the nation-filtered supplier set, orders by the
+    nation-filtered customer set (each dim ships ~2/25 of its rows) —
+    then the two pruned fact sides shuffle-join on the order key (both
+    are unbounded at 100 TB; no broadcast there). One more shuffle for
+    the 4-group aggregate.
+    """
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(VS_NATION_A, VS_NATION_B)
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(revenue, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {sql_dsum("volume", "revenue")}
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ((ns.n_name = '{VS_NATION_A}' AND nc.n_name = '{VS_NATION_B}')
+      OR (ns.n_name = '{VS_NATION_B}' AND nc.n_name = '{VS_NATION_A}'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts, per year —
+    the conditional-aggregate ratio (two sums from one pass, no
+    self-join, no second scan).
+
+    Scale shape: part broadcasts; promo and total revenue are computed
+    in the SAME aggregate (decimal-routed), the share divides the two
+    finished sums. One shuffle, group count = years.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(revenue, "total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+        .orderBy("l_year")
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+SELECT
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", "promo_revenue")},
+  {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")},
+  round(
+    {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", "x")[:-5]}
+    / {sql_dsum("l_extendedprice * (1 - l_discount)", "y")[:-5]}, 6) AS promo_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY l_year
+"""
+
+
+TOP_SUPP_START = "1997-01-01 00:00:00"
+TOP_SUPP_END = "1997-04-01 00:00:00"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter — the view + scalar-max pattern (argmax against a global
+    aggregate).
+
+    Scale shape: revenue per supplier is one shuffle (map-side
+    partials); the max is ONE row computed from that already-small
+    aggregate and broadcast back into the equality filter (same
+    single-row crossJoin shape as Q22). Decimal-routed sums make the
+    equality exact — a float sum could make the argmax engine-dependent.
+    The supplier dim broadcasts for the name lookup.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TOP_SUPP_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TOP_SUPP_END).cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(dsum(revenue, "total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPP_START}'
+    AND l_shipdate < TIMESTAMP '{TOP_SUPP_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+SMALL_QTY_BRAND = "Brand#3"
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a
+    part's average quantity — the correlated per-group average
+    threshold.
+
+    Scale shape: decorrelated into one per-part aggregate over the
+    SAME brand-restricted rows (broadcast part filter prunes lineitem
+    first), joined back by part key. The 20%-of-average comparison is
+    cross-multiplied in decimal (``qty * 5 * cnt < sum``) so no float
+    average can flip a borderline line between engines. At 100 TB the
+    per-part aggregate is part-table-sized — AQE broadcasts the join
+    back when the brand filter is selective, else it shuffles on the
+    part key (both correct; no hint pins it).
+    """
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == SMALL_QTY_BRAND
+    ).select("p_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("_cnt")
+            < F.col("_sum_qty")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "total_revenue"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{SMALL_QTY_BRAND}'
+),
+pp AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_lines, {sql_dsum("l_extendedprice", "total_revenue")}
+FROM li JOIN pp ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * cnt < sum_qty
+"""
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    bands — the disjunctive-predicate join.
+
+    Scale shape: the per-brand size bands filter the part dim BEFORE
+    broadcast; the quantity bands apply at the joined row. Catalyst
+    extracts the common ``l_quantity <= 40`` bound from the
+    disjunction and pushes it to the lineitem scan, so the fact side
+    prunes even though the full predicate needs both tables. Grouped
+    by brand so each band's contribution is value-checked separately.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    bands = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & q.between(5, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & q.between(10, 40))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bands)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(revenue, "revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT p_brand, COUNT(*) AS n_lines,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns): suppliers
+    who were the ONLY supplier with returned lines in a multi-supplier
+    order — the EXISTS + NOT EXISTS double-correlated pattern.
+
+    Scale shape: both correlated subqueries decorrelate into ONE
+    per-order aggregate (distinct suppliers, distinct returning
+    suppliers — two counts from one pass over the distinct pairs), so
+    the fact table is scanned once and shuffled once on the order key
+    instead of two correlated self-joins. The qualifying row set joins
+    back on the same key (same partitioning — no extra exchange), and
+    the supplier dim broadcasts for the name.
+    """
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").alias("_ret"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_ret").alias("_ret"))
+    )
+    per_order = pairs.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum(F.col("_ret").cast("int")).alias("_n_ret"),
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        pairs.filter(F.col("_ret"))
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_ret") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+SOLE_RETURNER_SUPPLIERS_SQL = """
+WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+     a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, COUNT(*) AS numwait
+FROM r
+JOIN supplier ON s_suppkey = r.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM a
+    WHERE a.l_orderkey = r.l_orderkey AND a.l_suppkey <> r.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM r r2
+    WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+

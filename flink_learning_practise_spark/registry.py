@@ -105,6 +105,28 @@ def _populate() -> None:
         tpch.dormant_high_value,
         tpch.DORMANT_HIGH_VALUE_SQL,
     )
+    register("q_volume_shipping", tpch.volume_shipping, tpch.VOLUME_SHIPPING_SQL)
+    register(
+        "q_promo_revenue_share",
+        tpch.promo_revenue_share,
+        tpch.PROMO_REVENUE_SHARE_SQL,
+    )
+    register("q_top_supplier", tpch.top_supplier, tpch.TOP_SUPPLIER_SQL)
+    register(
+        "q_small_quantity_revenue",
+        tpch.small_quantity_revenue,
+        tpch.SMALL_QUANTITY_REVENUE_SQL,
+    )
+    register(
+        "q_disjunctive_revenue",
+        tpch.disjunctive_revenue,
+        tpch.DISJUNCTIVE_REVENUE_SQL,
+    )
+    register(
+        "q_sole_returner_suppliers",
+        tpch.sole_returner_suppliers,
+        tpch.SOLE_RETURNER_SUPPLIERS_SQL,
+    )
 
     # relational core (SURVEY §2 #1-6, #20)
     register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
