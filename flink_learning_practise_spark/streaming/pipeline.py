@@ -86,6 +86,7 @@ def stream_window_join(
     size: str,
     on: Sequence[tuple[str, str]],
     watermark_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream window join (ref flink_transform_utils.py:377
     join_streams, the streaming original of operators/joins.window_join):
@@ -97,20 +98,39 @@ def stream_window_join(
     watermark - delay are finalized and evicted — the Structured
     Streaming twin of Flink's window-join state cleanup. ``on`` is a
     list of (left_col, right_col) pairs; right join columns and ts are
-    suffixed ``_r`` in the output."""
+    suffixed ``_r`` in the output.
+
+    ``how`` extends to ``left_outer``/``right_outer``/``full_outer``
+    (Flink's CoGroup-style outer window join): unmatched rows emit with
+    NULL partner columns — but only once the watermark passes their
+    window (the row is provably unmatchable, exactly Flink's
+    window-fire semantics), so outer results trail the watermark by
+    up to window + delay."""
+    # join on the WINDOW STRUCT, not its .start: the struct column
+    # produced by F.window over a watermarked ts carries the watermark
+    # tag Spark requires in the join keys — that's what licenses state
+    # eviction AND the outer-join null emission (an extracted .start
+    # field loses the tag and outer joins are rejected outright).
     lw = with_watermark(left, left_ts, watermark_delay).withColumn(
-        "window_start", F.window(left_ts, size).start
+        "_lwin", F.window(left_ts, size)
     )
     r_renamed = right.select(
         *[F.col(c).alias(f"{c}_r") for c in right.columns]
     )
     rw = with_watermark(r_renamed, f"{right_ts}_r", watermark_delay).withColumn(
-        "_rw", F.window(f"{right_ts}_r", size).start
+        "_rwin", F.window(f"{right_ts}_r", size)
     )
-    cond = lw["window_start"] == rw["_rw"]
+    cond = lw["_lwin"] == rw["_rwin"]
     for lc, rc in on:
         cond = cond & (lw[lc] == rw[f"{rc}_r"])
-    return lw.join(rw, cond).drop("_rw")
+    return (
+        lw.join(rw, cond, how)
+        .withColumn(
+            "window_start",
+            F.coalesce(F.col("_lwin.start"), F.col("_rwin.start")),
+        )
+        .drop("_lwin", "_rwin")
+    )
 
 
 def stream_static_enrich(

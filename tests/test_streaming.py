@@ -378,6 +378,50 @@ def test_stream_stream_window_join(spark, event_dir, tmp_path):
     assert got == {(1, 101), (2, 101)}
 
 
+def test_stream_window_outer_join_emits_nulls_on_watermark(spark, event_dir, tmp_path):
+    """LEFT OUTER stream-stream window join: unmatched left rows must
+    emit with NULL partner columns — but only after the watermark
+    passes their window (Flink's outer window-join fire semantics)."""
+    purchases = str(tmp_path / "outer_purchases")
+    write_events(
+        purchases,
+        [
+            {"event_id": 101, "ts": "2024-01-01 00:00:30", "user_id": 1, "value": 99.0},
+            {"event_id": 102, "ts": "2024-01-01 00:02:10", "user_id": 2, "value": 42.0},
+        ],
+    )
+    # flush events in SECOND files (one batch each) push BOTH sources'
+    # watermarks past every real window + delay, so unmatched rows
+    # become provably unmatchable and the outer side fires.
+    write_events(
+        event_dir,
+        [{"event_id": 999, "ts": "2024-01-01 01:00:00", "user_id": 99, "value": 0.0}],
+    )
+    write_events(
+        purchases,
+        [{"event_id": 998, "ts": "2024-01-01 01:00:00", "user_id": 99, "value": 0.0}],
+    )
+    clicks = file_stream_source(spark, event_dir, EVENT_SCHEMA, fmt="json",
+                                max_files_per_trigger=1)
+    buys = file_stream_source(spark, purchases, EVENT_SCHEMA, fmt="json",
+                              max_files_per_trigger=1)
+    joined = sp.stream_window_join(
+        clicks, buys, "ts", "ts", "1 minute", on=[("user_id", "user_id")],
+        watermark_delay="30 seconds", how="left_outer",
+    )
+    assert joined.isStreaming
+    q = memory_sink(joined.select("event_id", "event_id_r"),
+                    "outer_join_stream", mode="append").start()
+    sp.run_until_drained(q)
+    got = {(r.event_id, r.event_id_r)
+           for r in spark.table("outer_join_stream").collect()}
+    # matched pairs identical to the inner join; clicks 3 (user 2,
+    # window 00:01) and 4 (user 1, 00:03) have no same-window purchase
+    # and emit with NULL once the flush watermark closes their windows.
+    # 999/998 are the flush rows (999 pairs with 998: same user+window).
+    assert got == {(1, 101), (2, 101), (3, None), (4, None), (999, 998)}
+
+
 def test_stream_interval_join_matches_batch(spark, event_dir, tmp_path):
     """Streaming interval join must agree with the batch operator on the
     same data once everything is processed."""
