@@ -748,6 +748,35 @@ SELECT query_id, neighbor_id, rank, qcosine FROM ranked WHERE rank <= {KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# #85 batched model inference (operators/inference.py): the scorer is a
+# deterministic md5-seeded fake (no model runtime in this container),
+# which makes the WHOLE inference path oracle-checkable — the SQL
+# replays the model bit-for-bit, so the mapInPandas plumbing (Arrow
+# batching, schema, per-task model load) is value-verified, not just
+# shape-tested. Swapping in a real model changes only the factory.
+
+
+def model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import inference
+
+    docs = load(spark, sf_dir, "documents")
+    return inference.score_documents(docs).select("doc_id", "score", "model")
+
+
+MODEL_SCORE_SQL = """
+SELECT doc_id,
+       round(
+         0.5 * (('0x' || substring(md5(text), 1, 16))::UBIGINT / 18446744073709551616.0)
+         + 0.5 * (CASE WHEN trim(text) = '' THEN 0.0
+                       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                  END), 6) AS score,
+       'fake-md5-scorer' AS model
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # #84 SemDeDup — semantic dedup: cluster the embedding space, score
 # cosine pairs only WITHIN clusters, keep the atypical member of each
 # over-τ pair (Abbas et al. 2023). The quadratic work is bounded by the

@@ -9,6 +9,7 @@ partition pruning on the landing keys.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -143,3 +144,43 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    n_shards: int,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training corpus as deterministic, ordered shards —
+    the parquet analog of WebDataset/MDS shard layouts that data
+    loaders consume (each worker reads a disjoint, internally-ordered
+    shard set; reproducible epoch order without a global sort at read
+    time).
+
+    Layout contract:
+    - rows are RANGE-partitioned on ``order_col`` (e.g. the pack id
+      from ``curation.pack_sequences``, or a split+shuffle-rank key):
+      shard boundaries are sampled balanced range bounds, so shard
+      sizes stay even under key skew;
+    - each shard directory ``shard=k`` is sorted by ``order_col`` —
+      per-file min/max on the order key are non-overlapping, so a
+      loader can seek any global position via footer stats alone;
+    - ``max_records_per_file`` bounds individual file size inside a
+      shard (parquet's maxRecordsPerFile — rotation, not a shuffle).
+
+    One range exchange + one local sort per shard; at 100 TB pick
+    ``n_shards`` ≥ total loader-worker count and let
+    ``max_records_per_file`` cap files at the loader's prefetch unit.
+    """
+    sharded = (
+        df.repartitionByRange(n_shards, order_col)
+        .withColumn("shard", F.spark_partition_id())
+        .sortWithinPartitions(order_col)
+    )
+    w = sharded.write.mode(mode).partitionBy("shard")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)

@@ -169,3 +169,39 @@ def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"file key ranges overlap: {(lo1,hi1)} vs {(lo2,hi2)}"
     # row-identical to the input
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_training_shards_layout(spark, tmp_path):
+    """write_training_shards: disjoint ordered shards, bounded files,
+    row-identical read-back — the loader-facing corpus layout."""
+    import glob
+
+    from flink_learning_practise_spark.sinks.batch import write_training_shards
+
+    path = str(tmp_path / "shards")
+    df = spark.range(5000).selectExpr(
+        "pmod(hash(id), 5000) AS order_key", "id AS payload"
+    )  # write order uncorrelated with the shard key
+    write_training_shards(
+        df, path, "order_key", n_shards=8, max_records_per_file=300
+    )
+
+    shard_dirs = sorted(glob.glob(f"{path}/shard=*"))
+    assert len(shard_dirs) == 8
+    # per-shard ranges disjoint (a loader can map global position → shard)
+    ranges = []
+    for d in shard_dirs:
+        r = spark.read.parquet(d).agg(
+            F.min("order_key").alias("lo"), F.max("order_key").alias("hi")
+        ).collect()[0]
+        ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # file rotation respected inside shards
+    for f in glob.glob(f"{path}/shard=*/*.parquet"):
+        assert spark.read.parquet(f).count() <= 300
+    # nothing lost or duplicated
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert back.select("payload").distinct().count() == 5000
