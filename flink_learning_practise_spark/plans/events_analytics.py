@@ -656,6 +656,50 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# #80d MERGE INTO analog: incremental snapshot maintenance from a
+# changelog, with tombstones. The oracle proves the maintenance
+# IDENTITY: merge(compact(old), new) == compact(all) — the incremental
+# path must land byte-identical to recomputing from scratch.
+
+CDC_CUTOFF = "1997-06-01 00:00:00"
+
+
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cdc import merge_snapshot
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    ev = load(spark, sf_dir, "events").select(*cols)
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    old = ev.filter(F.col("ts") < cutoff)
+    win = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    snapshot = (
+        old.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).withColumn(
+        "is_delete", F.col("event_type") == "error"  # errors = tombstones
+    )
+    return merge_snapshot(
+        snapshot, changes, ["user_id"], "ts", "event_id", "is_delete"
+    ).select(*cols)
+
+
+CDC_MERGE_SQL = f"""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+  AND NOT (event_type = 'error' AND ts >= TIMESTAMP '{CDC_CUTOFF}')
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by their first-activity
     week, counted in each subsequent week they return — the classic

@@ -185,9 +185,11 @@ def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     li = widen(li)  # parallelize joins+window past the single-split scan
-    enriched = joins.lookup_join(
-        li, orders, li.l_orderkey == orders.o_orderkey
-    )
+    # orders is FACT-sized — no broadcast hint: AQE broadcasts the
+    # 2-column projection at small SF and falls back to a shuffled join
+    # on the order key at scale (broadcasting a fact table at 100 TB
+    # would OOM the executors). customer stays a true broadcast dim.
+    enriched = li.join(orders, li.l_orderkey == orders.o_orderkey)
     enriched = joins.lookup_join(
         enriched, cust, enriched.o_custkey == cust.c_custkey
     )

@@ -161,3 +161,30 @@ class TestSortedNeighborhood:
         assert snm and set(snm) <= set(full)
         assert all(abs(snm[p] - full[p]) < 1e-12 for p in snm)
         assert len(snm) / len(full) >= 0.9  # multi-pass recall floor
+
+
+def test_merge_snapshot_tombstones_and_idempotence(spark):
+    """MERGE semantics on handcrafted frames: latest-wins upsert,
+    tombstone removal only when the delete IS the latest version, and
+    idempotence (re-merging the same changelog changes nothing)."""
+    from flink_learning_practise_spark.operators.cdc import merge_snapshot
+
+    snap_rows = [(1, 10, 100, "a"), (2, 11, 100, "b"), (3, 12, 100, "c")]
+    snap = spark.createDataFrame(snap_rows, "k long, id long, ts long, v string")
+    chg = spark.createDataFrame(
+        [
+            (1, 20, 200, "a2", False),   # plain upsert
+            (2, 21, 200, None, True),    # tombstone, latest -> key 2 gone
+            (3, 22, 50, None, True),     # STALE tombstone -> key 3 stays
+            (4, 23, 200, "d", False),    # brand-new key
+            (4, 24, 200, "d2", False),   # same ts -> higher id wins
+        ],
+        "k long, id long, ts long, v string, del boolean",
+    )
+    out = merge_snapshot(snap, chg, ["k"], "ts", "id", "del")
+    got = {(r.k, r.id, r.v) for r in out.collect()}
+    assert got == {(1, 20, "a2"), (3, 12, "c"), (4, 24, "d2")}
+
+    # idempotence: merging the changelog again onto the result is a no-op
+    again = merge_snapshot(out, chg, ["k"], "ts", "id", "del")
+    assert {(r.k, r.id, r.v) for r in again.collect()} == got

@@ -68,3 +68,37 @@ def test_custom_model_factory_swaps_in(spark, docs):
     out = inference.score_documents(docs.limit(5), ConstModel).collect()
     assert {r.score for r in out} == {0.5}
     assert {r.model for r in out} == {"const-0.5"}
+
+
+def test_scoring_runs_unchanged_on_streams(spark, tmp_path):
+    """Model inference is a stateless mapInPandas projection, so the
+    SAME operator scores an unbounded source — the streaming half of
+    the inference tier (batch backfill == live scoring, one code path).
+    batch_rows is micro-batch-dependent and excluded from the parity."""
+    import json
+    import os
+
+    path = str(tmp_path / "inf_in")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part1.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"doc_id": i, "text": f"doc {i} body {'x ' * i}"}) + "\n")
+
+    schema = "doc_id long, text string"
+    src = spark.readStream.schema(schema).json(path)
+    q = (
+        inference.score_documents(src)
+        .select("doc_id", "score", "model")
+        .writeStream.format("memory")
+        .queryName("inf_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(map(tuple, spark.table("inf_stream").collect()))
+    batch = spark.read.schema(schema).json(path)
+    batched = sorted(
+        map(tuple, inference.score_documents(batch).select("doc_id", "score", "model").collect())
+    )
+    assert streamed == batched and len(streamed) == 20

@@ -45,7 +45,9 @@ def test_tpch_q5_broadcasts_all_dims(spark, sf_medium):
 # Queries whose hot loop is deliberately an Arrow-vectorized Pandas path
 # (numpy GEMM beats JVM expression eval for O(n^2) dense dot products;
 # see operators/similarity.py::cosine_pairs_vectorized).
-ARROW_VECTORIZED = {"q_dedup_embedding"}
+# queries whose Pandas path is the DESIGN (Arrow-batched numpy GEMM /
+# batched model inference), not an accidental Python leak
+ARROW_VECTORIZED = {"q_dedup_embedding", "q_semantic_dedup", "q_model_score"}
 
 
 def test_no_python_in_hot_paths(spark, sf_medium):
