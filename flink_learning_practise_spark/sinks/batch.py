@@ -146,6 +146,66 @@ def write_range_clustered(
     )
 
 
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    buckets: int = 64,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional Z-ORDER layout (Delta OPTIMIZE ZORDER analog):
+    rows are laid out along the Morton curve of the two columns'
+    QUANTILE-bucket ranks, so per-file min/max stats are narrow in BOTH
+    dimensions — point/range filters on either column skip most files,
+    where 1-D clustering (:func:`write_range_clustered`) helps only its
+    own column.
+
+    Scale mechanics: per-column bucket bounds come from
+    ``approxQuantile`` (Greenwald-Khanna — one pass, driver holds
+    ``buckets`` doubles, skew-tolerant where uniform-width buckets are
+    not); bucketing + bit interleaving are then MAP-ONLY expressions
+    (a ``buckets``-term fold per row — per-ROW HOF, fine by this
+    module's cost rule), and the only shuffle is the final
+    repartitionByRange on the z-value. Quantile-rank normalization is
+    what makes Morton locality real on skewed data: equal-population
+    cells, not equal-width.
+    """
+    nbits = max(1, (buckets - 1).bit_length())
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds_a, bounds_b = (
+        df.stat.approxQuantile([col_a, col_b], probs, 0.01)
+    )
+
+    def bucket_expr(col: str, bounds: list[float]) -> str:
+        lit = "array(" + ",".join(f"CAST({b!r} AS DOUBLE)" for b in bounds) + ")"
+        return (
+            f"aggregate({lit}, 0, (acc, b) -> "
+            f"acc + IF(CAST({col} AS DOUBLE) > b, 1, 0))"
+        )
+
+    z = df.withColumn("_ba", F.expr(bucket_expr(col_a, bounds_a))).withColumn(
+        "_bb", F.expr(bucket_expr(col_b, bounds_b))
+    )
+    morton = F.lit(0)
+    for i in range(nbits):  # interleave: a gets odd bits, b even
+        morton = (
+            morton
+            .bitwiseOR(F.shiftleft(F.col("_ba").bitwiseAND(1 << i), i + 1))
+            .bitwiseOR(F.shiftleft(F.col("_bb").bitwiseAND(1 << i), i))
+        )
+    (
+        z.withColumn("_z", morton)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_ba", "_bb", "_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -205,3 +205,40 @@ def test_training_shards_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 5000
     assert back.select("payload").distinct().count() == 5000
+
+
+def test_zorder_layout_skips_files_in_both_dimensions(spark, tmp_path):
+    """Z-order: per-file min/max must be selective for BOTH columns —
+    the property 1-D clustering cannot give the second column."""
+    import glob
+
+    from flink_learning_practise_spark.sinks.batch import write_zorder_clustered
+
+    n_files = 16
+    df = spark.range(20000).selectExpr(
+        "CAST(pmod(hash(id), 1000) AS DOUBLE) AS x",
+        "CAST(pmod(hash(id * 7 + 3), 1000) AS DOUBLE) AS y",
+        "id AS payload",
+    )  # x and y independent — the adversarial case for 1-D layouts
+    path = str(tmp_path / "zorder")
+    write_zorder_clustered(df, path, "x", "y", buckets=64, n_files=n_files)
+
+    stats = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        r = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count("*")
+        ).collect()[0]
+        if r[4]:
+            stats.append((r[0], r[1], r[2], r[3]))
+    assert len(stats) >= n_files // 2
+
+    def candidates(idx_lo, idx_hi, v):
+        return sum(1 for s in stats if s[idx_lo] <= v <= s[idx_hi])
+
+    # a point predicate on EITHER column must prune well over half the
+    # files (ideal for 16 files on a 2-D morton curve: ~sqrt -> 4)
+    for v in (100.0, 500.0, 900.0):
+        assert candidates(0, 1, v) <= len(stats) // 2, f"x={v} not selective"
+        assert candidates(2, 3, v) <= len(stats) // 2, f"y={v} not selective"
+    # nothing lost
+    assert spark.read.parquet(path).count() == 20000
