@@ -245,3 +245,66 @@ def test_incremental_dedup_partitions_the_delta(spark, corpus):
     # completeness: every novel delta text is represented
     novel = {t for j, t in rows if j % 2 == 1 and t not in snap_texts}
     assert {texts[i] for i in got_ids} == novel
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO analog (operators/cdc.py): random changelogs vs a
+# brute-force sequential replay
+
+changelog_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),      # key
+        st.integers(0, 30),     # ts
+        st.booleans(),          # tombstone?
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(snap=changelog_strategy, chg=changelog_strategy)
+@settings(max_examples=20, deadline=None)
+def test_merge_snapshot_matches_bruteforce_replay(spark, snap, chg):
+    from flink_learning_practise_spark.operators.cdc import merge_snapshot
+
+    # ids = global arrival order; snapshot rows are upserts by contract
+    snap_rows = [
+        (k, i, t, f"v{i}") for i, (k, t, _d) in enumerate(snap)
+    ]
+    base = len(snap_rows)
+    chg_rows = [
+        (k, base + i, t, f"v{base + i}", d) for i, (k, t, d) in enumerate(chg)
+    ]
+    # the snapshot itself must be a compacted view: keep latest per key
+    latest = {}
+    for k, i, t, v in snap_rows:
+        if k not in latest or (t, i) > (latest[k][2], latest[k][1]):
+            latest[k] = (k, i, t, v)
+    snap_rows = list(latest.values())
+
+    sdf = spark.createDataFrame(
+        snap_rows or [(None, None, None, None)],
+        "k int, id int, ts int, v string",
+    ).filter(F.col("k").isNotNull())
+    cdf = spark.createDataFrame(
+        chg_rows or [(None, None, None, None, None)],
+        "k int, id int, ts int, v string, del boolean",
+    ).filter(F.col("k").isNotNull())
+
+    got = {
+        (r.k, r.id): r.v
+        for r in merge_snapshot(sdf, cdf, ["k"], "ts", "id", "del").collect()
+    }
+
+    # brute force: latest (ts, id) version wins per key; delete wins drop it
+    versions = {}
+    for k, i, t, v in snap_rows:
+        versions.setdefault(k, []).append((t, i, v, False))
+    for k, i, t, v, d in chg_rows:
+        versions.setdefault(k, []).append((t, i, v, d))
+    want = {}
+    for k, vs in versions.items():
+        t, i, v, d = max(vs)
+        if not d:
+            want[(k, i)] = v
+    assert got == want
