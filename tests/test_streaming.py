@@ -990,3 +990,66 @@ def test_exactly_once_across_restart_from_checkpoint(spark, tmp_path):
     )
     assert rows == [1, 2, 3], f"each row exactly once, got {rows}"
     assert len(batches) == 2  # batch1 (rows 1,2) + batch2 (row 3); no replays
+
+
+def test_streaming_merge_sink_maintains_snapshot(spark, tmp_path):
+    """merge_parquet_sink: a changelog stream (upserts + tombstones)
+    lands as an upsert-compacted parquet snapshot that equals the batch
+    merge of the same changelog — and survives a restart without
+    duplicating (idempotent versioned rewrites)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.sinks.streaming import (
+        merge_parquet_sink,
+        read_merge_snapshot,
+    )
+
+    src_dir = str(tmp_path / "merge_in")
+    table = str(tmp_path / "merge_table")
+    ckpt = str(tmp_path / "merge_ckpt")
+    schema = "k long, id long, ts long, v string, del boolean"
+
+    def drop(rows):
+        os.makedirs(src_dir, exist_ok=True)
+        fname = os.path.join(src_dir, f"part-{len(os.listdir(src_dir))}.jsonl")
+        with open(fname, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    drop([
+        {"k": 1, "id": 1, "ts": 10, "v": "a", "del": False},
+        {"k": 2, "id": 2, "ts": 10, "v": "b", "del": False},
+    ])
+    src = spark.readStream.schema(schema).json(src_dir)
+    q = merge_parquet_sink(
+        src, table, ckpt, ["k"], "ts", "id", "del"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    snap1 = {(r.k, r.v) for r in read_merge_snapshot(spark, table).collect()}
+    assert snap1 == {(1, "a"), (2, "b")}
+
+    # second run: an upsert, a tombstone, and a new key
+    drop([
+        {"k": 1, "id": 3, "ts": 20, "v": "a2", "del": False},
+        {"k": 2, "id": 4, "ts": 20, "v": None, "del": True},
+        {"k": 3, "id": 5, "ts": 20, "v": "c", "del": False},
+    ])
+    q = merge_parquet_sink(
+        spark.readStream.schema(schema).json(src_dir),
+        table, ckpt, ["k"], "ts", "id", "del",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    snap2 = {(r.k, r.v) for r in read_merge_snapshot(spark, table).collect()}
+    assert snap2 == {(1, "a2"), (3, "c")}
+    # restart with NOTHING new: checkpoint prevents re-delivery, the
+    # snapshot is unchanged
+    q = merge_parquet_sink(
+        spark.readStream.schema(schema).json(src_dir),
+        table, ckpt, ["k"], "ts", "id", "del",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    snap3 = {(r.k, r.v) for r in read_merge_snapshot(spark, table).collect()}
+    assert snap3 == snap2
