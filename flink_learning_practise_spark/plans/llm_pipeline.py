@@ -839,6 +839,80 @@ FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
 
 
 # ---------------------------------------------------------------------------
+# #86 corpus clustering report: k-means-style cluster assignment over
+# the deterministic quantizer (the map-only assignment the IVF /
+# SemDeDup tiers share), aggregated to per-cluster population +
+# cohesion stats — the "what does my embedding space look like"
+# deliverable (cluster sizes drive SemDeDup's nlist and IVF's probe
+# tuning). One map-only assignment + one tiny aggregate.
+
+
+def embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vecs, norms = similarity.ivf_centroids(emb, SEMDEDUP_NLIST)
+    scores = similarity._ivf_scores_expr("embedding", vecs, norms)
+    assigned = (
+        similarity.with_norm(similarity.widen(emb), "embedding")
+        .select(F.col("vec_id"), F.col("norm"), F.expr(scores).alias("_s"))
+        .select(
+            "vec_id",
+            F.expr("CAST(array_position(_s, array_max(_s)) AS INT)").alias(
+                "list_id"
+            ),
+            F.round(
+                F.expr("array_max(_s)") / F.col("norm"), 6
+            ).alias("cos_cent"),
+        )
+    )
+    return (
+        assigned.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("cos_cent").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cohesion"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .orderBy("list_id")
+    )
+
+
+EMBED_CLUSTER_SQL = f"""
+WITH {NORM_CTE},
+cent AS (
+  SELECT embedding, nrm, c FROM (
+    SELECT embedding, nrm,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS c
+    FROM norms
+  ) WHERE c <= {SEMDEDUP_NLIST}
+),
+scores AS (
+  SELECT n.vec_id, n.nrm, c.c,
+         (SELECT SUM(CAST(n.embedding[i] AS DOUBLE)
+                     * (CAST(c.embedding[i] AS DOUBLE) / c.nrm))
+          FROM unnest(generate_series(1, {EMB_DIM})) t(i)) AS s
+  FROM norms n, cent c
+),
+assigned AS (
+  SELECT vec_id, c AS list_id, round(s / nrm, 6) AS cos_cent FROM (
+    SELECT vec_id, nrm, c, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT list_id, COUNT(*) AS n_members,
+       round(CAST(SUM(CAST(cos_cent AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_cohesion,
+       MIN(vec_id) AS min_member
+FROM assigned
+GROUP BY list_id
+ORDER BY list_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # #63b dedup clusters via large-star/small-star (adversarial-diameter path)
 
 

@@ -171,6 +171,7 @@ def _populate() -> None:
     register("q_knn_quantized", llm.knn_quantized, llm.KNN_QUANTIZED_SQL)
     register("q_semantic_dedup", llm.semantic_dedup, llm.SEMANTIC_DEDUP_SQL)
     register("q_model_score", llm.model_score, llm.MODEL_SCORE_SQL)
+    register("q_embed_cluster", llm.embed_cluster, llm.EMBED_CLUSTER_SQL)
     register("q_vocab_topk", llm.vocab_topk, llm.VOCAB_TOPK_SQL)
     register("q_lang_id", llm.lang_id, llm.LANG_ID_SQL)
     register("q_quality_score", llm.quality_score, llm.QUALITY_SCORE_SQL, headline=True)

@@ -68,18 +68,23 @@ def kafka_sink(
     )
 
 
-def read_merge_snapshot(spark, path: str) -> DataFrame | None:
-    """Current state of a :func:`merge_parquet_sink` table, or None if
-    no version has committed yet. Readers see a complete, immutable
+def read_merge_snapshot(spark, path: str, version: int | None = None) -> DataFrame | None:
+    """State of a :func:`merge_parquet_sink` table, or None if no
+    version has committed yet. Readers see a complete, immutable
     version directory — never a half-written one (the pointer file is
-    updated only after the version finishes writing)."""
+    updated only after the version finishes writing).
+
+    ``version`` selects an older committed version (time travel — every
+    ``v{batch_id}`` dir is a full immutable snapshot; retention is the
+    caller's policy)."""
     import os
 
-    ptr = os.path.join(path, "_LATEST")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        version = f.read().strip()
+    if version is None:
+        ptr = os.path.join(path, "_LATEST")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            version = int(f.read().strip())
     return spark.read.parquet(os.path.join(path, f"v{version}"))
 
 

@@ -1053,3 +1053,7 @@ def test_streaming_merge_sink_maintains_snapshot(spark, tmp_path):
     q.awaitTermination(120)
     snap3 = {(r.k, r.v) for r in read_merge_snapshot(spark, table).collect()}
     assert snap3 == snap2
+    # time travel: version 0 (the first batch) is still a complete,
+    # immutable snapshot
+    old = {(r.k, r.v) for r in read_merge_snapshot(spark, table, version=0).collect()}
+    assert old == snap1
