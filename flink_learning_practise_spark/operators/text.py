@@ -266,3 +266,93 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "score", "rank")
     )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str,
+    k: int = 64,
+    topn: int = 20,
+) -> DataFrame:
+    """Frequent tokens via a Misra-Gries summary per partition — the
+    MERGEABLE fixed-memory path beside :func:`vocab_topk`'s exact
+    counts (the same exact/sketch pairing as the HLL++/GK profile in
+    events_analytics): at 100 TB the exact path shuffles a
+    vocabulary-sized aggregate, this one shuffles ≤ k rows PER
+    PARTITION, each a (token, lower-bound count) pair — bandwidth
+    independent of both corpus and vocabulary size.
+
+    Guarantees (Misra-Gries 1982; merged-summary bounds per Agarwal et
+    al., PODS'12): with n total tokens and P partitions, every token
+    with true frequency > n/(k+1) survives in at least one partition
+    summary (pigeonhole), and the summed estimate is a LOWER bound
+    within Σ_p n_p/(k+1) ≤ n/(k+1) of truth — so ranking by estimate
+    ranks true heavy hitters correctly up to that additive error.
+    Output: (token, est, err_bound) for the topn estimates; the
+    invariant test checks both bounds against exact counts.
+
+    Plan: one mapInPandas pass (counters built across ALL Arrow batches
+    of a partition, one summary yielded at iterator end — the streaming
+    aggregation shape), one tiny groupBy over ≤ P·k rows.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .dedup import widen
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_seen = 0
+        for pdf in it:
+            for text in pdf[text_col]:
+                if not text:
+                    continue
+                for tok in text.lower().split():
+                    n_seen += 1
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:  # decrement-all: the MG step
+                        dead = []
+                        for t in counters:
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                dead.append(t)
+                        for t in dead:
+                            del counters[t]
+        # one NULL-token marker row carries this partition's token count
+        # (a separate column + distinct would collapse partitions that
+        # happen to see equal counts); counter rows carry the summary
+        yield pd.DataFrame(
+            {
+                "token": [None] + list(counters),
+                "est": [0] + list(counters.values()),
+                "part_tokens": [n_seen] + [0] * len(counters),
+            }
+        )
+
+    partials = widen(df).select(text_col).mapInPandas(
+        summarize, "token string, est long, part_tokens long"
+    )
+    partials = partials.localCheckpoint()  # two consumers, one tiny frame
+    # summed lower bounds + the global additive error bound; the
+    # summary is ≤ k+1 rows per partition, so these aggregates are tiny
+    from pyspark.sql import Window
+
+    err = partials.filter(F.col("token").isNull()).agg(
+        (F.sum("part_tokens") / F.lit(k + 1)).alias("err_bound")
+    )
+    merged = (
+        partials.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("est").alias("est"))
+    )
+    win = Window.orderBy(F.desc("est"), F.asc("token"))
+    return (
+        merged.crossJoin(F.broadcast(err))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= topn)
+        .select("token", "est", "err_bound", "rank")
+    )

@@ -913,6 +913,18 @@ ORDER BY list_id
 
 
 # ---------------------------------------------------------------------------
+# #87 heavy-hitter tokens (Misra-Gries) — mergeable fixed-memory
+# frequent-items sketch beside exact vocab_topk (rows-only: estimates
+# depend on partitioning by construction; bounds proven in pytest
+# tests/test_analytics_extras.py::test_heavy_hitter_sketch_bounds)
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.heavy_hitter_tokens(docs, "text", k=64, topn=20)
+
+
+# ---------------------------------------------------------------------------
 # #63b dedup clusters via large-star/small-star (adversarial-diameter path)
 
 

@@ -188,3 +188,35 @@ def test_merge_snapshot_tombstones_and_idempotence(spark):
     # idempotence: merging the changelog again onto the result is a no-op
     again = merge_snapshot(out, chg, ["k"], "ts", "id", "del")
     assert {(r.k, r.id, r.v) for r in again.collect()} == got
+
+
+def test_heavy_hitter_sketch_bounds(spark, sf_medium):
+    """Misra-Gries invariants vs exact counts: estimates are lower
+    bounds within the reported additive error, and every true heavy
+    hitter (freq > err_bound) is present."""
+    from flink_learning_practise_spark.datasets import load
+    from flink_learning_practise_spark.operators.text import heavy_hitter_tokens
+
+    docs = load(spark, sf_medium, "documents")
+    got = heavy_hitter_tokens(docs, "text", k=64, topn=50).collect()
+    assert got
+    err_bound = got[0].err_bound
+
+    exact = {
+        r.token: r.n
+        for r in docs.selectExpr(
+            "explode(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) AS token"
+        )
+        .filter("token <> ''")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    est = {r.token: r.est for r in got}
+    for tok, e in est.items():
+        assert e <= exact[tok], f"{tok}: est {e} above true {exact[tok]}"
+        assert exact[tok] - e <= err_bound, f"{tok}: error beyond bound"
+    # completeness: true heavy hitters all surface in the summary
+    heavy = {t for t, n in exact.items() if n > err_bound}
+    missing = heavy - set(est)
+    assert not missing, f"guaranteed heavy hitters missing: {missing}"
