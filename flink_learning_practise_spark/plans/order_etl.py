@@ -72,6 +72,52 @@ def parse_order_strings(raw: DataFrame, json_col: str = "value") -> DataFrame:
     ).select("o.*")
 
 
+def parse_order_strings_with_rejects(
+    raw: DataFrame, json_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with explicit malformed-record capture (ref
+    flink5_parse_walmart_order.py's try/except error path, and
+    flink_transform_utils.py error side-output): returns
+    (parsed, rejects).
+
+    PERMISSIVE ``from_json`` never fails a row — a syntactically-broken
+    record yields an all-NULL struct, indistinguishable from a valid
+    record whose fields are absent. Requesting
+    ``columnNameOfCorruptRecord`` splits the two: the raw text of
+    unparseable input lands in that field, so 'malformed_json'
+    (unparseable — replay after fixing the producer) and 'missing_key'
+    (well-formed but lacking the field downstream joins key on —
+    usually a schema-drift signal) are separate reject tiers, each
+    carrying the raw payload (the DLQ contract). Same single-pass
+    tagged-split as the batch side-output (#6): one scan, a tag column,
+    two filtered views — Catalyst pushes the complementary filters into
+    both consumers.
+    """
+    schema_with_corrupt = ORDER_SCHEMA + ", _corrupt_record STRING"
+    tagged = raw.withColumn(
+        "_o",
+        F.from_json(
+            F.col(json_col),
+            schema_with_corrupt,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    ).withColumn(
+        "_reject_reason",
+        F.when(
+            F.col("_o").isNull() | F.col("_o._corrupt_record").isNotNull(),
+            "malformed_json",
+        ).when(F.col("_o.purchaseOrderId").isNull(), "missing_key"),
+    )
+    parsed = tagged.filter(F.col("_reject_reason").isNull()).select("_o.*").drop(
+        "_corrupt_record"
+    )
+    rejects = tagged.filter(F.col("_reject_reason").isNotNull()).select(
+        F.col(json_col).alias("raw_payload"),
+        F.col("_reject_reason").alias("reject_reason"),
+    )
+    return parsed, rejects
+
+
 def flatten_order_lines(orders: DataFrame) -> DataFrame:
     """Header + exploded order lines → one flat typed row per line
     (ref parse_walmart_order:18 / convert_to_row_data:384).

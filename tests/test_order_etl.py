@@ -135,3 +135,27 @@ def test_no_python_udf_in_plan(spark, order_file):
     flat = order_etl.flatten_order_lines(order_etl.parse_order_strings(raw))
     plan = flat._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_with_rejects_routes_both_tiers(spark, tmp_path):
+    """Malformed JSON and key-less records land in the reject view WITH
+    their raw payload (replayable DLQ); good records parse as before —
+    all from one scan."""
+    path = tmp_path / "mixed.jsonl"
+    good = make_order(1)
+    keyless = dict(make_order(2))
+    del keyless["purchaseOrderId"]
+    with open(path, "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write("{not valid json at all\n")
+        f.write(json.dumps(keyless) + "\n")
+
+    raw = spark.read.text(str(path))
+    parsed, rejects = order_etl.parse_order_strings_with_rejects(raw)
+    assert [r.purchaseOrderId for r in parsed.collect()] == ["PO000001"]
+    rej = {r.reject_reason: r.raw_payload for r in rejects.collect()}
+    assert set(rej) == {"malformed_json", "missing_key"}
+    assert rej["malformed_json"].startswith("{not valid")
+    assert json.loads(rej["missing_key"])["customerOrderId"] == keyless["customerOrderId"]
+    # nothing dropped: every input line is in exactly one view
+    assert parsed.count() + rejects.count() == 3
