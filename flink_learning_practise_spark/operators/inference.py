@@ -68,7 +68,10 @@ class FakeScoringModel:
             distinct_ratio = len(set(toks)) / len(toks) if toks else 0.0
             return round(0.5 * base + 0.5 * distinct_ratio, 6)
 
-        return texts.map(one)
+        # na_action="ignore": NULL text scores NULL — matching the SQL
+        # oracle, where md5(NULL) is NULL (a crash on None here would
+        # fail the whole task on one bad upstream row)
+        return texts.map(one, na_action="ignore")
 
 
 class FakeEmbeddingModel:
@@ -97,16 +100,28 @@ class FakeEmbeddingModel:
                 out.append(round(h / 2**63 - 1.0, 6))
             return out
 
-        return texts.map(one)
+        return texts.map(one, na_action="ignore")  # NULL text → NULL vector
 
 
 # one model handle per python worker PROCESS (worker reuse makes this
 # once per executor, amortized over every task it runs)
-_MODEL_CACHE: dict[str, object] = {}
+_MODEL_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _cached_load(model_factory: Callable[[], object]) -> object:
-    key = repr(model_factory)
+    """Cache by the factory's (module, qualname) — a stable identity
+    across task deserializations. repr()/id()-based keys would mint a
+    fresh key per deserialized closure (cache never hits, dead models
+    accumulate) and can even collide after GC address reuse. Factories
+    WITHOUT a stable name (lambdas, functools.partial, local closures)
+    are loaded per task, uncached — correct, just without the
+    once-per-executor amortization; use a module-level class or
+    function to get it."""
+    mod = getattr(model_factory, "__module__", None)
+    qual = getattr(model_factory, "__qualname__", None)
+    if not mod or not qual or "<lambda>" in qual or "<locals>" in qual:
+        return model_factory().load()  # type: ignore[attr-defined]
+    key = (mod, qual)
     m = _MODEL_CACHE.get(key)
     if m is None:
         m = model_factory().load()  # type: ignore[attr-defined]

@@ -623,6 +623,46 @@ def quantize_embeddings(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    vecs: list[list[float]],
+    norms: list[float],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    keep_emb: bool = False,
+) -> DataFrame:
+    """Map-only cluster assignment against inlined centroids: one row
+    per vector with ``list_id`` (1-based argmax cluster, first-max
+    tie-break — matches the SQL oracles' ORDER BY s DESC, c) and
+    ``cos_cent`` (cosine to the assigned centroid, rounded to
+    COSINE_NDIGITS). The single source of truth for the assignment +
+    tie-break + rounding rule shared by IVF, SemDeDup and the cluster
+    report — one inlined-score fold per row, staged so it evaluates
+    once (refine_centroids' rule), zero shuffle."""
+    scores = _ivf_scores_expr(emb_col, vecs, norms)
+    carried = [F.col(emb_col)] if keep_emb else []
+    return (
+        with_norm(widen(df), emb_col, dim)
+        .select(
+            F.col(id_col),
+            *carried,
+            F.col("norm"),
+            F.expr(scores).alias("_s"),
+        )
+        .select(
+            id_col,
+            *([emb_col] if keep_emb else []),
+            F.expr("CAST(array_position(_s, array_max(_s)) AS INT)").alias(
+                "list_id"
+            ),
+            F.round(
+                F.expr("array_max(_s)") / F.col("norm"), COSINE_NDIGITS
+            ).alias("cos_cent"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     tau: float = 0.4,
@@ -658,27 +698,13 @@ def semantic_dedup(
     intra-cluster pair.
     """
     vecs, norms = centroids or ivf_centroids(df, nlist, id_col, emb_col)
-    scores = _ivf_scores_expr(emb_col, vecs, norms)
-    # stage _s once (array_position + array_max would otherwise run the
-    # nlist×dim interpreted fold twice per row — refine_centroids' rule)
-    assigned = (
-        with_norm(widen(df), emb_col, dim)
-        .select(
-            F.col(id_col).alias("pid"),
-            F.col(emb_col).alias("emb"),
-            F.col("norm"),
-            F.expr(scores).alias("_s"),
-        )
-        .select(
-            "pid",
-            "emb",
-            F.expr("CAST(array_position(_s, array_max(_s)) AS INT)").alias(
-                "list_id"
-            ),
-            F.round(
-                F.expr("array_max(_s)") / F.col("norm"), COSINE_NDIGITS
-            ).alias("cos_cent"),
-        )
+    assigned = assign_to_centroids(
+        df, vecs, norms, id_col, emb_col, dim, keep_emb=True
+    ).select(
+        F.col(id_col).alias("pid"),
+        F.col(emb_col).alias("emb"),
+        "list_id",
+        "cos_cent",
     )
     margin = tau - 0.5 * 10.0 ** (-COSINE_NDIGITS) - 1e-12
 

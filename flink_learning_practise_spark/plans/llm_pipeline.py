@@ -850,20 +850,7 @@ FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
 def embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     vecs, norms = similarity.ivf_centroids(emb, SEMDEDUP_NLIST)
-    scores = similarity._ivf_scores_expr("embedding", vecs, norms)
-    assigned = (
-        similarity.with_norm(similarity.widen(emb), "embedding")
-        .select(F.col("vec_id"), F.col("norm"), F.expr(scores).alias("_s"))
-        .select(
-            "vec_id",
-            F.expr("CAST(array_position(_s, array_max(_s)) AS INT)").alias(
-                "list_id"
-            ),
-            F.round(
-                F.expr("array_max(_s)") / F.col("norm"), 6
-            ).alias("cos_cent"),
-        )
-    )
+    assigned = similarity.assign_to_centroids(emb, vecs, norms)
     return (
         assigned.groupBy("list_id")
         .agg(

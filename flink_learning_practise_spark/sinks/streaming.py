@@ -68,24 +68,43 @@ def kafka_sink(
     )
 
 
+def _committed_versions(spark, path: str) -> list[int]:
+    """Batch ids of fully-written version dirs, via the table's OWN
+    Hadoop FileSystem (works on hdfs://, s3a://, file:// alike — never
+    the driver's local os.path, which silently sees nothing on a
+    cluster FS). A version is committed iff the parquet committer's
+    ``_SUCCESS`` marker exists: a crash mid-write leaves no marker and
+    the half-written dir is invisible to every reader."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    glob = jvm.org.apache.hadoop.fs.Path(path + "/v*/_SUCCESS")
+    out = []
+    for st in fs.globStatus(glob) or []:
+        name = st.getPath().getParent().getName()  # "v<batch_id>"
+        try:
+            out.append(int(name[1:]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
 def read_merge_snapshot(spark, path: str, version: int | None = None) -> DataFrame | None:
     """State of a :func:`merge_parquet_sink` table, or None if no
-    version has committed yet. Readers see a complete, immutable
-    version directory — never a half-written one (the pointer file is
-    updated only after the version finishes writing).
+    version has committed yet. Readers only ever see fully-committed,
+    immutable version directories (``_SUCCESS``-marked).
 
     ``version`` selects an older committed version (time travel — every
     ``v{batch_id}`` dir is a full immutable snapshot; retention is the
     caller's policy)."""
-    import os
-
     if version is None:
-        ptr = os.path.join(path, "_LATEST")
-        if not os.path.exists(ptr):
+        committed = _committed_versions(spark, path)
+        if not committed:
             return None
-        with open(ptr) as f:
-            version = int(f.read().strip())
-    return spark.read.parquet(os.path.join(path, f"v{version}"))
+        version = committed[-1]
+    return spark.read.parquet(f"{path}/v{version}")
 
 
 def merge_parquet_sink(
@@ -104,28 +123,35 @@ def merge_parquet_sink(
     ``foreachBatch``.
 
     Exactly-once without a table format, from three properties:
-    1. each micro-batch writes a NEW immutable version dir ``v{batch_id}``
-       (an overwrite of it on replay is idempotent — same input, same
-       deterministic merge);
-    2. the ``_LATEST`` pointer flips only after the version is fully
-       written (readers never see partial data);
-    3. a replayed batch re-merges onto a snapshot that may already
-       contain it — and :func:`merge_snapshot` is IDEMPOTENT (rank-1
-       with deterministic tie-break), so the rewritten version is
-       identical.
+    1. each micro-batch writes a NEW version dir ``v{batch_id}``, valid
+       only once the parquet committer's ``_SUCCESS`` marker lands —
+       readers (:func:`read_merge_snapshot`) never see partial data;
+    2. batch N merges onto the latest committed version with id < N —
+       NEVER onto ``v{N}`` itself. A replayed batch (crash after the
+       version committed but before the streaming checkpoint did)
+       therefore reads exactly what its first attempt read — not the
+       directory it is about to overwrite — and deterministically
+       rewrites identical content;
+    3. all bookkeeping goes through the table path's own Hadoop
+       FileSystem, so hdfs:// and s3a:// behave like file:// (a
+       driver-local pointer file would silently see nothing on a
+       cluster FS).
 
     At 100 TB, pair with partition-pruned rewrites (semi-join the
-    snapshot scan on the batch's key set) and periodic
-    :func:`~..sinks.batch.compact_parquet` of version history; the
-    merge itself stays one key shuffle per batch.
+    snapshot scan on the batch's key set) and periodic retention
+    cleanup of old version dirs; the merge itself stays one key
+    shuffle per batch.
     """
-    import os
-
     from ..operators.cdc import merge_snapshot
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        current = read_merge_snapshot(spark, path)
+        prior = [v for v in _committed_versions(spark, path) if v < batch_id]
+        current = (
+            read_merge_snapshot(spark, path, version=prior[-1])
+            if prior
+            else None
+        )
         chg = batch_df
         if current is None:
             cols = [c for c in chg.columns if c != delete_col]
@@ -133,12 +159,7 @@ def merge_parquet_sink(
         merged = merge_snapshot(
             current, chg, key_cols, ts_col, id_col, delete_col
         )
-        vdir = os.path.join(path, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(vdir)
-        tmp = os.path.join(path, "_LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(path, "_LATEST"))  # atomic flip
+        merged.write.mode("overwrite").parquet(f"{path}/v{batch_id}")
 
     return (
         df.writeStream.foreachBatch(apply)

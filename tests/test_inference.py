@@ -102,3 +102,15 @@ def test_scoring_runs_unchanged_on_streams(spark, tmp_path):
         map(tuple, inference.score_documents(batch).select("doc_id", "score", "model").collect())
     )
     assert streamed == batched and len(streamed) == 20
+
+
+def test_null_text_scores_null_not_crash(spark):
+    """One NULL text row must not fail the task: it scores NULL (the
+    SQL-oracle semantic — md5(NULL) IS NULL), everything else scores."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.score for r in inference.score_documents(df).collect()}
+    assert rows[2] is None and rows[1] is not None
+    emb = {r.doc_id: r.embedding for r in inference.embed_documents(df).collect()}
+    assert emb[2] is None and len(emb[1]) == 16

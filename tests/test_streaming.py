@@ -1057,3 +1057,42 @@ def test_streaming_merge_sink_maintains_snapshot(spark, tmp_path):
     # immutable snapshot
     old = {(r.k, r.v) for r in read_merge_snapshot(spark, table, version=0).collect()}
     assert old == snap1
+
+
+def test_streaming_merge_sink_replay_never_reads_own_version(spark, tmp_path):
+    """Crash-replay safety: when batch N re-runs (its version committed
+    but the checkpoint didn't), the merge must NOT read v{N} — it reads
+    the last version with id < N and deterministically rewrites v{N}.
+    Simulate the crashed attempt by planting a committed v0 with a
+    ghost row, then running batch 0 from a fresh checkpoint: the ghost
+    must vanish, not be merged or clobber-read mid-overwrite."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.sinks.streaming import (
+        merge_parquet_sink,
+        read_merge_snapshot,
+    )
+
+    src_dir = str(tmp_path / "replay_in")
+    table = str(tmp_path / "replay_table")
+    schema = "k long, id long, ts long, v string, del boolean"
+
+    # the "crashed attempt": a fully-committed v0 containing a row the
+    # replay's input does NOT contain
+    spark.createDataFrame(
+        [(99, 99, 99, "ghost")], "k long, id long, ts long, v string"
+    ).write.parquet(os.path.join(table, "v0"))
+
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "part-0.jsonl"), "w") as f:
+        f.write(_json.dumps({"k": 1, "id": 1, "ts": 10, "v": "a", "del": False}) + "\n")
+
+    q = merge_parquet_sink(
+        spark.readStream.schema(schema).json(src_dir),
+        table, str(tmp_path / "replay_ckpt"), ["k"], "ts", "id", "del",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {(r.k, r.v) for r in read_merge_snapshot(spark, table).collect()}
+    assert got == {(1, "a")}  # ghost rewritten away, no self-read crash
