@@ -241,6 +241,76 @@ def etl_pipeline(
     return sink(transform(source)).start()
 
 
+def stream_semantic_dedup(
+    stream: DataFrame,
+    snapshot: DataFrame,
+    tau: float = 0.85,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    centroids=None,
+) -> DataFrame:
+    """Streaming half of ``similarity.semantic_dedup``: drop incoming
+    embeddings that are semantic duplicates (cosine ≥ τ) of the corpus
+    SNAPSHOT, continuously — the SemDeDup analog of
+    :func:`stream_incremental_dedup`'s digest tier.
+
+    Fully STATELESS on the unbounded side: cluster assignment is a
+    map-only expression against inlined centroids (the shared
+    ``assign_to_centroids`` rule), and the duplicate check is a
+    stream-static LEFT ANTI broadcast join on (cluster id, cosine ≥ τ)
+    — each stream row is scored only against its own cluster's
+    snapshot vectors (candidates bounded by cluster size, the SemDeDup
+    property), no watermark, no state. Stream-internal duplicates are
+    deliberately NOT handled here (cosine isn't an equality, so
+    there's no digest to dropDuplicates on): re-run the batch
+    ``semantic_dedup`` over ingested data for that, or chain the exact
+    digest tier first.
+
+    Returns the surviving (novel) stream rows with their original
+    columns."""
+    from ..operators.similarity import (
+        assign_to_centroids,
+        dot_expr,
+        ivf_centroids,
+        with_norm,
+    )
+
+    vecs, norms = centroids or ivf_centroids(snapshot, nlist, id_col, emb_col)
+    snap = (
+        with_norm(
+            assign_to_centroids(
+                snapshot, vecs, norms, id_col, emb_col, dim, keep_emb=True
+            ),
+            emb_col,
+            dim,
+        )
+        .select(
+            F.col(emb_col).alias("_semb"),
+            F.col("list_id").alias("_slist"),
+            F.col("norm").alias("_snorm"),
+        )
+    )
+    strm = with_norm(
+        assign_to_centroids(
+            stream, vecs, norms, id_col, emb_col, dim, keep_emb=True
+        ),
+        emb_col,
+        dim,
+    )
+    cos = F.round(
+        F.expr(dot_expr(emb_col, "_semb")) / (F.col("norm") * F.col("_snorm")),
+        6,
+    )
+    survivors = strm.join(
+        F.broadcast(snap),
+        (F.col("list_id") == F.col("_slist")) & (cos >= F.lit(tau)),
+        "left_anti",
+    )
+    return survivors.drop("list_id", "cos_cent", "norm")
+
+
 def run_until_drained(query: StreamingQuery) -> None:
     """Deterministic test helper: process everything currently
     available, then stop (bounded sources only)."""

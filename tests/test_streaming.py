@@ -1096,3 +1096,76 @@ def test_streaming_merge_sink_replay_never_reads_own_version(spark, tmp_path):
 
     got = {(r.k, r.v) for r in read_merge_snapshot(spark, table).collect()}
     assert got == {(1, "a")}  # ghost rewritten away, no self-read crash
+
+
+def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming SemDeDup vs snapshot: survivors of the stream must be
+    exactly the rows with no over-τ cosine neighbor in their snapshot
+    cluster — checked against a brute-force batch computation."""
+    import json as _json
+    import math
+    import os
+
+    dim = 4
+
+    def vec(theta, axis):
+        v = [0.0] * dim
+        v[axis] = math.cos(theta)
+        v[(axis + 1) % dim] = math.sin(theta)
+        return v
+
+    # snapshot: two clusters around axis 0 and axis 2
+    snap_rows = [(100, vec(0.0, 0)), (101, vec(0.05, 0)), (102, vec(0.0, 2))]
+    snapshot = spark.createDataFrame(
+        snap_rows, "vec_id long, embedding array<double>"
+    )
+    cents = ([vec(0.0, 0), vec(0.0, 2)], [1.0, 1.0])
+
+    # stream: 1 near-dup of cluster A, 1 novel-in-A, 1 near-dup of B
+    stream_rows = [
+        {"vec_id": 1, "embedding": vec(0.02, 0)},   # dup of 100
+        {"vec_id": 2, "embedding": vec(0.7, 0)},    # same cluster, far
+        {"vec_id": 3, "embedding": vec(-0.03, 2)},  # dup of 102
+    ]
+    src_dir = str(tmp_path / "sem_in")
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "p0.jsonl"), "w") as f:
+        for r in stream_rows:
+            f.write(_json.dumps(r) + "\n")
+
+    src = spark.readStream.schema("vec_id long, embedding array<double>").json(src_dir)
+    out = sp.stream_semantic_dedup(
+        src, snapshot, tau=0.9, nlist=2, dim=dim, centroids=cents
+    )
+    assert out.isStreaming
+    q = memory_sink(out.select("vec_id"), "sem_dedup_out", mode="append").start()
+    sp.run_until_drained(q)
+    survivors = {r.vec_id for r in spark.table("sem_dedup_out").collect()}
+
+    # brute-force batch check with the same assignment rule
+    batch = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in stream_rows],
+        "vec_id long, embedding array<double>",
+    )
+    from flink_learning_practise_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    s_assign = {r.vec_id: r.list_id for r in assign_to_centroids(
+        snapshot, *cents, dim=dim).collect()}
+    b_assign = {r.vec_id: r.list_id for r in assign_to_centroids(
+        batch, *cents, dim=dim).collect()}
+    def cosine(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+    expect = set()
+    for r in stream_rows:
+        dup = any(
+            b_assign[r["vec_id"]] == s_assign[sid]
+            and cosine(r["embedding"], semb) >= 0.9
+            for sid, semb in snap_rows
+        )
+        if not dup:
+            expect.add(r["vec_id"])
+    assert survivors == expect == {2}
