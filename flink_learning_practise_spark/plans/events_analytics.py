@@ -700,6 +700,86 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# #88 hypertable rollup + gap-fill (TimescaleDB time_bucket_gapfill /
+# PromQL range-vector analog): continuous per-key time grid with LOCF.
+
+
+def gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly rollup on a CONTINUOUS grid: hours with no
+    events appear explicitly (n_events=0, is_gap=true) with the last
+    observed hourly average carried forward (LOCF) — the resample step
+    every time-series consumer (dashboards, feature windows, anomaly
+    baselines) needs before it can difference or window.
+
+    Scale shape: ONE shuffle on (user, hour) for the decimal rollup;
+    the per-user span comes from re-aggregating those already-hourly
+    rows (tiny); the grid is a per-user ``sequence`` explode — rows =
+    users × span-hours, generated NOT shuffled (the join back to the
+    rollup is on the same (user, hour) key). LOCF is one per-user
+    window with ``last(ignorenulls)`` — incremental frame, no second
+    sort once AQE reuses the join's partitioning. Span is data-driven
+    per user, so a sparse user contributes a small grid, not the
+    global calendar.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            davg("value", "_avg"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(_lo, _hi, interval 1 hour)")
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(hourly, ["user_id", "bucket_ts"], "left_outer")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "bucket_ts",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("_avg", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("_n").isNull().alias("is_gap"),
+    )
+
+
+GAPFILL_RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_v
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+        FROM hourly GROUP BY user_id)
+)
+SELECT g.user_id, g.bucket_ts,
+       COALESCE(h.n, 0) AS n_events,
+       last_value(h.avg_v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       h.n IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly h USING (user_id, bucket_ts)
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by their first-activity
     week, counted in each subsequent week they return — the classic
