@@ -780,6 +780,98 @@ FROM grid g LEFT JOIN hourly h USING (user_id, bucket_ts)
 """
 
 
+# ---------------------------------------------------------------------------
+# #88b rolling z-score anomaly flags over the hourly rollup — the
+# consumer the gap-fill feeds (anomaly baselines). Variance comes from
+# two exact DECIMAL frame sums (Σx, Σx²) instead of a built-in stddev:
+# streaming-variance algorithms (Welford etc.) are engine- and
+# order-dependent, but sums of decimals are associative, so z-scores
+# are bit-identical across engines and partitionings.
+
+ANOMALY_Z = 2.5
+ANOMALY_MIN_HOURS = 12
+
+
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("_s"),
+        F.sum(
+            (F.col("value").cast(DEC) * F.col("value").cast(DEC)).cast(
+                "decimal(28,12)"
+            )
+        ).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # trailing 24h baseline EXCLUDING the current hour (a spike must
+    # not inflate its own baseline); frame = previous 24 grid-adjacent
+    # observed hours (sparse users: previous observed hours)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "user_id",
+        "bucket_ts",
+        (F.col("_s").cast("double") / F.col("_n")).alias("hour_avg"),
+        F.sum("_s").over(w).alias("_bs"),
+        F.sum("_s2").over(w).alias("_bs2"),
+        F.sum("_n").over(w).alias("_bn"),
+        F.count(F.lit(1)).over(w).alias("_bhours"),
+    )
+    bs = F.col("_bs").cast("double")
+    bs2 = F.col("_bs2").cast("double")
+    bn = F.col("_bn").cast("double")
+    mean = bs / bn
+    var = (bs2 - bs * bs / bn) / bn
+    z = (F.col("hour_avg") - mean) / F.sqrt(var)
+    return (
+        stats.filter(F.col("_bhours") >= ANOMALY_MIN_HOURS)
+        .filter(var > 0)
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+        .select(
+            "user_id",
+            "bucket_ts",
+            F.round("hour_avg", 6).alias("hour_avg"),
+            "z",
+        )
+    )
+
+
+ROLLING_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS s2,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+framed AS (
+  SELECT user_id, bucket_ts,
+         CAST(s AS DOUBLE) / n AS hour_avg,
+         CAST(SUM(s)  OVER w AS DOUBLE) AS bs,
+         CAST(SUM(s2) OVER w AS DOUBLE) AS bs2,
+         CAST(SUM(n)  OVER w AS DOUBLE) AS bn,
+         COUNT(*) OVER w AS bhours
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket_ts, round(hour_avg, 6) AS hour_avg,
+       round((hour_avg - bs / bn) / sqrt((bs2 - bs * bs / bn) / bn), 6) AS z
+FROM framed
+WHERE bhours >= {ANOMALY_MIN_HOURS}
+  AND (bs2 - bs * bs / bn) / bn > 0
+  AND abs(round((hour_avg - bs / bn) / sqrt((bs2 - bs * bs / bn) / bn), 6)) >= {ANOMALY_Z}
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by their first-activity
     week, counted in each subsequent week they return — the classic

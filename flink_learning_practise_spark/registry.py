@@ -250,6 +250,7 @@ def _populate() -> None:
     register("q_latest_event_per_user", ea.latest_event_per_user, ea.LATEST_EVENT_PER_USER_SQL)
     register("q_cdc_merge", ea.cdc_merge, ea.CDC_MERGE_SQL)
     register("q_gapfill_resample", ea.gapfill_resample, ea.GAPFILL_RESAMPLE_SQL)
+    register("q_rolling_anomaly", ea.rolling_anomaly, ea.ROLLING_ANOMALY_SQL)
     register("q_scd2_intervals", ea.scd2_intervals, ea.SCD2_INTERVALS_SQL)
     register("q_cascaded_reagg", ea.cascaded_reaggregate, ea.CASCADED_REAGG_SQL)
 
