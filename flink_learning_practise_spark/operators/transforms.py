@@ -147,3 +147,80 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(round(frac * 10000)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "global_rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global dense total-order row ranking WITHOUT a single-partition
+    window (``Window.orderBy()`` with no partitionBy funnels the whole
+    relation through one task — the classic global-sort scale trap this
+    module bans elsewhere).
+
+    The distributed-rank pattern:
+    1. ``repartitionByRange`` on the order columns — globally ordered,
+       balanced partitions (sampled bounds);
+    2. per-PARTITION ``row_number`` (parallel — each partition sorts
+       its own slice, which sortWithinPartitions already did);
+    3. per-partition row counts → the driver (≤ P scalars), prefix-sum
+       offsets inlined back as a CASE literal: global rank =
+       partition offset + local rank.
+
+    The frame is pinned with ``localCheckpoint`` so the count pass and
+    the rank pass read the SAME sampled range bounds (the range
+    exchange would otherwise be free to resample between jobs).
+    ``order_cols`` must be a TOTAL order (include a unique id) or the
+    rank is partition-placement-dependent on ties.
+    """
+    from pyspark.sql import Window
+
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    pinned = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in pinned.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offset = F.lit(0)
+    acc = 0
+    for pid, n in counts:
+        offset = F.when(F.col("_pid") == pid, F.lit(acc)).otherwise(offset)
+        acc += n
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        pinned.withColumn(rank_col, F.row_number().over(w) + offset)
+        .drop("_pid")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-population bucket assignment (SQL ``ntile`` semantics:
+    the first N mod B buckets hold one extra row) over a distributed
+    global rank — same contract as ``ntile() OVER (ORDER BY ...)``
+    with none of its single-partition execution. Total row count comes
+    with the rank pass's partition counts (no extra job)."""
+    ranked = global_rank(df, order_cols, "_grank")
+    n_total = ranked.count()  # one tiny job over the checkpointed frame
+    q, m = divmod(n_total, n_buckets)
+    big = q + 1
+    bucket = F.when(
+        F.col("_grank") <= m * big,
+        (F.col("_grank") - 1) / F.lit(big),
+    ).otherwise(
+        F.lit(m) + (F.col("_grank") - 1 - m * big) / F.lit(max(q, 1))
+    )
+    return ranked.withColumn(
+        bucket_col, (F.floor(bucket) + 1).cast("int")
+    ).drop("_grank")

@@ -777,6 +777,56 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# #89 curriculum difficulty bucketing: equal-population score deciles
+# (the curriculum-learning prep step: train easy→hard by bucket, or
+# mix buckets at controlled rates). ntile over a TOTAL order
+# (score, doc_id) — without the id tie-break, equal scores make decile
+# boundaries engine-dependent. One vocabulary-free shuffle: ntile is a
+# single window over (score, id), then a 10-group aggregate.
+
+CURRICULUM_BUCKETS = 10
+
+
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import inference
+    from ..operators.transforms import global_ntile
+
+    docs = load(spark, sf_dir, "documents")
+    scored = inference.score_documents(docs).select("doc_id", "score")
+    return (
+        global_ntile(scored, CURRICULUM_BUCKETS, ["score", "doc_id"])
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+CURRICULUM_BUCKETS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(
+           0.5 * (('0x' || substring(md5(text), 1, 16))::UBIGINT / 18446744073709551616.0)
+           + 0.5 * (CASE WHEN trim(text) = '' THEN 0.0
+                         ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                    END), 6) AS score
+  FROM documents
+),
+bucketed AS (
+  SELECT score, ntile({CURRICULUM_BUCKETS}) OVER (ORDER BY score, doc_id) AS bucket
+  FROM scored
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # #84 SemDeDup — semantic dedup: cluster the embedding space, score
 # cosine pairs only WITHIN clusters, keep the atypical member of each
 # over-τ pair (Abbas et al. 2023). The quadratic work is bounded by the

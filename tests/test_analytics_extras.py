@@ -220,3 +220,39 @@ def test_heavy_hitter_sketch_bounds(spark, sf_medium):
     heavy = {t for t, n in exact.items() if n > err_bound}
     missing = heavy - set(est)
     assert not missing, f"guaranteed heavy hitters missing: {missing}"
+
+
+def test_global_rank_and_ntile_match_window_semantics(spark):
+    """Distributed global rank/ntile must agree exactly with the
+    single-partition window built-ins they replace."""
+    from pyspark.sql import Window
+
+    from flink_learning_practise_spark.operators.transforms import (
+        global_ntile,
+        global_rank,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "pmod(hash(id), 97) AS score", "id"
+    )
+    got = {
+        r.id: r.global_rank
+        for r in global_rank(df, ["score", "id"]).collect()
+    }
+    w = Window.orderBy("score", "id")
+    want = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    for b in (7, 10, 1500):  # incl. more buckets than rows
+        gb = {
+            r.id: r.bucket
+            for r in global_ntile(df, b, ["score", "id"]).collect()
+        }
+        wb = {
+            r.id: r.nt
+            for r in df.withColumn("nt", F.ntile(b).over(w)).collect()
+        }
+        assert gb == wb, f"ntile({b}) mismatch"
