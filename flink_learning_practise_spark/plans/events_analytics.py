@@ -1034,3 +1034,80 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour_start, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# #90 data-quality report (Deequ analog): table-level contracts —
+# uniqueness, referential integrity, value budgets — as one unioned
+# frame of tiny independent aggregates.
+
+
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dq
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ev = load(spark, sf_dir, "events")
+    checks = [
+        dq.check_unique(cust, ["c_custkey"], "customer"),
+        dq.check_unique(orders, ["o_orderkey"], "orders"),
+        dq.check_fk(orders, "o_custkey", cust, "c_custkey", "orders"),
+        dq.check_fk(li, "l_orderkey", orders, "o_orderkey", "lineitem"),
+        dq.check_fk(li, "l_partkey", part, "p_partkey", "lineitem"),
+        dq.check_condition(
+            li, (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0),
+            "positive_amounts", "lineitem",
+        ),
+        dq.check_condition(
+            ev, F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
+            "event_keys_present", "events",
+        ),
+    ]
+    return dq.dq_report(checks).orderBy("table_name", "check_name")
+
+
+DQ_REPORT_SQL = """
+SELECT check_name, table_name,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(total AS BIGINT) AS total
+FROM (
+  SELECT 'unique(c_custkey)' AS check_name, 'customer' AS table_name,
+         COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS violations, SUM(n) AS total
+  FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey)
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'orders',
+         COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0), SUM(n)
+  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'fk(o_custkey)', 'orders',
+         COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         COUNT(*)
+  FROM orders
+  UNION ALL
+  SELECT 'fk(l_orderkey)', 'lineitem',
+         COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+                          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'fk(l_partkey)', 'lineitem',
+         COUNT(*) FILTER (WHERE l_partkey IS NOT NULL
+                          AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'positive_amounts', 'lineitem',
+         COUNT(*) - COUNT(*) FILTER (WHERE l_quantity > 0 AND l_extendedprice > 0),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'event_keys_present', 'events',
+         COUNT(*) - COUNT(*) FILTER (WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         COUNT(*)
+  FROM events
+)
+ORDER BY table_name, check_name
+"""
