@@ -117,63 +117,102 @@ def ngram_jaccard_pairs(
     is driven by shared-shingle buckets rather than the full cross
     product. At larger scale swap in :func:`minhash_lsh_pairs`.
 
-    ``df_cap`` is the skew guard (SURVEY §6): shingles appearing in more
-    than ``df_cap`` documents — boilerplate like "click here to" — are
-    dropped from the inverted index BEFORE the self-join, bounding any
-    bucket's contribution to df_cap² join rows. The standard
-    stop-shingle trade-off: n_common counts only surviving shared
-    shingles while set sizes stay full, so when the cap binds, jaccard
-    is a LOWER bound and a pair sharing nothing but hot shingles is
-    missed (such pairs are far below any useful τ unless the docs are
-    near-pure boilerplate). With the default cap the guard is inert on
-    this corpus (max shingle DF at sf0.1 is 25), so parity with the
-    exact oracle is unchanged.
+    PPJoin-style prefix filtering (Chaudhuri et al. ICDE'06 SSJoin;
+    Xiao et al. WWW'08): only each doc's PREFIX — its first
+    ``n - ceil(τ·n) + 1`` shingles under a global md5 order — enters
+    the inverted index. Two sets with Jaccard ≥ τ must overlap by
+    ≥ ceil(τ·max(n_a, n_b)), so their prefixes provably intersect
+    (prefix-filtering principle) — candidate generation is EXACT, and
+    measured ~20× smaller than the full index's pair stream at sf0.1
+    (1.27 M joined rows → ~50 k), because pairs sharing only one or
+    two random shingles rarely collide on prefixes. Survivor pairs are
+    verified on the FULL shingle arrays (array_intersect — per-pair
+    HOF on the few candidates, exact jaccard), then length-filtered
+    (``n_b ≥ ceil(τ·n_a)``) for free extra pruning.
+
+    ``df_cap`` is the skew guard (SURVEY §6): shingles appearing in
+    more than ``df_cap`` PREFIXES — boilerplate like "click here to" —
+    are dropped from the index before the self-join, bounding any
+    bucket's contribution to df_cap² join rows. When the cap binds, a
+    pair sharing nothing but hot shingles is missed (documented
+    stop-shingle recall trade-off; verified pairs always carry EXACT
+    jaccard since verification reads the full arrays). With the
+    default cap the guard is inert on this corpus (max DF at sf0.1 is
+    25), so parity with the exact oracle is unchanged.
     """
-    # carry |shingles(doc)| through the explode: both join sides then
-    # already know n_a/n_b, so no separate sizes aggregation and no
-    # post-join size lookups — and because the two sides are IDENTICAL
-    # subtrees ending in repartition(shingle), Spark computes the
-    # exchange once and reuses it (shingling runs once per doc total).
-    arrs = widen(df).select(
-        F.col(id_col), shingle_array(normalize(F.col(text_col)), k).alias("_sh")
+    ceil_tau = f"CAST(ceil({threshold} * _n) AS INT)"
+    # carry each doc's FULL shingle array through the prefix explode:
+    # the candidate join then verifies inline (array_intersect on the
+    # two carried arrays) with no extra joins and no re-shingling —
+    # and because both join sides are the IDENTICAL subtree ending in
+    # repartition(shingle), Spark computes that exchange once and
+    # reuses it (shingling + prefix sort run once per doc total).
+    pref = (
+        widen(df)
+        .select(
+            F.col(id_col),
+            shingle_array(normalize(F.col(text_col)), k).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+        # global md5 shingle order for the prefix (any fixed total
+        # order is correct; hash order spreads hot-prefix skew)
+        .withColumn(
+            "_pref",
+            F.expr(
+                f"slice(transform(array_sort(transform(_sh, s -> "
+                f"struct(md5(s) AS h, s AS s))), x -> x.s), 1, "
+                f"greatest(_n - {ceil_tau} + 1, 1))"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "_sh",
+            "_n",
+            F.explode_outer("_pref").alias("shingle"),
+        )
+        .repartition("shingle")
     )
-    # explode_outer: see doc_shingles — avoids the non-foldable
-    # size(_sh) > 0 pruning filter that re-evaluates the inlined
-    # shingle expression per row (the arrays are never empty).
-    sh = arrs.select(
-        F.col(id_col),
-        F.size("_sh").alias("_n"),
-        F.explode_outer("_sh").alias("shingle"),
-    ).repartition("shingle")
     # drop hot shingles via a hash-aggregate over the SAME exchange the
-    # self-join needs (shingles are distinct per doc, so count == DF)
-    # plus a broadcast anti-join of the tiny hot set. A window count
-    # over the exchange computes the same thing without the extra
-    # aggregate, but WindowExec must SORT every exploded row by shingle
-    # — O(rows log rows) per partition vs the aggregate's linear probe;
-    # measured ~2x faster at sf0.1. The hot set is bounded by
-    # corpus_shingles/df_cap, comfortably broadcastable.
+    # self-join needs, plus a broadcast anti-join of the tiny hot set
+    # (bounded by corpus_shingles/df_cap, comfortably broadcastable).
     hot = (
-        sh.groupBy("shingle")
+        pref.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > df_cap)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle")
+    pref = pref.join(F.broadcast(hot), "shingle", "left_anti")
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"),
+        F.col("_n").alias("n_a"), "shingle",
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"),
+        F.col("_n").alias("n_b"), "shingle",
+    )
     jac = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")  # n_* functionally depend on ids
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        # length filter: Jaccard ≥ τ needs τ·n_a ≤ n_b (and symm.)
+        .filter(
+            (F.col("n_b") >= F.expr(f"CAST(ceil({threshold} * n_a) AS INT)"))
+            & (F.col("n_a") >= F.expr(f"CAST(ceil({threshold} * n_b) AS INT)"))
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return (
+        jac.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        # a pair sharing several prefix shingles verifies several times
+        # with identical results; the distinct runs on the (small)
+        # over-τ survivor set, not the candidate stream
+        .distinct()
+    )
 
 
 def near_dedup_survivors(
