@@ -5,10 +5,11 @@ Four tiers, trading exactness for scale:
 - :func:`exact_dedup` — hash-groupBy on normalized content. One shuffle
   keyed by a 256-bit digest (constant-width shuffle keys regardless of
   document length). The 100 TB workhorse.
-- :func:`ngram_jaccard_pairs` — exact near-dup pairs via an inverted
-  shingle index (explode → equi-join → count). Exact but the index join
-  is O(sum of shingle-bucket²); use for verification / small candidate
-  sets.
+- :func:`ngram_jaccard_pairs` — exact near-dup pairs via a PPJoin
+  prefix-filtered inverted index (provably exact candidates ~20× below
+  the full index's pair stream, verified inline on full arrays). Still
+  O(sum of prefix-bucket²) in the worst case; the signature tiers below
+  are the 100 TB near-dup path.
 - :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH blocking,
   then exact-Jaccard verification of candidates only. Linear in
   candidates: the scale path for near-dup at 100 TB.
@@ -134,9 +135,13 @@ def ngram_jaccard_pairs(
     more than ``df_cap`` PREFIXES — boilerplate like "click here to" —
     are dropped from the index before the self-join, bounding any
     bucket's contribution to df_cap² join rows. When the cap binds, a
-    pair sharing nothing but hot shingles is missed (documented
-    stop-shingle recall trade-off; verified pairs always carry EXACT
-    jaccard since verification reads the full arrays). With the
+    pair whose prefix-intersection consists ENTIRELY of hot shingles is
+    missed — note this is broader than "shares only hot shingles": a
+    high-jaccard pair sharing many cold shingles survives only if at
+    least one cold shared shingle lands in both md5-ordered prefixes
+    (the usual case, since hash order is independent of hotness).
+    Verified pairs always carry EXACT jaccard (verification reads the
+    full arrays). With the
     default cap the guard is inert on this corpus (max DF at sf0.1 is
     25), so parity with the exact oracle is unchanged.
     """

@@ -32,17 +32,19 @@ REPORT_SCHEMA = "check_name string, table_name string, violations long, total lo
 
 
 def check_unique(df: DataFrame, key_cols: list[str], table: str) -> DataFrame:
-    """Rows carrying a duplicated key (0 when the key is unique)."""
+    """Rows carrying a duplicated key (0 when the key is unique; an
+    EMPTY table passes with violations=0, not NULL)."""
     return (
         df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .agg(
             F.lit(f"unique({','.join(key_cols)})").alias("check_name"),
             F.lit(table).alias("table_name"),
-            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0)).alias(
-                "violations"
-            ),
-            F.sum("_n").alias("total"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0)),
+                F.lit(0),
+            ).alias("violations"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("total"),
         )
     )
 
@@ -54,22 +56,32 @@ def check_fk(
     parent_key: str,
     table: str,
 ) -> DataFrame:
-    """Orphaned child rows: non-null FK values with no parent row."""
-    orphans = (
-        child.filter(F.col(child_key).isNotNull())
-        .join(
-            parent.select(F.col(parent_key).alias(child_key)).distinct(),
-            child_key,
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("violations"))
+    """Orphaned child rows: non-null FK values with no parent row.
+
+    ONE pass over the child: a left join against the distinct parent
+    keys (a presence marker column), then a single conditional
+    aggregate yields orphans AND the row total together — no second
+    scan, no crossJoin."""
+    marked = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key))
+        .distinct()
+        .withColumn("_present", F.lit(1)),
+        child_key,
+        "left_outer",
     )
-    total = child.agg(F.count(F.lit(1)).alias("total"))
-    return orphans.crossJoin(total).select(
+    return marked.agg(
         F.lit(f"fk({child_key})").alias("check_name"),
         F.lit(table).alias("table_name"),
-        "violations",
-        "total",
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(child_key).isNotNull() & F.col("_present").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("violations"),
+        F.count(F.lit(1)).alias("total"),
     )
 
 
@@ -82,14 +94,24 @@ def check_condition(
     return df.agg(
         F.lit(name).alias("check_name"),
         F.lit(table).alias("table_name"),
-        (F.count(F.lit(1)) - F.sum(holds)).alias("violations"),
+        F.coalesce(F.count(F.lit(1)) - F.sum(holds), F.lit(0)).alias(
+            "violations"
+        ),
         F.count(F.lit(1)).alias("total"),
     )
 
 
 def dq_report(checks: list[DataFrame]) -> DataFrame:
     """UNION the one-row check frames into the report. Each input is an
-    independent aggregate; Catalyst runs them as parallel stages."""
+    independent aggregate; Catalyst runs them as parallel stages. Every
+    check frame must carry exactly the REPORT_SCHEMA columns — caught
+    here, not at sink time."""
+    expected = [f.split()[0] for f in REPORT_SCHEMA.split(", ")]
+    for c in checks:
+        if c.columns != expected:
+            raise ValueError(
+                f"check frame columns {c.columns} != report schema {expected}"
+            )
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)

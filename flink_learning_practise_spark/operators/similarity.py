@@ -630,29 +630,27 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = DEFAULT_DIM,
-    keep_emb: bool = False,
+    keep_norm: bool = False,
 ) -> DataFrame:
-    """Map-only cluster assignment against inlined centroids: one row
-    per vector with ``list_id`` (1-based argmax cluster, first-max
-    tie-break — matches the SQL oracles' ORDER BY s DESC, c) and
-    ``cos_cent`` (cosine to the assigned centroid, rounded to
-    COSINE_NDIGITS). The single source of truth for the assignment +
-    tie-break + rounding rule shared by IVF, SemDeDup and the cluster
-    report — one inlined-score fold per row, staged so it evaluates
-    once (refine_centroids' rule), zero shuffle."""
+    """Map-only cluster assignment against inlined centroids: every
+    input column rides through, plus ``list_id`` (1-based argmax
+    cluster, first-max tie-break — matches the SQL oracles' ORDER BY
+    s DESC, c) and ``cos_cent`` (cosine to the assigned centroid,
+    rounded to COSINE_NDIGITS); ``keep_norm`` also keeps the L2
+    ``norm`` already computed here, so downstream cosine math doesn't
+    re-run the O(dim) fold. The single source of truth for the
+    assignment + tie-break + rounding rule shared by IVF, SemDeDup,
+    the cluster report and the streaming dedup — one inlined-score
+    fold per row, staged so it evaluates once (refine_centroids'
+    rule), zero shuffle; streaming frames pass through (widen no-op)."""
     scores = _ivf_scores_expr(emb_col, vecs, norms)
-    carried = [F.col(emb_col)] if keep_emb else []
+    in_cols = df.columns
     return (
         with_norm(widen(df), emb_col, dim)
+        .withColumn("_s", F.expr(scores))
         .select(
-            F.col(id_col),
-            *carried,
-            F.col("norm"),
-            F.expr(scores).alias("_s"),
-        )
-        .select(
-            id_col,
-            *([emb_col] if keep_emb else []),
+            *in_cols,
+            *([F.col("norm")] if keep_norm else []),
             F.expr("CAST(array_position(_s, array_max(_s)) AS INT)").alias(
                 "list_id"
             ),
@@ -699,7 +697,7 @@ def semantic_dedup(
     """
     vecs, norms = centroids or ivf_centroids(df, nlist, id_col, emb_col)
     assigned = assign_to_centroids(
-        df, vecs, norms, id_col, emb_col, dim, keep_emb=True
+        df, vecs, norms, id_col, emb_col, dim
     ).select(
         F.col(id_col).alias("pid"),
         F.col(emb_col).alias("emb"),

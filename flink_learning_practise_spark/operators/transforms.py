@@ -175,6 +175,18 @@ def global_rank(
     ``order_cols`` must be a TOTAL order (include a unique id) or the
     rank is partition-placement-dependent on ties.
     """
+    return _global_rank_with_total(df, order_cols, rank_col, partitions)[0]
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str,
+    partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Rank frame plus the total row count — the count is the final
+    prefix sum the rank pass already computed on the driver, so
+    callers needing N (e.g. ntile) pay no extra job."""
     from pyspark.sql import Window
 
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -194,10 +206,11 @@ def global_rank(
         offset = F.when(F.col("_pid") == pid, F.lit(acc)).otherwise(offset)
         acc += n
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    ranked = (
         pinned.withColumn(rank_col, F.row_number().over(w) + offset)
         .drop("_pid")
     )
+    return ranked, acc
 
 
 def global_ntile(
@@ -211,8 +224,7 @@ def global_ntile(
     global rank — same contract as ``ntile() OVER (ORDER BY ...)``
     with none of its single-partition execution. Total row count comes
     with the rank pass's partition counts (no extra job)."""
-    ranked = global_rank(df, order_cols, "_grank")
-    n_total = ranked.count()  # one tiny job over the checkpointed frame
+    ranked, n_total = _global_rank_with_total(df, order_cols, "_grank", None)
     q, m = divmod(n_total, n_buckets)
     big = q + 1
     bucket = F.when(

@@ -274,30 +274,21 @@ def stream_semantic_dedup(
         assign_to_centroids,
         dot_expr,
         ivf_centroids,
-        with_norm,
     )
 
     vecs, norms = centroids or ivf_centroids(snapshot, nlist, id_col, emb_col)
-    snap = (
-        with_norm(
-            assign_to_centroids(
-                snapshot, vecs, norms, id_col, emb_col, dim, keep_emb=True
-            ),
-            emb_col,
-            dim,
-        )
-        .select(
-            F.col(emb_col).alias("_semb"),
-            F.col("list_id").alias("_slist"),
-            F.col("norm").alias("_snorm"),
-        )
+    snap = assign_to_centroids(
+        snapshot, vecs, norms, id_col, emb_col, dim, keep_norm=True
+    ).select(
+        F.col(emb_col).alias("_semb"),
+        F.col("list_id").alias("_slist"),
+        F.col("norm").alias("_snorm"),
     )
-    strm = with_norm(
-        assign_to_centroids(
-            stream, vecs, norms, id_col, emb_col, dim, keep_emb=True
-        ),
-        emb_col,
-        dim,
+    # keep_norm: the assignment already computed each row's L2 norm —
+    # reuse it in the cosine instead of a second O(dim) fold per row.
+    # All original stream columns ride through the assignment.
+    strm = assign_to_centroids(
+        stream, vecs, norms, id_col, emb_col, dim, keep_norm=True
     )
     cos = F.round(
         F.expr(dot_expr(emb_col, "_semb")) / (F.col("norm") * F.col("_snorm")),

@@ -1169,3 +1169,31 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
         if not dup:
             expect.add(r["vec_id"])
     assert survivors == expect == {2}
+
+
+def test_stream_semantic_dedup_carries_original_columns(spark, tmp_path):
+    """Survivors keep EVERY original stream column (the documented
+    contract), not just id+embedding."""
+    import json as _json
+    import os
+
+    src_dir = str(tmp_path / "semcol_in")
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "p0.jsonl"), "w") as f:
+        f.write(_json.dumps({"vec_id": 1, "embedding": [1.0, 0.0],
+                             "ts": "2024-01-01", "payload": "keep-me"}) + "\n")
+    snapshot = spark.createDataFrame(
+        [(100, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    src = spark.readStream.schema(
+        "vec_id long, embedding array<double>, ts string, payload string"
+    ).json(src_dir)
+    out = sp.stream_semantic_dedup(
+        src, snapshot, tau=0.9, nlist=1, dim=2,
+        centroids=([[1.0, 0.0]], [1.0]),
+    )
+    assert set(out.columns) == {"vec_id", "embedding", "ts", "payload"}
+    q = memory_sink(out, "semcol_out", mode="append").start()
+    sp.run_until_drained(q)
+    rows = spark.table("semcol_out").collect()
+    assert len(rows) == 1 and rows[0].payload == "keep-me"
