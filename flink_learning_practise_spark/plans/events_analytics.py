@@ -1111,3 +1111,71 @@ FROM (
 )
 ORDER BY table_name, check_name
 """
+
+
+# ---------------------------------------------------------------------------
+# #91 A/B conversion significance: two-proportion z-test on
+# view→purchase conversion, variants = deterministic user-id split
+# (the experimentation readout over the event stream — one per-user
+# aggregate, then ONE conditional aggregate; z from counts only, so
+# the math is a pure function of integers and hash-stable).
+
+
+def ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("_viewed"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("_conv"),
+    )
+    exposed = flags.filter(F.col("_viewed") == 1).withColumn(
+        "_v", F.pmod(F.col("user_id"), F.lit(2))
+    )
+    agg = exposed.agg(
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when((F.col("_v") == 0) & (F.col("_conv") == 1), 1).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when((F.col("_v") == 1) & (F.col("_conv") == 1), 1).otherwise(0)).alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    # degenerate experiment (all or none converted): pooled variance is
+    # 0 and the z-statistic is undefined — NULL, not a division error
+    z = F.when(var > 0, (pa - pb) / F.sqrt(var))
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(pa, 6).alias("cvr_a"),
+        F.round(pb, 6).alias("cvr_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+AB_CONVERSION_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS conv_b
+  FROM flags WHERE viewed = 1
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       round(conv_a / CAST(n_a AS DOUBLE), 6) AS cvr_a,
+       round(conv_b / CAST(n_b AS DOUBLE), 6) AS cvr_b,
+       CASE WHEN ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / n_a + 1.0 / n_b) > 0
+            THEN round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                       / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 / n_a + 1.0 / n_b)), 6)
+       END AS z_score
+FROM agg
+"""
