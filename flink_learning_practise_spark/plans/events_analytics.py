@@ -1179,3 +1179,81 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
        END AS z_score
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# #92 funnel conversion report: step-wise entry/conversion counts +
+# rates for the view→click→purchase funnel — the product-analytics
+# readout ON TOP of the CEP tier (#54): the three tiers are counts of
+# funnel() matches at prefix depths 1/2/3, so the operator composes
+# instead of re-deriving the matching logic.
+
+
+def funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    starts = ev.filter(
+        (F.col("event_type") == FUNNEL_STEPS[0])
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n_step1"))
+    two = cep.funnel(ev, list(FUNNEL_STEPS[:2]), FUNNEL_GAP_SPARK).agg(
+        F.count(F.lit(1)).alias("n_step2")
+    )
+    three = cep.funnel(ev, list(FUNNEL_STEPS), FUNNEL_GAP_SPARK).agg(
+        F.count(F.lit(1)).alias("n_step3")
+    )
+    return (
+        starts.crossJoin(F.broadcast(two))
+        .crossJoin(F.broadcast(three))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.round(F.col("n_step2") / F.col("n_step1"), 6).alias("rate_12"),
+            F.round(F.col("n_step3") / F.col("n_step2"), 6).alias("rate_23"),
+            F.round(F.col("n_step3") / F.col("n_step1"), 6).alias("rate_13"),
+        )
+    )
+
+
+FUNNEL_RATES_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+), nxt AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'click' THEN k END) OVER w AS next_click_k,
+    MIN(CASE WHEN event_type = 'purchase' THEN k END) OVER w AS next_purchase_k
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), two AS (
+  SELECT v.event_id
+  FROM nxt v
+  JOIN nxt c ON c.user_id = v.user_id AND c.k = v.next_click_k
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND c.ts <= v.ts + INTERVAL {FUNNEL_GAP_DUCK}
+), three AS (
+  SELECT v.event_id
+  FROM nxt v
+  JOIN nxt c ON c.user_id = v.user_id AND c.k = v.next_click_k
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND c.ts <= v.ts + INTERVAL {FUNNEL_GAP_DUCK}
+  JOIN nxt p ON p.user_id = c.user_id AND p.k = c.next_purchase_k
+            AND p.event_type = 'purchase'
+            AND p.ts <= c.ts + INTERVAL {FUNNEL_GAP_DUCK}
+)
+SELECT
+  (SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS n_step1,
+  (SELECT COUNT(*) FROM two) AS n_step2,
+  (SELECT COUNT(*) FROM three) AS n_step3,
+  round((SELECT COUNT(*) FROM two)
+        / CAST((SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS DOUBLE), 6) AS rate_12,
+  round((SELECT COUNT(*) FROM three)
+        / CAST((SELECT COUNT(*) FROM two) AS DOUBLE), 6) AS rate_23,
+  round((SELECT COUNT(*) FROM three)
+        / CAST((SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS DOUBLE), 6) AS rate_13
+"""

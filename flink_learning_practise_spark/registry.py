@@ -254,6 +254,7 @@ def _populate() -> None:
     register("q_rolling_anomaly", ea.rolling_anomaly, ea.ROLLING_ANOMALY_SQL)
     register("q_dq_report", ea.dq_report, ea.DQ_REPORT_SQL)
     register("q_ab_conversion", ea.ab_conversion, ea.AB_CONVERSION_SQL)
+    register("q_funnel_rates", ea.funnel_rates, ea.FUNNEL_RATES_SQL)
     register("q_scd2_intervals", ea.scd2_intervals, ea.SCD2_INTERVALS_SQL)
     register("q_cascaded_reagg", ea.cascaded_reaggregate, ea.CASCADED_REAGG_SQL)
 
