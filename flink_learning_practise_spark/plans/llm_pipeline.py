@@ -1073,3 +1073,79 @@ jac AS (
 )
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# #93 corpus report card: per-source corpus overview — the profile the
+# curation tiers are tuned against (dup rate → dedup thresholds, token
+# mass → mixing quotas, language spread → lang-ID gates). Two-phase
+# aggregate: groupBy(source, content-hash) first, so the per-source
+# rollup counts docs, tokens AND distinct texts from ONE pre-aggregated
+# pass — no count_distinct expansion, no second scan.
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_text = (
+        docs.select(
+            "source",
+            "lang",
+            F.sha2(text.normalize(F.col("text")), 256).alias("_h"),
+            F.size(F.split(text.normalize(F.col("text")), " ")).alias("_toks"),
+            F.col("n_chars"),
+        )
+        .groupBy("source", "_h")
+        .agg(
+            F.count(F.lit(1)).alias("_copies"),
+            F.sum("_toks").alias("_tok_sum"),
+            F.sum(F.col("n_chars").cast("decimal(18,6)")).alias("_chars"),
+        )
+    )
+    langs = docs.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs")
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("_copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique_texts"),
+            F.sum("_tok_sum").alias("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.count(F.lit(1)) / F.sum("_copies"), 6
+            ).alias("dup_rate"),
+            F.round(
+                F.sum("_chars").cast("double") / F.sum("_copies"), 6
+            ).alias("avg_chars"),
+        )
+        .join(langs, "source")
+        .select(
+            "source", "n_docs", "n_unique_texts", "n_tokens",
+            "dup_rate", "avg_chars", "n_langs",
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_STATS_SQL = f"""
+WITH per_text AS (
+  SELECT source, sha256({NORM_SQL}) AS h,
+         COUNT(*) AS copies,
+         SUM(len(string_split({NORM_SQL}, ' '))) AS tok_sum,
+         SUM(CAST(n_chars AS DECIMAL(18,6))) AS chars
+  FROM documents
+  GROUP BY source, sha256({NORM_SQL})
+),
+langs AS (
+  SELECT source, COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source
+)
+SELECT p.source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_unique_texts,
+       CAST(SUM(tok_sum) AS BIGINT) AS n_tokens,
+       round(1.0 - COUNT(*) / CAST(SUM(copies) AS DOUBLE), 6) AS dup_rate,
+       round(CAST(SUM(chars) AS DOUBLE) / SUM(copies), 6) AS avg_chars,
+       ANY_VALUE(l.n_langs) AS n_langs
+FROM per_text p JOIN langs l ON p.source = l.source
+GROUP BY p.source
+ORDER BY p.source
+"""

@@ -173,6 +173,7 @@ def _populate() -> None:
     register("q_model_score", llm.model_score, llm.MODEL_SCORE_SQL)
     register("q_embed_cluster", llm.embed_cluster, llm.EMBED_CLUSTER_SQL)
     register("q_curriculum_buckets", llm.curriculum_buckets, llm.CURRICULUM_BUCKETS_SQL)
+    register("q_corpus_stats", llm.corpus_stats, llm.CORPUS_STATS_SQL)
     register("q_vocab_topk", llm.vocab_topk, llm.VOCAB_TOPK_SQL)
     register("q_heavy_hitters", llm.heavy_hitters)  # rows-only: MG estimates are partitioning-dependent by design
     register("q_lang_id", llm.lang_id, llm.LANG_ID_SQL)
