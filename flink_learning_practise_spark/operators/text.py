@@ -336,23 +336,34 @@ def heavy_hitter_tokens(
     partials = widen(df).select(text_col).mapInPandas(
         summarize, "token string, est long, part_tokens long"
     )
-    partials = partials.localCheckpoint()  # two consumers, one tiny frame
-    # summed lower bounds + the global additive error bound; the
-    # summary is ≤ k+1 rows per partition, so these aggregates are tiny
+    # ONE aggregation, ONE consumer tree: the marker group (NULL
+    # token) carries the total; an unpartitioned window over the
+    # aggregate output (≤ P·k+1 rows — same tiny-relation argument as
+    # the ranking window below) broadcasts it onto every row as the
+    # error bound. A filter-per-branch formulation looks cheaper but
+    # is 3× slower: the token-IS-NULL filter pushes BELOW the groupBy,
+    # splitting the subtrees so the corpus-wide mapInPandas pass runs
+    # once per branch (no exchange reuse).
     from pyspark.sql import Window
 
-    err = partials.filter(F.col("token").isNull()).agg(
-        (F.sum("part_tokens") / F.lit(k + 1)).alias("err_bound")
+    g = partials.groupBy("token").agg(
+        F.sum("est").alias("est"), F.sum("part_tokens").alias("_pt")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     merged = (
-        partials.filter(F.col("token").isNotNull())
-        .groupBy("token")
-        .agg(F.sum("est").alias("est"))
+        g.withColumn(
+            "err_bound",
+            F.max(F.when(F.col("token").isNull(), F.col("_pt"))).over(w_all)
+            / F.lit(k + 1),
+        )
+        .filter(F.col("token").isNotNull())
+        .select("token", "est", "err_bound")
     )
     win = Window.orderBy(F.desc("est"), F.asc("token"))
     return (
-        merged.crossJoin(F.broadcast(err))
-        .withColumn("rank", F.row_number().over(win))
+        merged.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= topn)
         .select("token", "est", "err_bound", "rank")
     )
