@@ -46,8 +46,14 @@ def test_tpch_q5_broadcasts_all_dims(spark, sf_medium):
 # (numpy GEMM beats JVM expression eval for O(n^2) dense dot products;
 # see operators/similarity.py::cosine_pairs_vectorized).
 # queries whose Pandas path is the DESIGN (Arrow-batched numpy GEMM /
-# batched model inference), not an accidental Python leak
-ARROW_VECTORIZED = {"q_dedup_embedding", "q_semantic_dedup", "q_model_score"}
+# batched model inference / per-partition sketch building), not an
+# accidental Python leak
+ARROW_VECTORIZED = {
+    "q_dedup_embedding",
+    "q_semantic_dedup",
+    "q_model_score",
+    "q_heavy_hitters",
+}
 
 
 def test_no_python_in_hot_paths(spark, sf_medium):
