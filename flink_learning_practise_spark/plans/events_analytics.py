@@ -1257,3 +1257,110 @@ SELECT
   round((SELECT COUNT(*) FROM three)
         / CAST((SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS DOUBLE), 6) AS rate_13
 """
+
+
+# ---------------------------------------------------------------------------
+# #94 per-user behavioral features: the feature-engineering aggregate a
+# training pipeline materializes into a feature store — one groupBy
+# produces the whole vector (conditional counts, recency span, active
+# days, mean inter-event gap from integer epoch math — no window, no
+# self-join).
+
+
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    # parquet event times are TIMESTAMP_NTZ; unix_micros needs an
+    # instant — cast is a no-op shift under the UTC session
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n.alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_views"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+            dsum("value", "total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct(F.to_date("ts")).alias("active_days"),
+            F.round(
+                F.when(
+                    n > 1,
+                    (F.max(epoch) - F.min(epoch)).cast("double")
+                    / 1_000_000.0
+                    / (n - 1),
+                ),
+                6,
+            ).alias("mean_gap_sec"),
+        )
+        .withColumn(
+            "purchase_per_view",
+            F.when(
+                F.col("n_views") > 0,
+                F.round(F.col("n_purchases") / F.col("n_views"), 6),
+            ),
+        )
+    )
+
+
+USER_FEATURES_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+       CASE WHEN COUNT(*) > 1
+            THEN round(CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE)
+                       / 1000000.0 / (COUNT(*) - 1), 6)
+       END AS mean_gap_sec,
+       CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+            THEN round(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), 6)
+       END AS purchase_per_view
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #95 fixed-width value histogram per event type — the OLAP histogram
+# primitive (bin = floor(value/width); one shuffle on (type, bin),
+# bins materialize only where data exists — sparse-safe, unlike a
+# dense width_bucket array).
+
+HIST_WIDTH = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_ = F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * HIST_WIDTH, 6))
+        .select("event_type", "bin", "bin_lo", "n", "bin_min", "bin_max")
+        .orderBy("event_type", "bin")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+       CAST(round(CAST(floor(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH}, 6) AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n,
+       round(MIN(value), 6) AS bin_min,
+       round(MAX(value), 6) AS bin_max
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type, floor(value / {HIST_WIDTH})
+ORDER BY event_type, bin
+"""

@@ -256,6 +256,8 @@ def _populate() -> None:
     register("q_dq_report", ea.dq_report, ea.DQ_REPORT_SQL)
     register("q_ab_conversion", ea.ab_conversion, ea.AB_CONVERSION_SQL)
     register("q_funnel_rates", ea.funnel_rates, ea.FUNNEL_RATES_SQL)
+    register("q_user_features", ea.user_features, ea.USER_FEATURES_SQL)
+    register("q_value_histogram", ea.value_histogram, ea.VALUE_HISTOGRAM_SQL)
     register("q_scd2_intervals", ea.scd2_intervals, ea.SCD2_INTERVALS_SQL)
     register("q_cascaded_reagg", ea.cascaded_reaggregate, ea.CASCADED_REAGG_SQL)
 
