@@ -1140,13 +1140,14 @@ def ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = F.col("conv_b") / F.col("n_b")
     pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
     var = pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
-    # degenerate experiment (all or none converted): pooled variance is
-    # 0 and the z-statistic is undefined — NULL, not a division error
-    z = F.when(var > 0, (pa - pb) / F.sqrt(var))
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    # degenerate experiments (an empty variant, or all/none converted
+    # → zero pooled variance) yield NULL, never an ANSI division error
+    z = F.when(both & (var > 0), (pa - pb) / F.sqrt(var))
     return agg.select(
         "n_a", "conv_a", "n_b", "conv_b",
-        F.round(pa, 6).alias("cvr_a"),
-        F.round(pb, 6).alias("cvr_b"),
+        F.when(F.col("n_a") > 0, F.round(pa, 6)).alias("cvr_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, 6)).alias("cvr_b"),
         F.round(z, 6).alias("z_score"),
     )
 
@@ -1159,17 +1160,19 @@ WITH flags AS (
   FROM events GROUP BY user_id
 ),
 agg AS (
-  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-         SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS conv_a,
-         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
-         SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS conv_b
+  -- ((x % 2) + 2) % 2 == Spark's pmod: non-negative for negative ids
+  SELECT SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS conv_b
   FROM flags WHERE viewed = 1
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-       round(conv_a / CAST(n_a AS DOUBLE), 6) AS cvr_a,
-       round(conv_b / CAST(n_b AS DOUBLE), 6) AS cvr_b,
-       CASE WHEN ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+       CASE WHEN n_a > 0 THEN round(conv_a / CAST(n_a AS DOUBLE), 6) END AS cvr_a,
+       CASE WHEN n_b > 0 THEN round(conv_b / CAST(n_b AS DOUBLE), 6) END AS cvr_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+                 AND ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
                  * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
                  * (1.0 / n_a + 1.0 / n_b) > 0
             THEN round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
@@ -1209,9 +1212,20 @@ def funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_step1",
             "n_step2",
             "n_step3",
-            F.round(F.col("n_step2") / F.col("n_step1"), 6).alias("rate_12"),
-            F.round(F.col("n_step3") / F.col("n_step2"), 6).alias("rate_23"),
-            F.round(F.col("n_step3") / F.col("n_step1"), 6).alias("rate_13"),
+            # empty-tier guards: under Spark 4's default ANSI mode an
+            # unguarded 0-denominator raises instead of NULLing
+            F.when(
+                F.col("n_step1") > 0,
+                F.round(F.col("n_step2") / F.col("n_step1"), 6),
+            ).alias("rate_12"),
+            F.when(
+                F.col("n_step2") > 0,
+                F.round(F.col("n_step3") / F.col("n_step2"), 6),
+            ).alias("rate_23"),
+            F.when(
+                F.col("n_step1") > 0,
+                F.round(F.col("n_step3") / F.col("n_step1"), 6),
+            ).alias("rate_13"),
         )
     )
 
@@ -1250,12 +1264,18 @@ SELECT
   (SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS n_step1,
   (SELECT COUNT(*) FROM two) AS n_step2,
   (SELECT COUNT(*) FROM three) AS n_step3,
-  round((SELECT COUNT(*) FROM two)
-        / CAST((SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS DOUBLE), 6) AS rate_12,
-  round((SELECT COUNT(*) FROM three)
-        / CAST((SELECT COUNT(*) FROM two) AS DOUBLE), 6) AS rate_23,
-  round((SELECT COUNT(*) FROM three)
-        / CAST((SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS DOUBLE), 6) AS rate_13
+  CASE WHEN (SELECT COUNT(*) FROM seq WHERE event_type = 'view') > 0
+       THEN round((SELECT COUNT(*) FROM two)
+                  / CAST((SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS DOUBLE), 6)
+  END AS rate_12,
+  CASE WHEN (SELECT COUNT(*) FROM two) > 0
+       THEN round((SELECT COUNT(*) FROM three)
+                  / CAST((SELECT COUNT(*) FROM two) AS DOUBLE), 6)
+  END AS rate_23,
+  CASE WHEN (SELECT COUNT(*) FROM seq WHERE event_type = 'view') > 0
+       THEN round((SELECT COUNT(*) FROM three)
+                  / CAST((SELECT COUNT(*) FROM seq WHERE event_type = 'view') AS DOUBLE), 6)
+  END AS rate_13
 """
 
 

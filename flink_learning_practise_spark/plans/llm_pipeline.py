@@ -1089,9 +1089,8 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_text = (
         docs.select(
             "source",
-            "lang",
             F.sha2(text.normalize(F.col("text")), 256).alias("_h"),
-            F.size(F.split(text.normalize(F.col("text")), " ")).alias("_toks"),
+            F.size(text.words(F.col("text"))).alias("_toks"),
             F.col("n_chars"),
         )
         .groupBy("source", "_h")
