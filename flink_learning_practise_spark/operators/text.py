@@ -272,29 +272,43 @@ def heavy_hitter_tokens(
     df: DataFrame,
     text_col: str,
     k: int = 64,
-    topn: int = 20,
 ) -> DataFrame:
-    """Frequent tokens via a Misra-Gries summary per partition — the
-    MERGEABLE fixed-memory path beside :func:`vocab_topk`'s exact
-    counts (the same exact/sketch pairing as the HLL++/GK profile in
-    events_analytics): at 100 TB the exact path shuffles a
-    vocabulary-sized aggregate, this one shuffles ≤ k rows PER
-    PARTITION, each a (token, lower-bound count) pair — bandwidth
-    independent of both corpus and vocabulary size.
+    """EXACT heavy hitters — every token with true frequency > n/(k+1)
+    with its exact count — found without a vocabulary-sized shuffle, via
+    a per-partition Misra-Gries candidate sketch.
 
-    Guarantees (Misra-Gries 1982; merged-summary bounds per Agarwal et
-    al., PODS'12): with n total tokens and P partitions, every token
-    with true frequency > n/(k+1) survives in at least one partition
-    summary (pigeonhole), and the summed estimate is a LOWER bound
-    within Σ_p n_p/(k+1) ≤ n/(k+1) of truth — so ranking by estimate
-    ranks true heavy hitters correctly up to that additive error.
-    Output: (token, est, err_bound) for the topn estimates; the
-    invariant test checks both bounds against exact counts.
+    Two phases:
 
-    Plan: one mapInPandas pass (counters built across ALL Arrow batches
-    of a partition, one summary yielded at iterator end — the streaming
-    aggregation shape), one tiny groupBy over ≤ P·k rows.
+    1. *Candidates* (fixed memory): a Misra-Gries summary per partition
+       (counters built across ALL Arrow batches, one summary yielded at
+       iterator end).  MG's pigeonhole guarantee (Misra-Gries 1982;
+       mergeable-summary bounds per Agarwal et al., PODS'12): every
+       token with true frequency > n/(k+1) survives in at least one
+       partition summary, so the union of summaries (≤ P·k rows) is a
+       SUPERSET of the true heavy hitters.
+    2. *Exact filter* (one JVM scan, one shuffle of ≤ |candidates|+1
+       rows per partition): broadcast the candidate set, collapse every
+       non-candidate token into one NULL group so the aggregate carries
+       exact candidate counts AND the exact total n, then keep
+       candidates with ``cnt·(k+1) > n``.
+
+    Because phase 2 decides membership by EXACT counts and phase 1 is
+    provably a superset, the output is deterministic — independent of
+    partitioning — and equals {token : freq > n/(k+1)} exactly, which a
+    plain SQL oracle can verify.  (Round-3 emitted the partition-
+    dependent estimates themselves and was rows-only-checkable.)
+
+    At 100 TB: phase 1 shuffles ≤ k rows per partition, phase 2 ≤
+    |candidates|+1 per partition after map-side partial aggregation —
+    both independent of vocabulary size, unlike :func:`vocab_topk`'s
+    exact vocabulary aggregate.
+
+    Tokenization parity: phase 1's Python tokenizer replicates the JVM
+    ``normalize``+split (ASCII-whitespace collapse, lower) so the
+    superset guarantee holds for the same token stream phase 2 counts;
+    exotic Unicode whitespace/case is the documented precondition.
     """
+    import re as _re
     from collections.abc import Iterator
 
     import pandas as pd
@@ -303,13 +317,13 @@ def heavy_hitter_tokens(
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
-        n_seen = 0
         for pdf in it:
             for text in pdf[text_col]:
                 if not text:
                     continue
-                for tok in text.lower().split():
-                    n_seen += 1
+                for tok in _re.split(r"[ \t\n\r\f\v]+", text.lower().strip()):
+                    if not tok:
+                        continue
                     if tok in counters:
                         counters[tok] += 1
                     elif len(counters) < k:
@@ -322,48 +336,38 @@ def heavy_hitter_tokens(
                                 dead.append(t)
                         for t in dead:
                             del counters[t]
-        # one NULL-token marker row carries this partition's token count
-        # (a separate column + distinct would collapse partitions that
-        # happen to see equal counts); counter rows carry the summary
-        yield pd.DataFrame(
-            {
-                "token": [None] + list(counters),
-                "est": [0] + list(counters.values()),
-                "part_tokens": [n_seen] + [0] * len(counters),
-            }
-        )
+        yield pd.DataFrame({"token": list(counters)})
 
-    partials = widen(df).select(text_col).mapInPandas(
-        summarize, "token string, est long, part_tokens long"
+    candidates = (
+        widen(df)
+        .select(text_col)
+        .mapInPandas(summarize, "token string")
+        .distinct()
+        .withColumn("_cand", F.lit(True))
     )
-    # ONE aggregation, ONE consumer tree: the marker group (NULL
-    # token) carries the total; an unpartitioned window over the
-    # aggregate output (≤ P·k+1 rows — same tiny-relation argument as
-    # the ranking window below) broadcasts it onto every row as the
-    # error bound. A filter-per-branch formulation looks cheaper but
-    # is 3× slower: the token-IS-NULL filter pushes BELOW the groupBy,
-    # splitting the subtrees so the corpus-wide mapInPandas pass runs
-    # once per branch (no exchange reuse).
+
+    toks = (
+        widen(df)
+        .select(
+            F.explode(F.split(normalize(F.col(text_col)), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
     from pyspark.sql import Window
 
-    g = partials.groupBy("token").agg(
-        F.sum("est").alias("est"), F.sum("part_tokens").alias("_pt")
-    )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    merged = (
-        g.withColumn(
-            "err_bound",
-            F.max(F.when(F.col("token").isNull(), F.col("_pt"))).over(w_all)
-            / F.lit(k + 1),
-        )
-        .filter(F.col("token").isNotNull())
-        .select("token", "est", "err_bound")
-    )
-    win = Window.orderBy(F.desc("est"), F.asc("token"))
     return (
-        merged.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= topn)
-        .select("token", "est", "err_bound", "rank")
+        toks.join(F.broadcast(candidates), "token", "left")
+        .groupBy(
+            F.when(F.col("_cand"), F.col("token")).alias("token")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_n", F.sum("cnt").over(w_all))
+        .filter(
+            F.col("token").isNotNull()
+            & (F.col("cnt") * (k + 1) > F.col("_n"))
+        )
+        .select("token", "cnt")
     )

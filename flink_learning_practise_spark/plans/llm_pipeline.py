@@ -950,15 +950,29 @@ ORDER BY list_id
 
 
 # ---------------------------------------------------------------------------
-# #87 heavy-hitter tokens (Misra-Gries) — mergeable fixed-memory
-# frequent-items sketch beside exact vocab_topk (rows-only: estimates
-# depend on partitioning by construction; bounds proven in pytest
-# tests/test_analytics_extras.py::test_heavy_hitter_sketch_bounds)
+# #87 heavy-hitter tokens (Misra-Gries candidates + exact filter).
+# The MG sketch provides a provable candidate SUPERSET with fixed
+# memory; membership is decided by exact counts, so the output is
+# deterministic ({token : freq > n/(k+1)}) and fully oracle-checkable
+# (round-3 emitted partition-dependent estimates and was rows-only).
+
+HH_K = 64
 
 
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return text.heavy_hitter_tokens(docs, "text", k=64, topn=20)
+    return text.heavy_hitter_tokens(docs, "text", k=HH_K)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+),
+tok AS (SELECT token FROM toks WHERE token <> ''),
+cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM tok)
+SELECT token, cnt FROM cnt CROSS JOIN n WHERE cnt * {HH_K + 1} > n
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -54,16 +54,73 @@ _POPULATED = False
 
 
 def _populate() -> None:
-    """Import every plan module exactly once; imports self-register."""
+    """Import every plan module exactly once; imports self-register.
+
+    REGISTRATION ORDER IS A CONTRACT: the driver's correctness gate
+    checks the FIRST 50 registry entries each round.  Queries that have
+    never received a driver row register first (round-3's registrations
+    51+ were silently skipped), new queries next, and queries already
+    driver-green in a previous round fill the tail.
+    """
     global _POPULATED
     if _POPULATED:
         return
     _POPULATED = True
 
+    from .plans import composition as comp
+    from .plans import curation as cur
     from .plans import events_analytics as ea
+    from .plans import llm_pipeline as llm
+    from .plans import order_etl as oe
     from .plans import order_stats as os_
     from .plans import tpch
 
+    # ---- Tier 1: never driver-checked before round 4 (24 queries) ----
+    register("q_dedup_clusters_star", llm.dedup_clusters_star, llm.DEDUP_CLUSTERS_STAR_SQL)
+    register("q_pii_scrub", cur.pii_scrub, cur.PII_SCRUB_SQL)
+    register("q_gopher_quality", cur.gopher_quality, cur.GOPHER_QUALITY_SQL, headline=True)
+    register("q_pack_sequences", cur.pack_sequences, cur.PACK_SEQUENCES_SQL)
+    register("q_decontaminate", cur.decontaminate, cur.DECONTAMINATE_SQL, headline=True)
+    register("q_domain_mix", cur.domain_mix, cur.DOMAIN_MIX_SQL)
+    register("q_dedup_incremental", cur.dedup_incremental, cur.DEDUP_INCREMENTAL_SQL)
+    register(
+        "q_curation_pipeline",
+        cur.curation_pipeline,
+        cur.CURATION_PIPELINE_SQL,
+        headline=True,
+    )
+    register(
+        "q_boilerplate_strip",
+        cur.boilerplate_strip,
+        cur.BOILERPLATE_STRIP_SQL,
+        headline=True,
+    )
+    register("q_tfidf_topk", llm.tfidf_topk, llm.TFIDF_TOPK_SQL)
+    register(
+        "q_retention_cohorts",
+        ea.retention_cohorts,
+        ea.RETENTION_COHORTS_SQL,
+        headline=True,
+    )
+    register("q_sales_cube", os_.sales_cube, os_.SALES_CUBE_SQL)
+    register("q_status_pivot", os_.status_pivot, os_.STATUS_PIVOT_SQL)
+    register("q_latest_event_per_user", ea.latest_event_per_user, ea.LATEST_EVENT_PER_USER_SQL)
+    register("q_cdc_merge", ea.cdc_merge, ea.CDC_MERGE_SQL)
+    register("q_gapfill_resample", ea.gapfill_resample, ea.GAPFILL_RESAMPLE_SQL)
+    register("q_rolling_anomaly", ea.rolling_anomaly, ea.ROLLING_ANOMALY_SQL)
+    register("q_dq_report", ea.dq_report, ea.DQ_REPORT_SQL)
+    register("q_ab_conversion", ea.ab_conversion, ea.AB_CONVERSION_SQL)
+    register("q_funnel_rates", ea.funnel_rates, ea.FUNNEL_RATES_SQL)
+    register("q_user_features", ea.user_features, ea.USER_FEATURES_SQL)
+    register("q_value_histogram", ea.value_histogram, ea.VALUE_HISTOGRAM_SQL)
+    register("q_scd2_intervals", ea.scd2_intervals, ea.SCD2_INTERVALS_SQL)
+    register("q_cascaded_reagg", ea.cascaded_reaggregate, ea.CASCADED_REAGG_SQL)
+
+    # ---- Tier 2: new in round 4 (registered here so the 50-entry
+    # driver window reaches them this round) ----
+    register("q_heavy_hitters", llm.heavy_hitters, llm.HEAVY_HITTERS_SQL)
+
+    # ---- Tier 3: driver-green in a previous round ----
     register(
         "q_sql_pricing_summary",
         tpch.pricing_summary,
@@ -151,8 +208,6 @@ def _populate() -> None:
     register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
 
     # LLM-data-pipeline ops (#37-47)
-    from .plans import llm_pipeline as llm
-
     register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
     register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
     register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
@@ -175,7 +230,6 @@ def _populate() -> None:
     register("q_curriculum_buckets", llm.curriculum_buckets, llm.CURRICULUM_BUCKETS_SQL)
     register("q_corpus_stats", llm.corpus_stats, llm.CORPUS_STATS_SQL)
     register("q_vocab_topk", llm.vocab_topk, llm.VOCAB_TOPK_SQL)
-    register("q_heavy_hitters", llm.heavy_hitters)  # rows-only: MG estimates are partitioning-dependent by design
     register("q_lang_id", llm.lang_id, llm.LANG_ID_SQL)
     register("q_quality_score", llm.quality_score, llm.QUALITY_SCORE_SQL, headline=True)
     register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
@@ -184,44 +238,11 @@ def _populate() -> None:
     register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
     register("q_dedup_survivors", llm.dedup_survivors, llm.DEDUP_SURVIVORS_SQL)
     register("q_dedup_clusters", llm.dedup_clusters, llm.DEDUP_CLUSTERS_SQL)
-    register("q_dedup_clusters_star", llm.dedup_clusters_star, llm.DEDUP_CLUSTERS_STAR_SQL)
     register("q_stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL)
-
-    # corpus curation (#69-74: PII scrub, Gopher gates, packing,
-    # decontamination, domain mixing, incremental dedup)
-    from .plans import curation as cur
-
-    register("q_pii_scrub", cur.pii_scrub, cur.PII_SCRUB_SQL)
-    register("q_gopher_quality", cur.gopher_quality, cur.GOPHER_QUALITY_SQL, headline=True)
-    register("q_pack_sequences", cur.pack_sequences, cur.PACK_SEQUENCES_SQL)
-    register("q_decontaminate", cur.decontaminate, cur.DECONTAMINATE_SQL, headline=True)
-    register("q_domain_mix", cur.domain_mix, cur.DOMAIN_MIX_SQL)
-    register("q_dedup_incremental", cur.dedup_incremental, cur.DEDUP_INCREMENTAL_SQL)
-    register(
-        "q_curation_pipeline",
-        cur.curation_pipeline,
-        cur.CURATION_PIPELINE_SQL,
-        headline=True,
-    )
-    register(
-        "q_boilerplate_strip",
-        cur.boilerplate_strip,
-        cur.BOILERPLATE_STRIP_SQL,
-        headline=True,
-    )
-    register("q_tfidf_topk", llm.tfidf_topk, llm.TFIDF_TOPK_SQL)
-    register(
-        "q_retention_cohorts",
-        ea.retention_cohorts,
-        ea.RETENTION_COHORTS_SQL,
-        headline=True,
-    )
 
     # order statistics (#9, #21-24)
     # multidim aggregation + profiling (#49-50)
     register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
-    register("q_sales_cube", os_.sales_cube, os_.SALES_CUBE_SQL)
-    register("q_status_pivot", os_.status_pivot, os_.STATUS_PIVOT_SQL)
     register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
     register("q_event_profile_sketch", ea.event_profile_sketch, None)
     register(
@@ -231,8 +252,6 @@ def _populate() -> None:
         "q_funnel_abandonment", ea.funnel_abandonment, ea.FUNNEL_ABANDONMENT_SQL
     )
 
-    from .plans import order_etl as oe
-
     register(
         "q_order_json_roundtrip",
         oe.order_json_roundtrip,
@@ -240,8 +259,6 @@ def _populate() -> None:
     )
 
     # multi-stream composition (#60-62: union/connect, cogroup, running reduce)
-    from .plans import composition as comp
-
     register("q_union_activity", comp.union_activity, comp.UNION_ACTIVITY_SQL)
     register(
         "q_cogroup_user_activity",
@@ -249,18 +266,6 @@ def _populate() -> None:
         comp.COGROUP_USER_ACTIVITY_SQL,
     )
     register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
-    register("q_latest_event_per_user", ea.latest_event_per_user, ea.LATEST_EVENT_PER_USER_SQL)
-    register("q_cdc_merge", ea.cdc_merge, ea.CDC_MERGE_SQL)
-    register("q_gapfill_resample", ea.gapfill_resample, ea.GAPFILL_RESAMPLE_SQL)
-    register("q_rolling_anomaly", ea.rolling_anomaly, ea.ROLLING_ANOMALY_SQL)
-    register("q_dq_report", ea.dq_report, ea.DQ_REPORT_SQL)
-    register("q_ab_conversion", ea.ab_conversion, ea.AB_CONVERSION_SQL)
-    register("q_funnel_rates", ea.funnel_rates, ea.FUNNEL_RATES_SQL)
-    register("q_user_features", ea.user_features, ea.USER_FEATURES_SQL)
-    register("q_value_histogram", ea.value_histogram, ea.VALUE_HISTOGRAM_SQL)
-    register("q_scd2_intervals", ea.scd2_intervals, ea.SCD2_INTERVALS_SQL)
-    register("q_cascaded_reagg", ea.cascaded_reaggregate, ea.CASCADED_REAGG_SQL)
-
     register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
     register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
     register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)

@@ -190,18 +190,15 @@ def test_merge_snapshot_tombstones_and_idempotence(spark):
     assert {(r.k, r.id, r.v) for r in again.collect()} == got
 
 
-def test_heavy_hitter_sketch_bounds(spark, sf_medium):
-    """Misra-Gries invariants vs exact counts: estimates are lower
-    bounds within the reported additive error, and every true heavy
-    hitter (freq > err_bound) is present."""
+def test_heavy_hitter_exact_output(spark, sf_medium):
+    """The MG-candidates + exact-filter pipeline must return EXACTLY
+    {token: freq > n/(k+1)} with exact counts — the deterministic
+    contract that makes the query oracle-checkable.  Verified for two
+    k values and under a repartition (partition-independence)."""
     from flink_learning_practise_spark.datasets import load
     from flink_learning_practise_spark.operators.text import heavy_hitter_tokens
 
     docs = load(spark, sf_medium, "documents")
-    got = heavy_hitter_tokens(docs, "text", k=64, topn=50).collect()
-    assert got
-    err_bound = got[0].err_bound
-
     exact = {
         r.token: r.n
         for r in docs.selectExpr(
@@ -212,14 +209,15 @@ def test_heavy_hitter_sketch_bounds(spark, sf_medium):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    est = {r.token: r.est for r in got}
-    for tok, e in est.items():
-        assert e <= exact[tok], f"{tok}: est {e} above true {exact[tok]}"
-        assert exact[tok] - e <= err_bound, f"{tok}: error beyond bound"
-    # completeness: true heavy hitters all surface in the summary
-    heavy = {t for t, n in exact.items() if n > err_bound}
-    missing = heavy - set(est)
-    assert not missing, f"guaranteed heavy hitters missing: {missing}"
+    n_total = sum(exact.values())
+    for k in (8, 64):
+        want = {(t, c) for t, c in exact.items() if c * (k + 1) > n_total}
+        got = {
+            (r.token, r.cnt)
+            for r in heavy_hitter_tokens(docs.repartition(7), "text", k=k).collect()
+        }
+        assert got == want, f"k={k}: {got ^ want}"
+    assert got  # non-vacuous at k=64 on this corpus
 
 
 def test_global_rank_and_ntile_match_window_semantics(spark):
