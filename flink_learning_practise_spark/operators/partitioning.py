@@ -65,8 +65,14 @@ def rebalance(df: DataFrame, n: int | None = None) -> DataFrame:
 def broadcast_dim(df: DataFrame) -> DataFrame:
     """Broadcast (Flink broadcast partitioning): every executor gets the
     whole frame — the join-side hint for small dims; Catalyst plans a
-    BroadcastExchange instead of shuffling the big side."""
-    return F.broadcast(df)
+    BroadcastExchange instead of shuffling the big side.
+
+    BROADCAST_POLICY (plans/tpch.py module docstring): callers may only
+    pass bounded-cardinality frames (nation/region-like dims, single-row
+    aggregates, capped candidate sets) — a hint FORCES the build side
+    regardless of runtime size, so a corpus-proportional argument OOMs
+    at scale. Leave proportional sides unhinted and let AQE decide."""
+    return F.broadcast(df)  # broadcast-policy-exempt: generic wrapper, bound documented above
 
 
 def to_single(df: DataFrame) -> DataFrame:

@@ -37,9 +37,42 @@ def test_lookup_join_broadcasts_dims(spark, sf_medium):
 
 
 def test_tpch_q5_broadcasts_all_dims(spark, sf_medium):
+    """At sf0.1 every dim side is far below the autoBroadcast threshold,
+    so the SIZE-BASED planner must still broadcast all five joins with
+    no hard hints in the code (BROADCAST_POLICY: hints would force the
+    same plan at 100 TB and OOM; size estimates adapt)."""
     plan = plan_of(all_queries()["q_local_supplier_volume"].fn(spark, sf_medium))
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_policy_no_hints_on_proportional_tables():
+    """BROADCAST_POLICY (SURVEY §6): hard F.broadcast hints are allowed
+    only on bounded-cardinality dims (nation/region) or provably tiny
+    derived frames (single-row aggregates, capped candidate sets).
+    Corpus-proportional tables must be joined unhinted so AQE can pick
+    shuffle joins at scale — a forced hint OOMs at 100 TB.  This is a
+    source lint: it fails if any plan/operator file hints a variable
+    conventionally bound to a proportional table."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "flink_learning_practise_spark"
+    # variable names conventionally bound to corpus-proportional frames
+    proportional = {
+        "orders", "cust", "customer", "supp", "supplier", "part",
+        "li", "lineitem", "docs", "documents", "events", "emb",
+        "embeddings", "corpus", "df",
+    }
+    offenders = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "broadcast-policy-exempt" in line:
+                continue
+            for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*[),]", line):
+                if m.group(1) in proportional:
+                    offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "forced broadcast on proportional table:\n" + "\n".join(offenders)
 
 
 # Queries whose hot loop is deliberately an Arrow-vectorized Pandas path
