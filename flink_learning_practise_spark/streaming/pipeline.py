@@ -250,6 +250,7 @@ def stream_semantic_dedup(
     emb_col: str = "embedding",
     dim: int = 64,
     centroids=None,
+    broadcast_snapshot: bool = True,
 ) -> DataFrame:
     """Streaming half of ``similarity.semantic_dedup``: drop incoming
     embeddings that are semantic duplicates (cosine ≥ τ) of the corpus
@@ -259,14 +260,23 @@ def stream_semantic_dedup(
     Fully STATELESS on the unbounded side: cluster assignment is a
     map-only expression against inlined centroids (the shared
     ``assign_to_centroids`` rule), and the duplicate check is a
-    stream-static LEFT ANTI broadcast join on (cluster id, cosine ≥ τ)
-    — each stream row is scored only against its own cluster's
-    snapshot vectors (candidates bounded by cluster size, the SemDeDup
+    stream-static LEFT ANTI join on (cluster id, cosine ≥ τ) — each
+    stream row is scored only against its own cluster's snapshot
+    vectors (candidates bounded by cluster size, the SemDeDup
     property), no watermark, no state. Stream-internal duplicates are
     deliberately NOT handled here (cosine isn't an equality, so
     there's no digest to dropDuplicates on): re-run the batch
     ``semantic_dedup`` over ingested data for that, or chain the exact
     digest tier first.
+
+    SNAPSHOT SIZE BOUND: ``broadcast_snapshot=True`` (default) ships
+    the whole ASSIGNED snapshot (embedding + cluster id + norm per doc)
+    to every executor each micro-batch — requires it to fit in executor
+    memory (~260 B/doc at dim=64; NOT viable at a 100 TB corpus).  At
+    scale pass ``broadcast_snapshot=False`` to pin a SHUFFLED
+    stream-static hash join keyed on the cluster id: per-task memory is
+    one cluster's snapshot vectors, the SemDeDup bound.  Parity of the
+    two variants is pytest-proven.
 
     Returns the surviving (novel) stream rows with their original
     columns."""
@@ -294,8 +304,9 @@ def stream_semantic_dedup(
         F.expr(dot_expr(emb_col, "_semb")) / (F.col("norm") * F.col("_snorm")),
         6,
     )
+    side = F.broadcast(snap) if broadcast_snapshot else snap.hint("shuffle_hash")
     survivors = strm.join(
-        F.broadcast(snap),
+        side,
         (F.col("list_id") == F.col("_slist")) & (cos >= F.lit(tau)),
         "left_anti",
     )
@@ -369,6 +380,7 @@ def stream_incremental_dedup(
     text_col: str,
     ts_col: str,
     watermark_delay: str = "1 minute",
+    broadcast_snapshot: bool = True,
 ) -> DataFrame:
     """Streaming half of ``curation.incremental_dedup``: dedup a live
     ingest stream against yesterday's corpus snapshot AND against
@@ -376,12 +388,24 @@ def stream_incremental_dedup(
 
     Two stages, both bounded-state:
 
-    1. stream-static LEFT ANTI join on the content digest — the
-       snapshot digest set is broadcast (stateless, re-planned per
-       micro-batch, no Exchange on the unbounded side);
+    1. stream-static LEFT ANTI join on the content digest;
     2. ``dropDuplicatesWithinWatermark`` on the digest for
        stream-internal copies — state evicts once the watermark passes
        (bounded by rate × delay), unlike an unbounded dropDuplicates.
+
+    SNAPSHOT SIZE BOUND: with ``broadcast_snapshot=True`` (default) the
+    digest set is broadcast — stateless, no Exchange on the unbounded
+    side, re-planned per micro-batch — which requires the digest set to
+    FIT IN EXECUTOR MEMORY (16 bytes/doc: fine up to ~10⁸ docs, NOT at
+    a 100 TB corpus where digests alone are TB-sized).  At that scale
+    pass ``broadcast_snapshot=False``: the anti-join is pinned to a
+    SHUFFLED stream-static hash join (``hint("shuffle_hash")``) — each
+    micro-batch and the static side exchange on the digest, per-task
+    memory bounded by one partition of the snapshot.  The static-side
+    scan repeats per micro-batch either way (stream-static contract);
+    at scale, persist the snapshot bucketed on the digest so that scan
+    is pruned, or prepend a Bloom prefilter to cut the shuffled volume.
+    Parity of the two variants is pytest-proven.
 
     First-arrival wins within the stream (arrival order, not min-id:
     a stream can't know a smaller id arrives later — the batch op
@@ -395,5 +419,6 @@ def stream_incremental_dedup(
     hashed = stream.withWatermark(ts_col, watermark_delay).withColumn(
         "_h", F.md5(normalize(F.col(text_col)))
     )
-    fresh = hashed.join(F.broadcast(snap_h), "_h", "left_anti")
+    side = F.broadcast(snap_h) if broadcast_snapshot else snap_h.hint("shuffle_hash")
+    fresh = hashed.join(side, "_h", "left_anti")
     return fresh.dropDuplicatesWithinWatermark(["_h"]).drop("_h")

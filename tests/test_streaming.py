@@ -1171,6 +1171,92 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
     assert survivors == expect == {2}
 
 
+def test_stream_dedup_shuffled_snapshot_variants_match_broadcast(spark, tmp_path):
+    """The 100 TB scale path (broadcast_snapshot=False → shuffled
+    stream-static hash join; snapshot never broadcast) must produce
+    EXACTLY the survivors of the default broadcast path, for both the
+    digest tier and the SemDeDup tier, and its plan must carry no
+    BroadcastHashJoin for the snapshot side."""
+    import json as _json
+    import math
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        stream_incremental_dedup,
+    )
+
+    # --- digest tier ---
+    path = str(tmp_path / "inc_sh_in")
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        {"doc_id": 10, "ts": "2024-01-01 00:00:01", "text": "already in corpus"},
+        {"doc_id": 11, "ts": "2024-01-01 00:00:02", "text": "novel one"},
+        {"doc_id": 12, "ts": "2024-01-01 00:00:03", "text": "repeated stream doc"},
+        {"doc_id": 13, "ts": "2024-01-01 00:00:04", "text": "Repeated  STREAM doc"},
+        {"doc_id": 14, "ts": "2024-01-01 00:00:05", "text": "novel two"},
+    ]
+    with open(f"{path}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    snapshot = spark.createDataFrame(
+        [(1, "already in corpus"), (2, "other old doc")], "doc_id long, text string"
+    )
+    src = spark.readStream.schema("doc_id long, ts timestamp, text string").json(path)
+    out = stream_incremental_dedup(
+        src, snapshot, "doc_id", "text", "ts", broadcast_snapshot=False
+    )
+    q = out.writeStream.format("memory").queryName("inc_sh_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.table("inc_sh_out").collect())
+    assert got == [11, 12, 14]  # identical to the broadcast-path test
+
+    # plan pin (batch equivalent of the per-micro-batch join): the
+    # anti-join must be a ShuffledHashJoin, never a broadcast
+    from pyspark.sql import functions as F
+
+    from flink_learning_practise_spark.operators.text import normalize
+
+    snap_h = snapshot.select(F.md5(normalize(F.col("text"))).alias("_h")).distinct()
+    batch_side = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    ).withColumn("_h", F.md5(normalize(F.col("text"))))
+    joined = batch_side.join(snap_h.hint("shuffle_hash"), "_h", "left_anti")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in jplan and "BroadcastHashJoin" not in jplan
+
+    # --- SemDeDup tier ---
+    dim = 4
+
+    def vec(theta, axis):
+        v = [0.0] * dim
+        v[axis] = math.cos(theta)
+        v[(axis + 1) % dim] = math.sin(theta)
+        return v
+
+    snap_rows = [(100, vec(0.0, 0)), (101, vec(0.05, 0)), (102, vec(0.0, 2))]
+    vsnapshot = spark.createDataFrame(snap_rows, "vec_id long, embedding array<double>")
+    cents = ([vec(0.0, 0), vec(0.0, 2)], [1.0, 1.0])
+    stream_rows = [
+        {"vec_id": 1, "embedding": vec(0.02, 0)},
+        {"vec_id": 2, "embedding": vec(0.7, 0)},
+        {"vec_id": 3, "embedding": vec(-0.03, 2)},
+    ]
+    vdir = str(tmp_path / "sem_sh_in")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "p0.jsonl"), "w") as f:
+        for r in stream_rows:
+            f.write(_json.dumps(r) + "\n")
+    vsrc = spark.readStream.schema("vec_id long, embedding array<double>").json(vdir)
+    vout = sp.stream_semantic_dedup(
+        vsrc, vsnapshot, tau=0.9, nlist=2, dim=dim, centroids=cents,
+        broadcast_snapshot=False,
+    )
+    vq = memory_sink(vout.select("vec_id"), "sem_sh_out", mode="append").start()
+    sp.run_until_drained(vq)
+    survivors = {r.vec_id for r in spark.table("sem_sh_out").collect()}
+    assert survivors == {2}  # identical to the broadcast-path test
+
+
 def test_stream_semantic_dedup_carries_original_columns(spark, tmp_path):
     """Survivors keep EVERY original stream column (the documented
     contract), not just id+embedding."""
