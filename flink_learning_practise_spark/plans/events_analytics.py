@@ -1043,6 +1043,27 @@ ORDER BY hour_start, event_type
 
 
 def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven table contracts, SHARED-SCAN formulation (round-4: the
+    naive one-frame-per-check union planned 12 shuffles / 24 hash aggs
+    because every check re-scanned its base table — see operators/dq.py
+    for the single-check primitives this fuses):
+
+    - each base table is scanned ONCE; all checks over the same table
+      ride one pass (conditional aggregates share the scan, a stack()
+      fans the finished counts into report rows — driver-free, tiny);
+    - the per-key group tier doubles as the FK parent key set: cust_g
+      feeds BOTH unique(c_custkey) and the orders FK probe, ord_g feeds
+      BOTH unique(o_orderkey)+fk(o_custkey) and the lineitem FK probe.
+      Catalyst's column pruning specializes the two consumers (one
+      keeps the count, one only the key), so the key-column scan
+      repeats rather than ReusedExchange-ing — deliberate: a one-column
+      pushed-projection re-scan is cheaper at 100 TB than pinning a
+      customer-sized cached tier in executor memory.  Net plan: 5 keyed
+      exchanges (was 12), heavy tables (lineitem, events) scanned once;
+    - FK checks are presence-marker left joins (NOT EXISTS semantics:
+      null FK values are not orphans), orphan and total counted in the
+      same aggregate.
+    """
     from ..operators import dq
 
     cust = load(spark, sf_dir, "customer")
@@ -1050,25 +1071,108 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     ev = load(spark, sf_dir, "events")
-    checks = [
-        dq.check_unique(cust, ["c_custkey"], "customer"),
-        dq.check_unique(orders, ["o_orderkey"], "orders"),
-        dq.check_fk(orders, "o_custkey", cust, "c_custkey", "orders"),
-        dq.check_fk(li, "l_orderkey", orders, "o_orderkey", "lineitem"),
-        dq.check_fk(li, "l_partkey", part, "p_partkey", "lineitem"),
-        dq.check_condition(
-            li, (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0),
-            "positive_amounts", "lineitem",
-        ),
-        dq.check_condition(
-            ev, F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
-            "event_keys_present", "events",
-        ),
-    ]
-    return dq.dq_report(checks).orderBy("table_name", "check_name")
+
+    report_cols = "(check_name, table_name, violations, total)"
+
+    # customer: one groupBy — unique check AND the FK parent key set
+    cust_g = cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    u_cust = cust_g.agg(
+        F.lit("unique(c_custkey)").alias("check_name"),
+        F.lit("customer").alias("table_name"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0)), F.lit(0)
+        ).alias("violations"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("total"),
+    )
+
+    # orders: one scan → FK probe against cust_g, then one groupBy
+    # carrying BOTH the uniqueness counts and the orphan count
+    cust_keys = cust_g.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_pc")
+    )
+    ord_g = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(cust_keys, "o_custkey", "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(
+                    F.col("o_custkey").isNotNull() & F.col("_pc").isNull(), 1
+                ).otherwise(0)
+            ).alias("_orph"),
+        )
+    )
+    ord_rows = ord_g.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0)), F.lit(0)
+        ).alias("v_unique"),
+        F.coalesce(F.sum("_orph"), F.lit(0)).alias("v_fk"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("total"),
+    ).selectExpr(
+        "stack(2, 'unique(o_orderkey)', 'orders', v_unique, total,"
+        "         'fk(o_custkey)', 'orders', v_fk, total) AS " + report_cols
+    )
+
+    # lineitem: ONE scan for both FK checks and the amounts condition
+    ord_keys = ord_g.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("_po")
+    )
+    part_keys = part.groupBy(F.col("p_partkey").alias("l_partkey")).agg(
+        F.lit(1).alias("_pp")
+    )
+    li_rows = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            ((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)).alias("_ok"),
+        )
+        .join(ord_keys, "l_orderkey", "left")
+        .join(part_keys, "l_partkey", "left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_orderkey").isNotNull() & F.col("_po").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("v_fko"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_partkey").isNotNull() & F.col("_pp").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("v_fkp"),
+            F.coalesce(
+                F.sum(F.when(F.col("_ok"), 0).otherwise(1)), F.lit(0)
+            ).alias("v_pos"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .selectExpr(
+            "stack(3, 'fk(l_orderkey)', 'lineitem', v_fko, total,"
+            "         'fk(l_partkey)', 'lineitem', v_fkp, total,"
+            "         'positive_amounts', 'lineitem', v_pos, total) AS "
+            + report_cols
+        )
+    )
+
+    ev_row = dq.check_condition(
+        ev, F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
+        "event_keys_present", "events",
+    )
+
+    return dq.dq_report([u_cust, ord_rows, li_rows, ev_row]).orderBy(
+        "table_name", "check_name"
+    )
 
 
 DQ_REPORT_SQL = """
+-- FK subqueries filter IS NOT NULL: a NULL parent key would make NOT IN
+-- three-valued (0 reported violations regardless of real orphans), while
+-- the Spark plan uses NOT EXISTS semantics. (advice r3)
 SELECT check_name, table_name,
        CAST(violations AS BIGINT) AS violations,
        CAST(total AS BIGINT) AS total
@@ -1083,19 +1187,22 @@ FROM (
   UNION ALL
   SELECT 'fk(o_custkey)', 'orders',
          COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
-                          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                        WHERE c_custkey IS NOT NULL)),
          COUNT(*)
   FROM orders
   UNION ALL
   SELECT 'fk(l_orderkey)', 'lineitem',
          COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
-                          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+                          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                         WHERE o_orderkey IS NOT NULL)),
          COUNT(*)
   FROM lineitem
   UNION ALL
   SELECT 'fk(l_partkey)', 'lineitem',
          COUNT(*) FILTER (WHERE l_partkey IS NOT NULL
-                          AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+                          AND l_partkey NOT IN (SELECT p_partkey FROM part
+                                        WHERE p_partkey IS NOT NULL)),
          COUNT(*)
   FROM lineitem
   UNION ALL

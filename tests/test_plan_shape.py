@@ -243,6 +243,20 @@ def test_cascaded_reagg_partial_aggregation_both_tiers(spark, sf_medium):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
 
 
+def test_dq_report_shared_scan_shape(spark, sf_medium):
+    """Round-4 fusion pin: the 7-check DQ report must plan ≤5 keyed
+    exchanges (the naive per-check union planned 12) and scan the
+    heavy tables (lineitem, events) exactly once each."""
+    import re
+
+    df = all_queries()["q_dq_report"].fn(spark, sf_medium)
+    plan = plan_of(df)
+    keyed = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+    assert len(keyed) <= 5, f"{len(keyed)} keyed exchanges: {keyed}"
+    assert len(re.findall(r"Scan parquet.*lineitem", plan)) == 1
+    assert len(re.findall(r"Scan parquet.*events", plan)) == 1
+
+
 def test_customer_distribution_preaggregates_orders(spark, sf_medium):
     """Q13 shape: the orders side must aggregate to (custkey, count)
     BEFORE the outer join — a HashAggregate below the join on the
