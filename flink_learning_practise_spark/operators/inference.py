@@ -105,7 +105,14 @@ class FakeEmbeddingModel:
 
 # one model handle per python worker PROCESS (worker reuse makes this
 # once per executor, amortized over every task it runs)
-_MODEL_CACHE: dict[tuple[str, str], object] = {}
+_MODEL_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def clear_model_cache() -> None:
+    """Drop every cached model handle in THIS process (on an executor:
+    call from a task, e.g. ``sc.range(n).foreachPartition``). The
+    invalidation hook for factories that can't carry a ``cache_key``."""
+    _MODEL_CACHE.clear()
 
 
 def _cached_load(model_factory: Callable[[], object]) -> object:
@@ -116,12 +123,22 @@ def _cached_load(model_factory: Callable[[], object]) -> object:
     WITHOUT a stable name (lambdas, functools.partial, local closures)
     are loaded per task, uncached — correct, just without the
     once-per-executor amortization; use a module-level class or
-    function to get it."""
+    function to get it.
+
+    (module, qualname) alone has NO invalidation: with python-worker
+    reuse, two jobs whose same-named factory behaves differently (a
+    reconfigured module global, a reloaded class, baked-in constructor
+    args) would share one stale instance per executor (advice r3).  A
+    factory (or its loaded model) can therefore declare a
+    ``cache_key`` attribute — a version/config string mixed into the
+    key; bump it when the factory's behavior changes.  Call
+    :func:`clear_model_cache` to drop every cached handle in this
+    worker."""
     mod = getattr(model_factory, "__module__", None)
     qual = getattr(model_factory, "__qualname__", None)
     if not mod or not qual or "<lambda>" in qual or "<locals>" in qual:
         return model_factory().load()  # type: ignore[attr-defined]
-    key = (mod, qual)
+    key = (mod, qual, str(getattr(model_factory, "cache_key", "")))
     m = _MODEL_CACHE.get(key)
     if m is None:
         m = model_factory().load()  # type: ignore[attr-defined]

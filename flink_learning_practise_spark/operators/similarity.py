@@ -627,7 +627,6 @@ def assign_to_centroids(
     df: DataFrame,
     vecs: list[list[float]],
     norms: list[float],
-    id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = DEFAULT_DIM,
     keep_norm: bool = False,
@@ -642,7 +641,19 @@ def assign_to_centroids(
     assignment + tie-break + rounding rule shared by IVF, SemDeDup,
     the cluster report and the streaming dedup — one inlined-score
     fold per row, staged so it evaluates once (refine_centroids'
-    rule), zero shuffle; streaming frames pass through (widen no-op)."""
+    rule), zero shuffle; streaming frames pass through (widen no-op).
+
+    The output appends ``list_id``/``cos_cent`` (and ``norm`` with
+    ``keep_norm``) and stages through ``_s`` — inputs already carrying
+    any of those names would be silently shadowed, so they are rejected
+    up front. (advice r3: was a silent-corruption hazard; the formerly
+    unused ``id_col`` parameter is gone.)"""
+    reserved = {"norm", "_s", "list_id", "cos_cent"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with assign_to_centroids internals: "
+            f"{sorted(reserved)} — rename them first"
+        )
     scores = _ivf_scores_expr(emb_col, vecs, norms)
     in_cols = df.columns
     return (
@@ -697,7 +708,7 @@ def semantic_dedup(
     """
     vecs, norms = centroids or ivf_centroids(df, nlist, id_col, emb_col)
     assigned = assign_to_centroids(
-        df, vecs, norms, id_col, emb_col, dim
+        df, vecs, norms, emb_col=emb_col, dim=dim
     ).select(
         F.col(id_col).alias("pid"),
         F.col(emb_col).alias("emb"),

@@ -174,6 +174,12 @@ def global_rank(
     exchange would otherwise be free to resample between jobs).
     ``order_cols`` must be a TOTAL order (include a unique id) or the
     rank is partition-placement-dependent on ties.
+
+    RETENTION: the checkpoint blocks live as long as the RETURNED frame
+    is referenced — they back its plan, so they cannot be released
+    eagerly here. Drop the frame when done (ContextCleaner then
+    unpersists the blocks); callers looping over many invocations
+    should not accumulate the results. (advice r3)
     """
     return _global_rank_with_total(df, order_cols, rank_col, partitions)[0]
 

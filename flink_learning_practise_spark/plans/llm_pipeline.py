@@ -556,6 +556,43 @@ WHERE doc_id NOT IN (SELECT id_b FROM losers)
 # (delta-iteration analog — operators/graph.py; reference
 # flink_typora.md:885 Delta Iteration)
 
+import weakref as _weakref
+
+_PAIR_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin near-dup pair tier (id_a, id_b at the module
+    threshold), computed ONCE per (session, sf_dir) and eagerly
+    localCheckpointed, then reused by every consumer — both CC
+    formulations (#63 label-propagation, #63b large/small-star) iterate
+    over the SAME edge set, so re-deriving the prefix-filtered join per
+    invocation doubled the most expensive work in the suite (VERDICT
+    r3 #8).
+
+    Lifecycle: the memo is keyed weakly by SparkSession (dropped with
+    the session) and capped at 2 sf_dirs — evicted entries are
+    unpersisted; the checkpoint blocks are pair-tier-sized (edges, not
+    corpus). At 100 TB this is the same pattern as materializing the
+    edge list to a table between stages of a production CC run."""
+    per_sess = _PAIR_TIER_MEMO.setdefault(spark, {})
+    key = (sf_dir, 3, JACCARD_THRESHOLD)
+    if key not in per_sess:
+        while len(per_sess) >= 2:
+            _, old = per_sess.popitem()
+            try:
+                old.unpersist()
+            except Exception:  # session shutting down — nothing to free
+                pass
+        docs = load(spark, sf_dir, "documents")
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+        )
+        per_sess[key] = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    return per_sess[key]
+
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document labeled with its duplicate-cluster id (minimum
@@ -566,9 +603,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
-    )
+    pairs = _shared_pair_tier(spark, sf_dir)
     cc = graph.connected_components(pairs, src="id_a", dst="id_b")
     return (
         docs.select("doc_id")
@@ -767,9 +802,11 @@ MODEL_SCORE_SQL = """
 SELECT doc_id,
        round(
          0.5 * (('0x' || substring(md5(text), 1, 16))::UBIGINT / 18446744073709551616.0)
-         + 0.5 * (CASE WHEN trim(text) = '' THEN 0.0
-                       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
-                            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+         + 0.5 * (CASE WHEN regexp_replace(text, '^\\s+$', '') = '' THEN 0.0
+                       ELSE len(list_distinct(regexp_split_to_array(
+                                regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''), '\\s+')))
+                            / CAST(len(regexp_split_to_array(
+                                regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''), '\\s+')) AS DOUBLE)
                   END), 6) AS score,
        'fake-md5-scorer' AS model
 FROM documents
@@ -810,9 +847,11 @@ WITH scored AS (
   SELECT doc_id,
          round(
            0.5 * (('0x' || substring(md5(text), 1, 16))::UBIGINT / 18446744073709551616.0)
-           + 0.5 * (CASE WHEN trim(text) = '' THEN 0.0
-                         ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
-                              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+           + 0.5 * (CASE WHEN regexp_replace(text, '^\\s+$', '') = '' THEN 0.0
+                         ELSE len(list_distinct(regexp_split_to_array(
+                                  regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''), '\\s+')))
+                              / CAST(len(regexp_split_to_array(
+                                  regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''), '\\s+')) AS DOUBLE)
                     END), 6) AS score
   FROM documents
 ),
@@ -988,9 +1027,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
-    )
+    pairs = _shared_pair_tier(spark, sf_dir)
     cc = graph.connected_components_star(pairs, src="id_a", dst="id_b")
     return (
         docs.select("doc_id")

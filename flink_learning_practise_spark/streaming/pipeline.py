@@ -288,7 +288,7 @@ def stream_semantic_dedup(
 
     vecs, norms = centroids or ivf_centroids(snapshot, nlist, id_col, emb_col)
     snap = assign_to_centroids(
-        snapshot, vecs, norms, id_col, emb_col, dim, keep_norm=True
+        snapshot, vecs, norms, emb_col=emb_col, dim=dim, keep_norm=True
     ).select(
         F.col(emb_col).alias("_semb"),
         F.col("list_id").alias("_slist"),
@@ -298,7 +298,7 @@ def stream_semantic_dedup(
     # reuse it in the cosine instead of a second O(dim) fold per row.
     # All original stream columns ride through the assignment.
     strm = assign_to_centroids(
-        stream, vecs, norms, id_col, emb_col, dim, keep_norm=True
+        stream, vecs, norms, emb_col=emb_col, dim=dim, keep_norm=True
     )
     cos = F.round(
         F.expr(dot_expr(emb_col, "_semb")) / (F.col("norm") * F.col("_snorm")),
