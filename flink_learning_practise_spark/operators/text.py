@@ -371,3 +371,120 @@ def heavy_hitter_tokens(
         )
         .select("token", "cnt")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Unigram language-model quality score: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    classic cheap LM filter (low score = tokens rare in the corpus =
+    likely noise/garble). Output: (id, n_tokens, avg_logprob); documents
+    with zero tokens are excluded (no distribution to score under).
+
+    Determinism: each token's log-probability is rounded to 9 digits
+    and summed in decimal — float addition is not associative, so a
+    raw double sum would be partition-order-dependent at scale and
+    could never hash-match a single-node oracle.
+
+    Scale shape: one vocabulary-sized aggregate (Heaps'-law sublinear,
+    not corpus-proportional), total-token count piggybacked on it via
+    an unpartitioned window (vocab-sized input), then a token join the
+    optimizer sizes (vocab vs corpus — AQE broadcasts the frequency
+    table when it fits) and one per-document aggregate.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import widen
+
+    toks = (
+        widen(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalize(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_total", F.sum("_cnt").over(w_all))
+        .withColumn(
+            "_lp",
+            F.round(F.log(F.col("_cnt") / F.col("_total")), 9).cast(
+                "decimal(18,9)"
+            ),
+        )
+        .select("token", "_lp")
+    )
+    return (
+        toks.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("_lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the domain-drift diagnostic (a source whose token mix diverges from
+    the corpus is over/under-represented or off-topic; pairs with the
+    temperature domain-mixer, which needs exactly this signal).
+
+    KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) over the
+    source's tokens (p_s > 0 ⇒ p_c > 0 — every source token is in the
+    corpus, so the divergence is always finite). Terms are rounded to
+    9 digits and decimal-summed (same determinism rule as
+    :func:`unigram_logprob`).
+
+    Scale shape: two aggregates bounded by |vocab|·|sources| and
+    |vocab| — never corpus-proportional — joined on the token.
+    Output: (source, n_tokens, kl_divergence), ordered by source.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import widen
+
+    toks = (
+        widen(df)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(normalize(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    corpus = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_c_cnt"))
+        .withColumn("_c_tot", F.sum("_c_cnt").over(w_all))
+    )
+    w_src = Window.partitionBy("source")
+    per_src = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("_s_cnt"))
+        .withColumn("_s_tot", F.sum("_s_cnt").over(w_src))
+    )
+    p_s = F.col("_s_cnt") / F.col("_s_tot")
+    p_c = F.col("_c_cnt") / F.col("_c_tot")
+    term = F.round(p_s * F.log(p_s / p_c), 9).cast("decimal(18,9)")
+    return (
+        per_src.join(corpus, "token")
+        .groupBy("source")
+        .agg(
+            F.max("_s_tot").alias("n_tokens"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )

@@ -1491,3 +1491,176 @@ WHERE value IS NOT NULL
 GROUP BY event_type, floor(value / {HIST_WIDTH})
 ORDER BY event_type, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# #99 last-touch attribution: each purchase attributed to the user's
+# latest preceding 'view' within a 30-minute lookback — the marketing-
+# attribution form of the as-of join (#19), computed as ONE ordered
+# window pass per user instead of a join (the views and purchases are
+# the same stream, so the as-of pairing is a running last-non-null).
+
+ATTRIBUTION_WINDOW_SEC = 1800
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(purchase_id, user_id, purchase_ts, view_id, latency_sec);
+    view_id/latency NULL when no view fell inside the lookback.
+
+    Scale shape: one user-keyed exchange + sort; the running
+    last-view carry is F.last(ignorenulls) over (ts, event_id) — a
+    TOTAL order, so same-timestamp events resolve identically in any
+    engine. No self-join: at 100 TB the events table is scanned once
+    and shuffled once.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    last_view = F.last(
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    in_window = (
+        F.col("_lv").isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("_lv.ts")
+            <= ATTRIBUTION_WINDOW_SEC
+        )
+    )
+    return (
+        ev.withColumn("_lv", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(in_window, F.col("_lv.eid")).alias("view_id"),
+            F.when(
+                in_window,
+                F.unix_timestamp("ts") - F.unix_timestamp("_lv.ts"),
+            ).alias("latency_sec"),
+        )
+    )
+
+
+LAST_TOUCH_ATTRIBUTION_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view'
+                         THEN struct_pack(ts := ts, eid := event_id) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN lv IS NOT NULL
+              AND date_diff('second', lv.ts, ts) <= {ATTRIBUTION_WINDOW_SEC}
+            THEN lv.eid END AS view_id,
+       CASE WHEN lv IS NOT NULL
+              AND date_diff('second', lv.ts, ts) <= {ATTRIBUTION_WINDOW_SEC}
+            THEN CAST(date_diff('second', lv.ts, ts) AS BIGINT) END AS latency_sec
+FROM w
+WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# #100 session conversion by entry event: sessionize (30-min inactivity
+# gap — the batch twin of the session window #12), then conversion rate
+# grouped by each session's ENTRY event type (landing-page analysis:
+# which entry behavior converts).
+
+SESSION_GAP_SEC = 1800
+
+
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entry_type, n_sessions, n_converted, conversion_rate).
+
+    Scale shape: the sessionization (lag + running sum) and the
+    first-event row_number share ONE user-keyed sort order, so the
+    whole derivation is one exchange + one sort; the per-session
+    aggregate shuffles (user, session) keys; the final entry-type
+    rollup is a handful of groups. Rate = integer counts divided once,
+    rounded — engine-exact.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SEC), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("_new", new_sess)
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
+        ))
+    )
+    per_session = sess.groupBy("user_id", "_sess").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("_conv"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("_conv").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted") / F.col("n_sessions"), 6),
+        )
+        .orderBy("entry_type")
+    )
+
+
+SESSION_CONVERSION_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS newsess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *,
+         SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn
+  FROM s
+),
+per_session AS (
+  SELECT user_id, sess,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM r GROUP BY user_id, sess
+)
+SELECT entry_type,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       round(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+FROM per_session
+GROUP BY entry_type
+ORDER BY entry_type
+"""

@@ -1199,3 +1199,121 @@ FROM per_text p JOIN langs l ON p.source = l.source
 GROUP BY p.source
 ORDER BY p.source
 """
+
+
+# ---------------------------------------------------------------------------
+# #96 unigram-LM quality scoring: mean token log-probability under the
+# corpus's own unigram distribution — the classic cheap LM filter
+# (kenlm-perplexity's little sibling; operators/text.py:unigram_logprob)
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs, "doc_id", "text")
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+lp AS (
+  SELECT token,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(18,9)) AS lp
+  FROM freq CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM tok JOIN lp USING (token)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #97 per-source KL divergence from the corpus unigram distribution —
+# domain-drift diagnostics feeding the temperature domain mixer (#73)
+
+
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.source_kl_divergence(docs, "source", "text")
+
+
+SOURCE_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+),
+tok AS (SELECT source, token FROM toks WHERE token <> ''),
+corpus AS (
+  SELECT token, COUNT(*) AS c_cnt FROM tok GROUP BY token
+),
+ctot AS (SELECT SUM(c_cnt) AS c_tot FROM corpus),
+per_src AS (
+  SELECT source, token, COUNT(*) AS s_cnt FROM tok GROUP BY source, token
+),
+stot AS (SELECT source, SUM(s_cnt) AS s_tot FROM per_src GROUP BY source),
+terms AS (
+  SELECT p.source,
+         st.s_tot,
+         CAST(round(
+           (CAST(s_cnt AS DOUBLE) / s_tot)
+           * ln((CAST(s_cnt AS DOUBLE) / s_tot) / (CAST(c_cnt AS DOUBLE) / c_tot)),
+         9) AS DECIMAL(18,9)) AS term
+  FROM per_src p
+  JOIN stot st ON p.source = st.source
+  JOIN corpus c ON p.token = c.token
+  CROSS JOIN ctot
+)
+SELECT source, CAST(MAX(s_tot) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS kl_divergence
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# #98 cross-source duplicate overlap matrix: which source pairs share
+# identical (normalized) documents — the provenance diagnostic behind
+# dedup policy (a pair with heavy overlap means one source mirrors
+# another; run BEFORE choosing per-source sampling rates)
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_shared) for every source pair sharing at
+    least one exact-normalized duplicate document, source_a < source_b.
+
+    Scale shape: distinct (digest, source) pairs first (one hash agg —
+    corpus collapses to its distinct-content × source grid), then a
+    digest-keyed self-join whose per-key fan-out is bounded by the
+    number of sources carrying that content (≤ |sources|², and only on
+    actually-duplicated digests), then a tiny pair aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        docs.select(
+            F.md5(text.normalize(F.col("text"))).alias("_h"), "source"
+        )
+        .distinct()
+    )
+    a = h.select(F.col("_h"), F.col("source").alias("source_a"))
+    b = h.select(F.col("_h"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT md5({NORM_SQL}) AS _h, source FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM h a JOIN h b ON a._h = b._h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY n_shared DESC, source_a, source_b
+"""

@@ -778,3 +778,166 @@ LIMIT 10
 """
 
 
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — which customers cost the
+# most revenue in returns in a quarter. (reference: the Table-API join
+# exercises in flink_typora.md; adapted to this schema — no c_address/
+# c_phone columns, so the grouping carries acctbal + nation only.)
+
+RETURNED_START = "1996-01-01 00:00:00"
+RETURNED_END = "1996-04-01 00:00:00"
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue on returned lines in one quarter.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan, the
+    order-date band to the orders scan; lineitem⨝orders is a fact-fact
+    join on the order key (unhinted — BROADCAST_POLICY), customer joins
+    unhinted, nation is a bounded dim (hinted). One aggregate on the
+    customer grain, then a 20-row ordered limit with a unique-key
+    tie-break (c_custkey) so the cut is engine-exact.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RETURNED_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURNED_END).cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REVENUE_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{RETURNED_START}'
+  AND o_orderdate < TIMESTAMP '{RETURNED_END}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by nation and year. Adapted to
+# this schema: no partsupp table, so supply cost is modeled as
+# 60% of p_retailprice per unit — the JOIN TOPOLOGY (lineitem against
+# part + supplier + orders + nation) and the (nation, year) profit
+# aggregate are the exercised shape.
+
+PROFIT_TYPE = "STANDARD"
+COST_FRACTION = 0.6
+
+
+def profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit = revenue − modeled supply cost, per supplier nation and
+    order year, for one part type.
+
+    Scale shape: the type filter prunes part BEFORE its (unhinted)
+    join; orders contributes only the year column; nation is a hinted
+    bounded dim. Profit is summed in decimal — the subtraction happens
+    per row, so the aggregate stays one pass.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == PROFIT_TYPE
+    ).select("p_partkey", "p_retailprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(COST_FRACTION) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+PROFIT_BY_NATION_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_dsum(f"l_extendedprice * (1 - l_discount) - {COST_FRACTION} * p_retailprice * l_quantity", "sum_profit")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = '{PROFIT_TYPE}'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: parts/supplier relationship — how many distinct
+# suppliers can deliver each (brand, type, size) bucket. Adapted: no
+# partsupp table, so the part↔supplier relation is the SHIPPED
+# lineitem bridge.
+
+EXCLUDED_BRAND = "Brand#1"
+
+
+def parts_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (p_brand, p_type, p_size), excluding
+    one brand, top 40 buckets.
+
+    Scale shape: brand exclusion pushes to the part scan; the
+    (partkey, suppkey) bridge is DISTINCT'd on the pair BEFORE the
+    part join (map-side partials shrink the fact stream to the
+    relation's cardinality); count_distinct then runs on the already-
+    distinct pairs, so no expand-node blowup. The ordered limit
+    tie-breaks on the full bucket key.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") != EXCLUDED_BRAND
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+PARTS_SUPPLIER_STATS_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{EXCLUDED_BRAND}'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+"""

@@ -119,6 +119,36 @@ def _populate() -> None:
     # ---- Tier 2: new in round 4 (registered here so the 50-entry
     # driver window reaches them this round) ----
     register("q_heavy_hitters", llm.heavy_hitters, llm.HEAVY_HITTERS_SQL)
+    register(
+        "q_returned_item_revenue",
+        tpch.returned_item_revenue,
+        tpch.RETURNED_ITEM_REVENUE_SQL,
+        headline=True,
+    )
+    register(
+        "q_profit_by_nation", tpch.profit_by_nation, tpch.PROFIT_BY_NATION_SQL
+    )
+    register(
+        "q_parts_supplier_stats",
+        tpch.parts_supplier_stats,
+        tpch.PARTS_SUPPLIER_STATS_SQL,
+    )
+    register(
+        "q_unigram_logprob", llm.unigram_logprob, llm.UNIGRAM_LOGPROB_SQL
+    )
+    register("q_source_kl", llm.source_kl, llm.SOURCE_KL_SQL)
+    register("q_source_overlap", llm.source_overlap, llm.SOURCE_OVERLAP_SQL)
+    register(
+        "q_last_touch_attribution",
+        ea.last_touch_attribution,
+        ea.LAST_TOUCH_ATTRIBUTION_SQL,
+        headline=True,
+    )
+    register(
+        "q_session_conversion",
+        ea.session_conversion,
+        ea.SESSION_CONVERSION_SQL,
+    )
 
     # ---- Tier 3: driver-green in a previous round ----
     register(
