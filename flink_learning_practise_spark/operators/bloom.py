@@ -1,0 +1,122 @@
+"""Distributed Bloom-filter build + prefilter — the anti-join scale
+path promised by the streaming snapshot-dedup docstrings
+(streaming/pipeline.py): when the snapshot key set is too large to
+broadcast, a FIXED-SIZE Bloom filter lets definite-miss rows bypass the
+shuffled anti-join entirely; only "maybe" rows pay the exchange.
+
+Guarantees (standard Bloom): NO false negatives — every key inserted at
+build time tests positive, so a row whose key exists in the snapshot
+always reaches the real join and the composed anti-join is EXACT.
+False positives only send extra rows through the join, which removes
+nothing that shouldn't be removed; they cost shuffle volume, not
+correctness.  With m bits, k hashes and n keys the FP rate is
+(1 − e^{−kn/m})^k — the filter size m is a fixed design parameter, so
+at 100 TB the driver/executor footprint stays m/8 bytes while the
+effectiveness degrades gracefully as n outgrows capacity.
+
+Build is distributed: each key maps to k bit positions (seeded
+xxhash64 — deterministic across runs/engines), positions fold into
+64-bit words map-side (`bit_or` partials), and only ≤ m/64 word rows
+reach the driver — bounded by the design parameter, never by the data.
+
+The filter is carried into the probe plan as a '0'/'1' string literal
+(m chars): portable and testable here. A production deployment at
+large m would swap the representation for the JVM-side
+``org.apache.spark.util.sketch.BloomFilter`` (DataFrameStatFunctions
+exposes it in Scala) — the build/probe algebra is identical.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 1 << 17
+DEFAULT_K = 4
+
+
+def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """k deterministic bit positions for a key: pmod(xxhash64(seed_i,
+    key), m) — seeds make the k hashes independent-enough, pmod keeps
+    positions non-negative."""
+    return [
+        F.pmod(F.xxhash64(F.lit(f"bloom:{i}"), col), F.lit(m_bits)).cast("int")
+        for i in range(k)
+    ]
+
+
+def build_bloom(
+    keys: DataFrame,
+    col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> str:
+    """Build the filter over ``keys[col]`` (NULLs ignored — a NULL key
+    never equi-joins anyway). Returns the bit string of length
+    ``m_bits``; the only driver materialization is ≤ m_bits/64 word
+    rows, a bound set by the parameter, not the data."""
+    pos = (
+        keys.filter(F.col(col).isNotNull())
+        .select(F.explode(F.array(*_positions(F.col(col), m_bits, k))).alias("p"))
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), p % 64)").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    bits = bytearray(b"0" * m_bits)
+    for r in words:
+        mask = r["mask"] & ((1 << 64) - 1)  # undo two's-complement sign
+        base = r["w"] * 64
+        while mask:
+            low = mask & -mask
+            bits[base + low.bit_length() - 1] = ord("1")
+            mask ^= low
+    return bits.decode("ascii")
+
+
+def bloom_maybe_contains(
+    col: Column, bloom: str, k: int = DEFAULT_K
+) -> Column:
+    """True iff all k bit positions for ``col`` are set — i.e. the key
+    MAY be in the built set (false ⇒ definitely absent). NULL keys
+    yield NULL (neither branch of a prefilter wants them; equi-joins
+    drop them regardless)."""
+    m_bits = len(bloom)
+    tests = [
+        F.substring(F.lit(bloom), p + 1, F.lit(1)) == "1"
+        for p in _positions(col, m_bits, k)
+    ]
+    return reduce(lambda a, b: a & b, tests)
+
+
+def bloom_prefiltered_anti_join(
+    df: DataFrame,
+    keys: DataFrame,
+    col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """EXACT left-anti join of ``df`` against ``keys`` on ``col``, with
+    a Bloom bypass: rows whose key definitely isn't in ``keys`` skip
+    the exchange; only bloom-positive rows (true hits + FP rate of the
+    sized filter) join. The join side is left unhinted — AQE broadcasts
+    a small key set and shuffles a TB-scale one (BROADCAST_POLICY);
+    either way the shuffled volume is the bloom-positive slice, not the
+    corpus.
+
+    NULL-key rows are kept (a NULL never equi-joins, so a plain
+    left-anti keeps them too — the bypass must agree)."""
+    bloom = build_bloom(keys, col, m_bits, k)
+    maybe = bloom_maybe_contains(F.col(col), bloom, k)
+    definite_miss = df.filter(~maybe | F.col(col).isNull())
+    candidates = df.filter(maybe).join(
+        keys.select(col).distinct(), col, "left_anti"
+    )
+    return definite_miss.unionByName(candidates)

@@ -333,3 +333,38 @@ SELECT s.doc_id,
 FROM segs s JOIN cnt USING (seg)
 GROUP BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# #101 Bloom-prefiltered incremental dedup: IDENTICAL contract to
+# q_dedup_incremental (#74) computed through the Bloom bypass
+# (operators/bloom.py) — the sized-filter scale path for snapshots too
+# large to broadcast. Same oracle ⇒ the exactness claim (no false
+# negatives, FPs removed by the real join) is value-checked, not
+# asserted.
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bloom
+    from ..operators.curation import normalize
+
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % SNAP_MOD == 0).alias("_snap"),
+        F.md5(normalize(F.col("text"))).alias("_h"),
+    )
+    snap_keys = hashed.filter("_snap").select("_h")
+    delta = hashed.filter(~F.col("_snap"))
+    fresh = bloom.bloom_prefiltered_anti_join(delta, snap_keys, "_h")
+    return (
+        fresh.groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+DEDUP_INCREMENTAL_BLOOM_SQL = DEDUP_INCREMENTAL_SQL

@@ -523,9 +523,7 @@ FROM (
 
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
-    )
+    pairs = _shared_pair_tier(spark, sf_dir)
     return dedup.near_dedup_survivors(docs, pairs, "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )

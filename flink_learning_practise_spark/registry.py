@@ -149,6 +149,11 @@ def _populate() -> None:
         ea.session_conversion,
         ea.SESSION_CONVERSION_SQL,
     )
+    register(
+        "q_dedup_incremental_bloom",
+        cur.dedup_incremental_bloom,
+        cur.DEDUP_INCREMENTAL_BLOOM_SQL,
+    )
 
     # ---- Tier 3: driver-green in a previous round ----
     register(

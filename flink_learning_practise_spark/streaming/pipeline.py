@@ -381,6 +381,7 @@ def stream_incremental_dedup(
     ts_col: str,
     watermark_delay: str = "1 minute",
     broadcast_snapshot: bool = True,
+    bloom_bits: int | None = None,
 ) -> DataFrame:
     """Streaming half of ``curation.incremental_dedup``: dedup a live
     ingest stream against yesterday's corpus snapshot AND against
@@ -404,8 +405,13 @@ def stream_incremental_dedup(
     memory bounded by one partition of the snapshot.  The static-side
     scan repeats per micro-batch either way (stream-static contract);
     at scale, persist the snapshot bucketed on the digest so that scan
-    is pruned, or prepend a Bloom prefilter to cut the shuffled volume.
-    Parity of the two variants is pytest-proven.
+    is pruned.  ``bloom_bits`` (with ``broadcast_snapshot=False``)
+    additionally builds an m-bit Bloom filter over the snapshot digests
+    ONCE at plan time (operators/bloom.py — no false negatives, so the
+    composition stays exact) and routes definite-novel rows around the
+    per-micro-batch join: the shuffled volume drops to the
+    bloom-positive slice at a fixed m/8-byte footprint.
+    Parity of all variants is pytest-proven.
 
     First-arrival wins within the stream (arrival order, not min-id:
     a stream can't know a smaller id arrives later — the batch op
@@ -419,6 +425,17 @@ def stream_incremental_dedup(
     hashed = stream.withWatermark(ts_col, watermark_delay).withColumn(
         "_h", F.md5(normalize(F.col(text_col)))
     )
-    side = F.broadcast(snap_h) if broadcast_snapshot else snap_h.hint("shuffle_hash")
-    fresh = hashed.join(side, "_h", "left_anti")
+    if not broadcast_snapshot and bloom_bits:
+        from ..operators import bloom
+
+        fresh = bloom.bloom_prefiltered_anti_join(
+            hashed, snap_h, "_h", m_bits=bloom_bits
+        )
+    else:
+        side = (
+            F.broadcast(snap_h)
+            if broadcast_snapshot
+            else snap_h.hint("shuffle_hash")
+        )
+        fresh = hashed.join(side, "_h", "left_anti")
     return fresh.dropDuplicatesWithinWatermark(["_h"]).drop("_h")

@@ -1210,6 +1210,18 @@ def test_stream_dedup_shuffled_snapshot_variants_match_broadcast(spark, tmp_path
     got = sorted(r["doc_id"] for r in spark.table("inc_sh_out").collect())
     assert got == [11, 12, 14]  # identical to the broadcast-path test
 
+    # bloom-prefiltered scale path: same survivors, tiny filter sizing
+    # on purpose so the join still sees FP rows and must remove them
+    out_b = stream_incremental_dedup(
+        src, snapshot, "doc_id", "text", "ts",
+        broadcast_snapshot=False, bloom_bits=256,
+    )
+    qb = out_b.writeStream.format("memory").queryName("inc_bl_out").outputMode("append").start()
+    qb.processAllAvailable()
+    qb.stop()
+    got_b = sorted(r["doc_id"] for r in spark.table("inc_bl_out").collect())
+    assert got_b == [11, 12, 14]
+
     # plan pin (batch equivalent of the per-micro-batch join): the
     # anti-join must be a ShuffledHashJoin, never a broadcast
     from pyspark.sql import functions as F
