@@ -130,3 +130,188 @@ def _interval_to_ms(interval: str) -> int:
     unit = unit.rstrip("s").lower()
     factors = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}
     return int(qty) * factors[unit]
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution (the unbounded twin of
+# plans/events_analytics.last_touch_attribution #99): per-user state is
+# ONLY the latest view (two longs), evicted once the watermark proves
+# no future purchase can reach back to it.
+
+ATTR_OUTPUT_SCHEMA = (
+    "purchase_id BIGINT, user_id BIGINT, purchase_ts TIMESTAMP, "
+    "view_id BIGINT, latency_sec BIGINT"
+)
+ATTR_STATE_SCHEMA = "view_ts BIGINT, view_id BIGINT"
+
+
+def _attr_fn(window_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last view + lookback: no in-horizon
+            # purchase can attribute to it any more
+            state.remove()
+            return
+        view_ts, view_id = state.get if state.exists else (None, None)
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            rows.extend(
+                zip(ts_ms, pdf["event_id"].tolist(), pdf["event_type"].tolist())
+            )
+        rows.sort()  # event-time order within the batch = batch-op order
+        out: list[tuple[int, int, int | None, int | None]] = []
+        for t, eid, et in rows:
+            if et == "view":
+                if view_ts is None or (t, eid) > (view_ts, view_id):
+                    view_ts, view_id = t, eid
+            elif et == "purchase":
+                if view_ts is not None and 0 <= t - view_ts <= window_ms:
+                    out.append((eid, t, view_id, (t - view_ts) // 1000))
+                else:
+                    out.append((eid, t, None, None))
+        if view_ts is not None:
+            state.update((view_ts, view_id))
+            state.setTimeoutTimestamp(
+                max(view_ts + window_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "purchase_id": [p for p, _, _, _ in out],
+                    "user_id": [user_id] * len(out),
+                    "purchase_ts": [pd.Timestamp(t, unit="ms") for _, t, _, _ in out],
+                    "view_id": pd.array(
+                        [v for _, _, v, _ in out], dtype="Int64"
+                    ),
+                    "latency_sec": pd.array(
+                        [s for _, _, _, s in out], dtype="Int64"
+                    ),
+                }
+            )
+
+    return fn
+
+
+def streaming_last_touch(
+    df: DataFrame,
+    window: str = "30 minutes",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Attribute each purchase to the user's latest preceding view
+    within ``window``, continuously. Expects (event_id, user_id, ts,
+    event_type).
+
+    State per user = ONE (ts, id) pair — bytes, not events — sharded by
+    the user key and evicted by event-time timeout once the watermark
+    passes last_view + window. Within a micro-batch events process in
+    event-time order (matching the batch operator); a view arriving in
+    a LATER batch than a purchase it should have touched cannot
+    retro-attribute — first-emission wins, the batch op (#99) stays the
+    reprocessing authority (same contract as the streaming dedups).
+    """
+    window_ms = _interval_to_ms(window)
+    return (
+        df.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attr_fn(window_ms),
+            outputStructType=ATTR_OUTPUT_SCHEMA,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: sharded Misra-Gries over an unbounded token
+# stream (the streaming twin of operators/text.heavy_hitter_tokens
+# #87). Tokens hash-shard across keys, each shard holds ONE MG(k)
+# summary — state is ≤ k (token, count) pairs per shard BY
+# CONSTRUCTION, so no timeout/eviction is needed: the operator's
+# memory is fixed forever, the defining property of a sketch.
+
+HH_OUTPUT_SCHEMA = "shard INT, token STRING, est BIGINT, shard_tokens BIGINT"
+HH_STATE_SCHEMA = "tokens ARRAY<STRING>, counts ARRAY<BIGINT>, n BIGINT"
+
+
+def _hh_fn(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            tokens, counts, n = state.get
+            counters = dict(zip(tokens, counts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                n += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:  # decrement-all: the MG step
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        state.update((list(counters), list(counters.values()), n))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(counters),
+                "token": list(counters),
+                "est": list(counters.values()),
+                "shard_tokens": [n] * len(counters),
+            }
+        )
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Frequent tokens over an unbounded text stream. Each token lives
+    in exactly ONE hash shard, so the per-shard MG(k) guarantee applies
+    per token: any token with frequency > n_shard/(k+1) in its shard
+    survives, and its estimate is a lower bound within n_shard/(k+1)
+    (Misra-Gries 1982). Emits the full shard summary each batch in
+    update mode — downstream takes each shard's latest emission (max
+    shard_tokens) and, as in the batch twin, can join exact counts over
+    the candidate set for an exact readout.
+
+    State is ≤ n_shards × k counters TOTAL — fixed memory for the life
+    of the stream, sharded across executors by the shard key.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.text import normalize
+
+    toks = (
+        df.select(
+            F.explode(F.split(normalize(F.col(text_col)), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("int")
+        )
+    )
+    return toks.groupBy("shard").applyInPandasWithState(
+        _hh_fn(k),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

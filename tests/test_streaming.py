@@ -1295,3 +1295,120 @@ def test_stream_semantic_dedup_carries_original_columns(spark, tmp_path):
     sp.run_until_drained(q)
     rows = spark.table("semcol_out").collect()
     assert len(rows) == 1 and rows[0].payload == "keep-me"
+
+
+def test_streaming_last_touch_matches_batch(spark, tmp_path):
+    """Streaming attribution must agree with the batch operator (#99)
+    when views precede purchases in batch order; state must be the
+    latest view only (a newer view replaces the older)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import (
+        streaming_last_touch,
+    )
+
+    src = str(tmp_path / "attr_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = [
+        {"event_id": 1, "user_id": 7, "ts": "2024-01-01 00:00:00", "event_type": "view"},
+        {"event_id": 2, "user_id": 7, "ts": "2024-01-01 00:10:00", "event_type": "view"},
+        {"event_id": 3, "user_id": 7, "ts": "2024-01-01 00:20:00", "event_type": "purchase"},
+        {"event_id": 4, "user_id": 8, "ts": "2024-01-01 00:00:00", "event_type": "purchase"},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string"
+    ).json(src)
+    out = streaming_last_touch(stream, window="30 minutes")
+    q = out.writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    q.processAllAvailable()
+    # batch 2: purchase attributable across batches to batch-1's view 2,
+    # plus a purchase outside the 30-min lookback
+    b2 = [
+        {"event_id": 5, "user_id": 7, "ts": "2024-01-01 00:35:00", "event_type": "purchase"},
+        {"event_id": 6, "user_id": 7, "ts": "2024-01-01 02:00:00", "event_type": "purchase"},
+    ]
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.purchase_id: (r.view_id, r.latency_sec)
+        for r in spark.table("attr_out").collect()
+    }
+    assert got == {
+        3: (2, 600),      # latest view (2) wins over view 1
+        4: (None, None),  # user 8 never viewed
+        5: (2, 1500),     # attribution carries across micro-batches
+        6: (None, None),  # beyond the 30-min lookback
+    }
+
+
+def test_streaming_heavy_hitters_sharded_mg_bounds(spark, tmp_path):
+    """Per-shard MG guarantees on an unbounded token stream: estimates
+    are lower bounds within n_shard/(k+1), every shard-heavy token
+    survives, and state stays <= k per shard. Verified against exact
+    counts computed offline over both micro-batches."""
+    import collections
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    texts1 = ["spark spark flink", "spark row batch", "flink flink row"]
+    texts2 = ["spark batch batch", "row row spark flink"]
+    src = str(tmp_path / "hh_in")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps({"text": t}) for t in texts1))
+    stream = spark.readStream.schema("text string").json(src)
+    k = 3
+    out = streaming_heavy_hitters(stream, "text", k=k, n_shards=2)
+    q = out.writeStream.format("memory").queryName("hh_out").outputMode("update").start()
+    q.processAllAvailable()
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps({"text": t}) for t in texts2))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("hh_out").collect()
+    # latest emission per shard = the one with max shard_tokens
+    latest_n = {}
+    for r in rows:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.shard_tokens)
+    summary = {
+        (r.shard, r.token): r.est
+        for r in rows
+        if r.shard_tokens == latest_n[r.shard]
+    }
+    # exact counts + shard assignment computed through the same hash
+    from pyspark.sql import functions as F
+
+    all_tokens = [
+        t for txt in texts1 + texts2 for t in txt.split()
+    ]
+    exact = collections.Counter(all_tokens)
+    shard_of = {
+        r.t: r.s
+        for r in spark.createDataFrame(
+            [(t,) for t in exact], "t string"
+        ).select("t", F.pmod(F.xxhash64("t"), F.lit(2)).cast("int").alias("s")).collect()
+    }
+    n_shard = collections.Counter()
+    for t, c in exact.items():
+        n_shard[shard_of[t]] += c
+    # state bound: <= k counters per shard
+    per_shard = collections.Counter(s for s, _ in summary)
+    assert all(v <= k for v in per_shard.values())
+    for (s, tok), est in summary.items():
+        assert est <= exact[tok]
+        assert exact[tok] - est <= n_shard[s] // (k + 1) + 1
+    # completeness: shard-heavy tokens all present
+    for tok, c in exact.items():
+        s = shard_of[tok]
+        if c * (k + 1) > n_shard[s]:
+            assert (s, tok) in summary, f"heavy {tok} missing from shard {s}"
