@@ -255,3 +255,93 @@ def connected_components_star(
             "component"
         ),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    vertices: DataFrame | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list — the
+    bulk-iteration analog beside :func:`connected_components`' delta
+    iteration (reference flink_typora.md:885 teaches both DataSet
+    iteration forms).
+
+    ``vertices`` (one column, same name as ``src``) optionally extends
+    the vertex set beyond edge endpoints — isolated vertices converge
+    to (1−d)/N. Simple-variant semantics: dangling mass is dropped,
+    not redistributed (documented; ranks then sum to < 1 when sinks
+    exist — the relative ordering, which is what centrality consumers
+    use, is unaffected).
+
+    Determinism: each round's rank is rounded to 9 digits, so the
+    whole iteration is a pure function of the edge list — a SQL oracle
+    can replay the exact rounds (bounded unrolling), and partition
+    order can't drift the result.
+
+    Scale shape per round: one join (ranks onto out-edges, vertex key)
+    + one aggregate (contributions onto the destination key) — the CC
+    loop's shape with a sum instead of a min; lineage truncated with
+    ``localCheckpoint`` every few rounds, previous round unpersisted.
+    The only driver materialization is the vertex COUNT (one scalar).
+
+    Returns (vertex, pagerank) for every vertex.
+    """
+    v = edges.select(F.col(src).alias("vertex")).union(
+        edges.select(F.col(dst).alias("vertex"))
+    )
+    if vertices is not None:
+        v = v.union(vertices.select(F.col(src).alias("vertex")))
+    v = v.distinct().localCheckpoint(eager=True)
+    n = v.count()
+    if n == 0:
+        return v.withColumn("pagerank", F.lit(0.0))
+
+    out_deg = edges.groupBy(F.col(src).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    # out-edges with degree attached, materialized once for the loop
+    links = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .join(out_deg, "_src")
+        .localCheckpoint(eager=True)
+    )
+
+    base = (1.0 - damping) / n
+    ranks = v.withColumn("pagerank", F.round(F.lit(1.0 / n), 9)).persist()
+    for i in range(iterations):
+        # per-edge contribution rounded, then DECIMAL-summed: a raw
+        # double sum is partition-order-dependent (num.py rule) and
+        # would both drift run-to-run and diverge from the SQL oracle
+        contribs = (
+            links.join(ranks, links["_src"] == ranks["vertex"])
+            .select(
+                F.col("_dst").alias("vertex"),
+                F.round(F.col("pagerank") / F.col("_deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("_c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("_c").cast("double").alias("_in"))
+        )
+        updated = (
+            v.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    9,
+                ).alias("pagerank"),
+            )
+        )
+        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            updated = updated.localCheckpoint(eager=False)
+        updated = updated.persist()
+        updated.count()  # materialize before releasing the previous round
+        ranks.unpersist()
+        ranks = updated
+    return ranks

@@ -242,3 +242,67 @@ def global_ntile(
     return ranked.withColumn(
         bucket_col, (F.floor(bucket) + 1).cast("int")
     ).drop("_grank")
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average:
+    ``ewma_t = α·x_t + (1−α)·ewma_{t−1}`` (seeded at ``x_1``), one
+    output row per input row.
+
+    A RECURSIVE definition — not expressible as a window aggregate
+    (each value depends on the previous RESULT, not previous inputs) —
+    so it runs as an ordered array fold: one shuffle groups each key's
+    series, ``aggregate()`` folds it in event order entirely JVM-side,
+    ``posexplode`` restores rows. Per-task memory is one key's series
+    (the same bound any stateful per-key operator carries); the fold
+    appends to an accumulator array, so keys with very long series pay
+    O(n²) array copies — chunk the series by time range first if a
+    single key's history outgrows a task.
+
+    Every step quantizes to 9 digits via ``floor(x·1e9 + 0.5)/1e9`` —
+    plain IEEE ops that every engine computes bit-identically, unlike
+    ``round(x, 9)`` (Spark rounds the exact decimal expansion HALF_UP,
+    DuckDB rounds the scaled binary double; on a chained recursion the
+    boundary disagreements compound — measured 1.5% of rows at sf0.01).
+    The recursion is then a pure function of the inputs: bit-identical
+    across engines and partition orders. ``order_cols`` must totally
+    order each key's rows (include a unique id), or fold order is
+    undefined on ties.
+    """
+    a = float(alpha)
+    sort_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(val_col).alias("_v")
+    )
+    step = (
+        f"CASE WHEN size(acc) = 0 THEN floor(x._v * 1e9 + 0.5) / 1e9 "
+        f"ELSE floor(({a} * x._v + (1.0 - {a}) * element_at(acc, -1)) * 1e9 + 0.5) / 1e9 END"
+    )
+    folded = (
+        df.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(sort_struct)).alias("_s"))
+        .withColumn(
+            "_e",
+            F.expr(
+                "aggregate(_s, CAST(array() AS ARRAY<DOUBLE>), "
+                f"(acc, x) -> acc || array({step}))"
+            ),
+        )
+    )
+    return (
+        folded.select(
+            *key_cols, F.posexplode(F.arrays_zip("_s", "_e")).alias("_i", "_z")
+        )
+        .select(
+            *key_cols,
+            *[F.col(f"_z._s.{c}").alias(c) for c in order_cols],
+            F.col("_z._s._v").alias(val_col),
+            F.col("_z._e").alias(out_col),
+        )
+    )

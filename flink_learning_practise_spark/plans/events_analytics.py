@@ -1664,3 +1664,45 @@ FROM per_session
 GROUP BY entry_type
 ORDER BY entry_type
 """
+
+
+# ---------------------------------------------------------------------------
+# #104 per-user EWMA smoothing: the recursive time-series operator a
+# window aggregate can't express (each value depends on the previous
+# RESULT) — runs as an ordered JVM-side array fold per user
+# (operators/transforms.ewma); per-step rounding makes the recursion
+# engine-exact, so the oracle replays it with a recursive CTE.
+
+EWMA_ALPHA = 0.3
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return transforms.ewma(
+        ev.select("user_id", "event_id", "ts", "value"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        val_col="value",
+        alpha=EWMA_ALPHA,
+    )
+
+
+USER_VALUE_EWMA_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  -- floor(x*1e9 + 0.5)/1e9, not round(x, 9): plain IEEE ops are
+  -- bit-identical across engines, round() is not (see transforms.ewma)
+  SELECT user_id, event_id, ts, value, rn,
+         floor(value * 1e9 + 0.5) / 1e9 AS ewma
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+         floor(({EWMA_ALPHA} * b.value + (1.0 - {EWMA_ALPHA}) * r.ewma) * 1e9 + 0.5) / 1e9
+  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, ts, event_id, value, ewma FROM r
+"""

@@ -1315,3 +1315,77 @@ FROM h a JOIN h b ON a._h = b._h AND a.source < b.source
 GROUP BY 1, 2
 ORDER BY n_shared DESC, source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# #105 duplicate-neighborhood centrality: fixed-iteration PageRank over
+# the symmetrized near-dup pair graph (operators/graph.py:pagerank —
+# the bulk-iteration analog; reference flink_typora.md:885). Per-round
+# rounding makes the iteration a pure function of the edge list, so the
+# oracle replays the EXACT rounds as an unrolled SQL pipeline.
+
+PR_ITERS = 6
+PR_DAMPING = 0.85
+
+
+def pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = _shared_pair_tier(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    pr = graph.pagerank(
+        edges,
+        "src",
+        "dst",
+        vertices=docs.select(F.col("doc_id").alias("src")),
+        iterations=PR_ITERS,
+        damping=PR_DAMPING,
+    )
+    return pr.select(F.col("vertex").alias("doc_id"), "pagerank")
+
+
+def _pagerank_sql() -> str:
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT vv.v,
+         round((1.0 - {PR_DAMPING}) / (SELECT n FROM n)
+               + {PR_DAMPING} * COALESCE(c.inp, 0.0), 9) AS pr
+  FROM verts vv LEFT JOIN (
+    SELECT e.d AS v,
+           CAST(SUM(CAST(round(r.pr / deg.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS inp
+    FROM edges e JOIN r{i - 1} r ON e.s = r.v JOIN deg ON deg.s = e.s
+    GROUP BY e.d
+  ) c ON vv.v = c.v
+)""")
+    return f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+verts AS (SELECT doc_id AS v FROM documents),
+n AS (SELECT COUNT(*) AS n FROM verts),
+deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+r0 AS (SELECT v, round(1.0 / (SELECT n FROM n), 9) AS pr FROM verts),
+{",".join(rounds)}
+SELECT v AS doc_id, pr AS pagerank FROM r{PR_ITERS}
+"""
+
+
+PAGERANK_DUPGRAPH_SQL = _pagerank_sql()

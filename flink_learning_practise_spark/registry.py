@@ -154,6 +154,12 @@ def _populate() -> None:
         cur.dedup_incremental_bloom,
         cur.DEDUP_INCREMENTAL_BLOOM_SQL,
     )
+    register("q_user_value_ewma", ea.user_value_ewma, ea.USER_VALUE_EWMA_SQL)
+    register(
+        "q_pagerank_dupgraph",
+        llm.pagerank_dupgraph,
+        llm.PAGERANK_DUPGRAPH_SQL,
+    )
 
     # ---- Tier 3: driver-green in a previous round ----
     register(
