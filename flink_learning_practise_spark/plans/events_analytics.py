@@ -1706,3 +1706,91 @@ r AS (
 )
 SELECT user_id, ts, event_id, value, ewma FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# #106 DAU / WAU / stickiness: per-day active users, trailing-7-day
+# active users, and their ratio — the product-analytics staple. The
+# trailing-window DISTINCT is NOT a window aggregate (count distinct
+# over a range frame isn't supported, and would be quadratic anyway):
+# each (day, user) pair instead FANS OUT to the 7 window-days it
+# supports (explode of a 7-element sequence — bounded, exact), then one
+# distinct-count per window day.
+
+
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    w = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("d"), "user_id")
+    wau = w.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        days.join(dau, "d")
+        .join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+w AS (SELECT d + CAST(i AS INT) AS wd, user_id
+     FROM du, unnest(generate_series(0, 6)) AS t(i)),
+wau AS (SELECT wd AS d, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY wd)
+SELECT days.d AS day, dau.dau AS dau, wau.wau AS wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM days JOIN dau ON days.d = dau.d JOIN wau ON days.d = wau.d
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# #107 equi-depth value histogram: decile buckets of equal population
+# (the complement of #95's equal-WIDTH bins) via the distributed
+# global_ntile — per-bucket count + value range is the quantile sketch
+# consumers actually read.
+
+EQUIDEPTH_BUCKETS = 10
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import global_ntile
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucketed = global_ntile(
+        ev.select("value", "event_id"),
+        EQUIDEPTH_BUCKETS,
+        ["value", "event_id"],
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EQUIDEPTH_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT value,
+         ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+"""

@@ -310,3 +310,78 @@ SELECT year(o_orderdate) AS order_year, o_orderstatus,
 FROM orders
 GROUP BY CUBE(year(o_orderdate), o_orderstatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# #108 Pearson correlation matrix over lineitem's numeric columns —
+# one pass, one aggregate: all nine moment sums (Σx, Σx², Σxy per
+# pair) come from a single scan, wide-decimal-routed so the moments are
+# partition-order-exact, then the correlation is closed-form double
+# math over nine finished scalars. (Built-ins F.corr exist but
+# aggregate in floating point — order-dependent at 1000 partitions.)
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_DECW = "decimal(38,6)"  # squares of prices overflow decimal(18,6)
+
+
+def lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cols = list(CORR_COLS)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(_DECW)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(_DECW)).cast("double").alias(f"q_{c}")
+        )
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(x) * F.col(y)).cast(_DECW))
+                .cast("double")
+                .alias(f"p_{x}_{y}")
+            )
+    m = load(spark, sf_dir, "lineitem").agg(*aggs)
+
+    def corr_expr(x: str, y: str):
+        n = F.col("n")
+        cov = n * F.col(f"p_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        vx = n * F.col(f"q_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+        vy = n * F.col(f"q_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        return F.round(cov / F.sqrt(vx * vy), 6)
+
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1 :]]
+    stacked = ", ".join(
+        f"'{x}', '{y}', c_{x}_{y}" for x, y in pairs
+    )
+    with_corrs = m
+    for x, y in pairs:
+        with_corrs = with_corrs.withColumn(f"c_{x}_{y}", corr_expr(x, y))
+    return with_corrs.selectExpr(
+        f"stack({len(pairs)}, {stacked}) AS (col_x, col_y, corr)"
+    ).orderBy("col_x", "col_y")
+
+
+def _corr_sql() -> str:
+    cols = list(CORR_COLS)
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,6))) AS DOUBLE) AS q_{c}"
+        )
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1 :]]
+    for x, y in pairs:
+        sums.append(
+            f"CAST(SUM(CAST({x} * {y} AS DECIMAL(38,6))) AS DOUBLE) AS p_{x}_{y}"
+        )
+    corr_rows = " UNION ALL ".join(
+        f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+        f"round((n * p_{x}_{y} - s_{x} * s_{y})"
+        f" / sqrt((n * q_{x} - s_{x} * s_{x}) * (n * q_{y} - s_{y} * s_{y})), 6)"
+        f" AS corr FROM m"
+        for x, y in pairs
+    )
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem) {corr_rows} ORDER BY col_x, col_y"
+
+
+LINEITEM_CORR_SQL = _corr_sql()

@@ -155,6 +155,13 @@ def _populate() -> None:
         cur.DEDUP_INCREMENTAL_BLOOM_SQL,
     )
     register("q_user_value_ewma", ea.user_value_ewma, ea.USER_VALUE_EWMA_SQL)
+    register("q_dau_wau", ea.dau_wau, ea.DAU_WAU_SQL)
+    register(
+        "q_equidepth_histogram",
+        ea.equidepth_histogram,
+        ea.EQUIDEPTH_HISTOGRAM_SQL,
+    )
+    register("q_lineitem_corr", os_.lineitem_corr, os_.LINEITEM_CORR_SQL)
     register(
         "q_pagerank_dupgraph",
         llm.pagerank_dupgraph,
