@@ -1794,3 +1794,123 @@ WITH b AS (
 SELECT bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
 FROM b GROUP BY bucket ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# #109 per-user value trend: closed-form OLS slope/intercept of value
+# over event time, per user — per-entity trend fitting from grouped
+# decimal-routed moments (no iterative fit, no Python).
+#
+# TWO passes on purpose: x is centered on the user's first event
+# BEFORE the moment aggregate. The algebraic one-pass shift needs the
+# raw moment Σx² ≈ (1.7e9)²·n > 2^53, and while the decimal sum is
+# exact, its CAST to double is correctly-rounded in Spark but not in
+# DuckDB (observed 1-ulp divergence at 2e20 — enough to flip a rounded
+# intercept). Centered moments stay below 2^53, where the cast is
+# exact in every engine.
+
+
+def user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    xr = F.unix_timestamp("ts")
+    base = ev.groupBy("user_id").agg(F.min(xr).alias("_x0"))
+    j = ev.join(base, "user_id").withColumn(
+        "_x", (xr - F.col("_x0")).cast("double")
+    )
+    x = F.col("_x")
+    m = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * F.col("value")).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom > 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    )  # single-point / zero-variance users have no slope (NULL)
+    intercept = F.when(denom > 0, (F.col("sy") - slope * F.col("sx")) / n)
+    # floor(x*1e6+0.5)/1e6 instead of round(x, 6): engine-portable on
+    # boundary values (see transforms.ewma)
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        q6(slope * 3600.0).alias("slope_per_hour"),
+        q6(intercept).alias("intercept"),
+    ).orderBy("user_id")
+
+
+USER_TREND_SQL = """
+WITH e AS (
+  -- floor(epoch()): Spark's unix_timestamp is WHOLE seconds; DuckDB's
+  -- epoch() keeps microseconds — without the floor the moments differ
+  SELECT user_id, floor(epoch(ts)) AS xr, value
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT user_id, MIN(xr) AS x0 FROM e GROUP BY user_id),
+c AS (
+  SELECT e.user_id, e.xr - b.x0 AS x, e.value
+  FROM e JOIN b ON e.user_id = b.user_id
+),
+m AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM c GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n, sx, sy,
+         n * sxx - sx * sx AS denom,
+         n * sxy - sx * sy AS num
+  FROM m
+)
+SELECT user_id, n AS n_events,
+       CASE WHEN denom > 0
+            THEN floor(num / denom * 3600.0 * 1e6 + 0.5) / 1e6 END AS slope_per_hour,
+       CASE WHEN denom > 0
+            THEN floor((sy - (num / denom) * sx) / n * 1e6 + 0.5) / 1e6 END AS intercept
+FROM f
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #110 ranking-function family: rank / dense_rank / percent_rank /
+# cume_dist over one keyed window — the remaining Flink Table-API
+# OVER-aggregates in a single shared-sort pass (row_number/lag/lead/
+# ntile are exercised elsewhere: #9, #80b, #89).
+
+
+def event_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    out = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("prank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cdist", F.round(F.cume_dist().over(w), 6))
+    )
+    return out.filter(F.col("rnk") <= 5).orderBy("event_type", "rnk", "event_id")
+
+
+EVENT_RANK_FAMILY_SQL = """
+WITH w AS (
+  SELECT event_type, event_id, value,
+         rank() OVER win AS rnk,
+         dense_rank() OVER win AS drnk,
+         round(percent_rank() OVER win, 6) AS prank,
+         round(cume_dist() OVER win, 6) AS cdist
+  FROM events WHERE value IS NOT NULL
+  WINDOW win AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+)
+SELECT event_type, event_id, value, rnk, drnk, prank, cdist
+FROM w WHERE rnk <= 5
+ORDER BY event_type, rnk, event_id
+"""

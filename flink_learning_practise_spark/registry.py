@@ -162,6 +162,10 @@ def _populate() -> None:
         ea.EQUIDEPTH_HISTOGRAM_SQL,
     )
     register("q_lineitem_corr", os_.lineitem_corr, os_.LINEITEM_CORR_SQL)
+    register("q_user_trend", ea.user_trend, ea.USER_TREND_SQL)
+    register(
+        "q_event_rank_family", ea.event_rank_family, ea.EVENT_RANK_FAMILY_SQL
+    )
     register(
         "q_pagerank_dupgraph",
         llm.pagerank_dupgraph,
