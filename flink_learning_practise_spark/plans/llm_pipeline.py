@@ -1389,3 +1389,40 @@ SELECT v AS doc_id, pr AS pagerank FROM r{PR_ITERS}
 
 
 PAGERANK_DUPGRAPH_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# #48b multimodal content stats — the JVM tier of the multimodal
+# plumbing (operators/multimodal.py) made driver-checkable: media rows
+# are derived deterministically from the documents table (content =
+# UTF-8 text bytes, modality from the source id), then size + sha256
+# attach WITHOUT Python. The Arrow-batch tiers (histogram/decode/
+# frames) stay pytest-proven — their fakes are labeled, not oracled.
+
+
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return multimodal.attach_content_stats(media).select(
+        "doc_id", "modality", "content_size", "content_sha256"
+    )
+
+
+MULTIMODAL_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS INT) AS content_size,
+       sha256(text) AS content_sha256  -- duckdb sha256 hashes the UTF-8 bytes
+FROM documents
+"""

@@ -167,6 +167,9 @@ def _populate() -> None:
         "q_event_rank_family", ea.event_rank_family, ea.EVENT_RANK_FAMILY_SQL
     )
     register(
+        "q_multimodal_stats", llm.multimodal_stats, llm.MULTIMODAL_STATS_SQL
+    )
+    register(
         "q_pagerank_dupgraph",
         llm.pagerank_dupgraph,
         llm.PAGERANK_DUPGRAPH_SQL,
