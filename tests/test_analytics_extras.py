@@ -254,3 +254,65 @@ def test_global_rank_and_ntile_match_window_semantics(spark):
             for r in df.withColumn("nt", F.ntile(b).over(w)).collect()
         }
         assert gb == wb, f"ntile({b}) mismatch"
+
+
+def test_ewma_matches_pure_python_fold(spark):
+    """The JVM array-fold EWMA must equal a plain Python recursion with
+    the same quantization, for random series across multiple keys
+    (hypothesis-style sweep, fixed seeds for reproducibility)."""
+    import math
+    import random
+
+    from flink_learning_practise_spark.operators.transforms import ewma
+
+    rng = random.Random(42)
+    rows = []
+    for key in range(7):
+        for i in range(rng.randint(1, 40)):
+            rows.append((key, i, round(rng.uniform(-100, 100), 4)))
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = {
+        (r.k, r.i): r.ewma
+        for r in ewma(df, ["k"], ["i"], "v", alpha=0.25).collect()
+    }
+
+    def q9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    series: dict[int, list[tuple[int, float]]] = {}
+    for k, i, v in rows:
+        series.setdefault(k, []).append((i, v))
+    for k, s in series.items():
+        prev = None
+        for i, v in sorted(s):
+            prev = q9(v) if prev is None else q9(0.25 * v + 0.75 * prev)
+            assert got[(k, i)] == prev, (k, i)
+    assert len(got) == len(rows)
+
+
+def test_pagerank_invariants(spark):
+    """Fixed-iteration PageRank sanity on a known graph: ranks positive,
+    total mass ≤ 1 (dangling mass dropped by design), the hub of a star
+    outranks its leaves, isolated vertices sit at the (1−d)/N floor."""
+    from pyspark.sql import functions as F
+
+    from flink_learning_practise_spark.operators.graph import pagerank
+
+    # star: 1..5 -> 0 (and 0 -> 1 so vertex 0 is not dangling);
+    # vertices 10, 11 isolated
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(10,), (11,)], "src long")
+    pr = {
+        r.vertex: r.pagerank
+        for r in pagerank(edges, "src", "dst", vertices=verts, iterations=8).collect()
+    }
+    assert set(pr) == {0, 1, 2, 3, 4, 5, 10, 11}
+    assert all(v > 0 for v in pr.values())
+    assert sum(pr.values()) <= 1.0 + 1e-6
+    hub = pr[0]
+    assert all(hub > pr[i] for i in (2, 3, 4, 5))
+    n = len(pr)
+    floor_rank = round(0.15 / n, 9)
+    assert abs(pr[10] - floor_rank) < 1e-9 and pr[10] == pr[11]
