@@ -356,7 +356,13 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap_keys = hashed.filter("_snap").select("_h")
     delta = hashed.filter(~F.col("_snap"))
-    fresh = bloom.bloom_prefiltered_anti_join(delta, snap_keys, "_h")
+    # m = 2^14: at the snapshot's cardinality the FP rate is a few
+    # percent (harmless — FPs are removed by the real join) and the
+    # bit-string literal embedded in the probe plan stays 16 KB; the
+    # default 2^17 costs ~5x in plan/codegen handling for zero gain here
+    fresh = bloom.bloom_prefiltered_anti_join(
+        delta, snap_keys, "_h", m_bits=1 << 14
+    )
     return (
         fresh.groupBy("_h")
         .agg(

@@ -325,7 +325,8 @@ _DECW = "decimal(38,6)"  # squares of prices overflow decimal(18,6)
 
 
 def lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    from ..operators.dedup import widen
+
     cols = list(CORR_COLS)
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
@@ -340,7 +341,9 @@ def lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias(f"p_{x}_{y}")
             )
-    m = load(spark, sf_dir, "lineitem").agg(*aggs)
+    # widen(): ten wide-decimal aggregates dominate the single-split
+    # local scan; no-op at scale where the scan parallelizes (Q1's rule)
+    m = widen(load(spark, sf_dir, "lineitem")).agg(*aggs)
 
     def corr_expr(x: str, y: str):
         n = F.col("n")
