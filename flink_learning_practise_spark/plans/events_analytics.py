@@ -1914,3 +1914,50 @@ SELECT event_type, event_id, value, rnk, drnk, prank, cdist
 FROM w WHERE rnk <= 5
 ORDER BY event_type, rnk, event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# #111 exact global percentiles: p50/p90/p99 of the value column by
+# distributed rank (global_rank — no single-partition window), the
+# EXACT complement of the GK-sketch quantiles in #50's profile. The
+# percentile is discrete (value at rank ceil(p·n) over the
+# (value, event_id) total order) so both engines select the identical
+# row — no interpolation arithmetic to diverge.
+
+PCT_POINTS = (0.5, 0.9, 0.99)
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import _global_rank_with_total
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ranked, n = _global_rank_with_total(
+        ev.select("value", "event_id"), ["value", "event_id"], "_r", None
+    )
+    import math
+
+    targets = [(p, max(1, math.ceil(p * n))) for p in PCT_POINTS]
+    cond = None
+    for p, r in targets:
+        c = F.when(F.col("_r") == r, F.lit(p))
+        cond = c if cond is None else cond.when(F.col("_r") == r, F.lit(p))
+    return (
+        ranked.withColumn("percentile", cond)
+        .filter(F.col("percentile").isNotNull())
+        .select("percentile", F.col("value").alias("value"))
+        .orderBy("percentile")
+    )
+
+
+VALUE_PERCENTILES_SQL = f"""
+WITH r AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(p AS DOUBLE) AS percentile, value
+FROM r, (VALUES {", ".join(f"({p})" for p in PCT_POINTS)}) AS t(p)
+WHERE rn = GREATEST(1, CAST(ceil(p * n) AS BIGINT))
+ORDER BY percentile
+"""

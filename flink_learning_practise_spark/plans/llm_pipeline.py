@@ -1426,3 +1426,90 @@ SELECT doc_id,
        sha256(text) AS content_sha256  -- duckdb sha256 hashes the UTF-8 bytes
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# #112 dedup-cluster quality report: per-cluster size and cohesion
+# (mean pairwise jaccard over the cluster's DIRECT near-dup pairs) —
+# the sizing instrument for dedup policy (huge low-cohesion clusters
+# mean the threshold is too loose; reuses the shared checkpointed pair
+# tier and the CC labels, so the marginal cost is two joins + two
+# aggregates over pair/cluster-sized frames).
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs_j = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+    )
+    cc = graph.connected_components(
+        _shared_pair_tier(spark, sf_dir), src="id_a", dst="id_b"
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    edge_stats = (
+        pairs_j.join(cc, pairs_j["id_a"] == cc["vertex"])
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_jaccard"),
+        )
+    )
+    return (
+        sizes.join(edge_stats, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_members",
+            "n_pairs",
+            "mean_jaccard",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_CLUSTER_STATS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac
+  UNION
+  SELECT id_b, id_a FROM jac
+),
+reach(v, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+cluster AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+members AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM cluster GROUP BY cluster_id
+),
+edge_stats AS (
+  SELECT c.cluster_id, COUNT(*) AS n_pairs,
+         round(CAST(SUM(CAST(j.jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_jaccard
+  FROM jac j JOIN cluster c ON j.id_a = c.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT m.cluster_id, m.n_members, e.n_pairs, e.mean_jaccard
+FROM members m JOIN edge_stats e ON m.cluster_id = e.cluster_id
+ORDER BY m.cluster_id
+"""

@@ -174,6 +174,14 @@ def _populate() -> None:
         llm.pagerank_dupgraph,
         llm.PAGERANK_DUPGRAPH_SQL,
     )
+    register(
+        "q_value_percentiles", ea.value_percentiles, ea.VALUE_PERCENTILES_SQL
+    )
+    register(
+        "q_dedup_cluster_stats",
+        llm.dedup_cluster_stats,
+        llm.DEDUP_CLUSTER_STATS_SQL,
+    )
 
     # ---- Tier 3: driver-green in a previous round ----
     register(
