@@ -424,3 +424,67 @@ def boilerplate_strip(
         F.count(F.when(F.col("is_bp"), 1)).alias("n_boilerplate"),
         kept_in_order.alias("cleaned"),
     )
+
+
+def decontaminate_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_pred: Column,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """NEAR-DUP benchmark decontamination: training documents whose
+    k-shingle Jaccard against some benchmark document reaches ``threshold``
+    — catches paraphrases and near-copies that share most (not
+    necessarily all) shingles, where :func:`decontaminate`'s
+    any-shared-shingle flag is the high-recall/low-precision first pass.
+
+    Same scale contract as #72: the benchmark side is small by
+    construction → its (doc, shingle, size) set broadcasts; the corpus
+    streams through one explode + broadcast join, candidates are
+    bounded by benchmark docs sharing a shingle, and the exact Jaccard
+    verifies inline — both shingle-set sizes are computed from the
+    array BEFORE exploding (``size(shingle_array)``), so the corpus is
+    shingled once and NEVER shuffled or windowed on content; the only
+    shuffle is the final (corpus doc, bench doc) candidate aggregate.
+
+    Returns (id, bench_id, jaccard) for every flagged pair.
+    """
+    from .dedup import shingle_array, widen
+    from .text import normalize
+
+    def sized_shingles(frame: DataFrame, out_id: str, n_col: str) -> DataFrame:
+        return (
+            widen(frame)
+            .select(
+                F.col(id_col).alias(out_id),
+                shingle_array(normalize(F.col(text_col)), k).alias("_arr"),
+            )
+            .withColumn(n_col, F.size("_arr"))
+            .select(
+                out_id, n_col, F.explode_outer("_arr").alias("shingle")
+            )
+        )
+
+    bench_sized = sized_shingles(df.filter(benchmark_pred), "bench_id", "nb")
+    corpus_sized = sized_shingles(df.filter(~benchmark_pred), id_col, "na")
+    joined = corpus_sized.join(F.broadcast(bench_sized), "shingle")
+    return (
+        joined.groupBy(id_col, "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "bench_id", "jaccard")
+    )

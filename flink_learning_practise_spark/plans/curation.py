@@ -374,3 +374,44 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_INCREMENTAL_BLOOM_SQL = DEDUP_INCREMENTAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# #113 near-dup decontamination: training docs with k-shingle Jaccard
+# ≥ τ against a benchmark doc — catches paraphrase/near-copy leakage
+# that #72's any-shared-shingle flag over-triggers on (one common
+# trigram) and a human would call a real leak. Same broadcast-bench
+# scale shape; exact Jaccard verified inline.
+
+NEARDUP_TAU = 0.8
+# own benchmark split (vs #72's DECON_MOD=97): 1-in-5 docs — wide
+# enough that duplicate clusters span the split, so the query is
+# non-vacuous (14 flagged pairs at sf0.01; %97's 5-doc benchmark has
+# no near-dup across the split at any tested SF)
+NEARDUP_MOD = 5
+
+
+def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return curation.decontaminate_neardup(
+        docs, "doc_id", "text", F.col("doc_id") % NEARDUP_MOD == 0,
+        k=3, threshold=NEARDUP_TAU,
+    )
+
+
+DECONTAMINATE_NEARDUP_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_common
+  FROM sh c JOIN sh b ON c.shingle = b.shingle
+  WHERE b.doc_id % {NEARDUP_MOD} = 0 AND c.doc_id % {NEARDUP_MOD} <> 0
+  GROUP BY 1, 2
+)
+SELECT cand.doc_id, bench_id,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM cand
+JOIN sizes sa ON cand.doc_id = sa.doc_id
+JOIN sizes sb ON cand.bench_id = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {NEARDUP_TAU}
+"""

@@ -182,6 +182,11 @@ def _populate() -> None:
         llm.dedup_cluster_stats,
         llm.DEDUP_CLUSTER_STATS_SQL,
     )
+    register(
+        "q_decontaminate_neardup",
+        cur.decontaminate_neardup,
+        cur.DECONTAMINATE_NEARDUP_SQL,
+    )
 
     # ---- Tier 3: driver-green in a previous round ----
     register(
