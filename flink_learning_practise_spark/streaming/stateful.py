@@ -315,3 +315,93 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (the unbounded twin of operators/transforms.ewma
+# #104): per-key state is ONE smoothed value + the last-seen event
+# position — bytes per key, forever.
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE, ewma DOUBLE"
+)
+EWMA_STATE_SCHEMA = "prev DOUBLE, last_ts BIGINT, last_id BIGINT"
+
+
+def _ewma_fn(alpha: float):
+    import math
+
+    def q9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prev, last_ts, last_id = (
+            state.get if state.exists else (None, -1, -1)
+        )
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdfs:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            rows.extend(
+                zip(ts_ms, pdf["event_id"].tolist(), pdf["value"].tolist())
+            )
+        rows.sort()
+        out = {"ts": [], "event_id": [], "value": [], "ewma": []}
+        for t, eid, v in rows:
+            if (t, eid) <= (last_ts, last_id):
+                continue  # out-of-order arrival behind the carried state: drop
+            prev = (
+                q9(v)
+                if prev is None
+                else q9(alpha * v + (1.0 - alpha) * prev)
+            )
+            last_ts, last_id = t, eid
+            out["ts"].append(pd.Timestamp(t, unit="ms"))
+            out["event_id"].append(eid)
+            out["value"].append(v)
+            out["ewma"].append(prev)
+        state.update((prev, last_ts, last_id))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out["ts"]),
+                    **out,
+                }
+            )
+
+    return fn
+
+
+def streaming_ewma(
+    df: DataFrame,
+    alpha: float = 0.3,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Per-user EWMA over an unbounded stream: one smoothed value per
+    key carried as state (NoTimeout — the state is a few bytes per
+    user, the smallest possible stateful footprint; evicting it would
+    RESET the smoothing, which is semantically wrong for EWMA).
+
+    Identical per-step quantization to the batch fold
+    (floor(x·1e9+0.5)/1e9), so in-order streams reproduce the batch
+    operator's output exactly (pytest-proven across micro-batches).
+    Events arriving behind the carried (ts, id) high-water mark are
+    DROPPED, not re-folded — a recursive statistic cannot absorb late
+    data without replaying everything after it; the batch op is the
+    reprocessing authority (same contract as the other streaming twins).
+
+    Expects columns (user_id, ts, event_id, value).
+    """
+    return (
+        df.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn(alpha),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

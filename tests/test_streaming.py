@@ -1412,3 +1412,55 @@ def test_streaming_heavy_hitters_sharded_mg_bounds(spark, tmp_path):
         s = shard_of[tok]
         if c * (k + 1) > n_shard[s]:
             assert (s, tok) in summary, f"heavy {tok} missing from shard {s}"
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """In-order streaming EWMA across two micro-batches must equal the
+    batch array-fold operator on the union of the data; a late
+    (behind-state) event must be dropped, not re-folded."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.operators.transforms import ewma
+    from flink_learning_practise_spark.streaming.stateful import streaming_ewma
+
+    src = str(tmp_path / "ewma_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:01", "event_id": 1, "value": 10.0},
+        {"user_id": 1, "ts": "2024-01-01 00:00:02", "event_id": 2, "value": 20.0},
+        {"user_id": 2, "ts": "2024-01-01 00:00:01", "event_id": 3, "value": 5.0},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, value double"
+    ).json(src)
+    out = streaming_ewma(stream, alpha=0.25)
+    q = out.writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    q.processAllAvailable()
+    b2 = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:03", "event_id": 4, "value": 30.0},
+        # late event behind user 1's state high-water mark: dropped
+        {"user_id": 1, "ts": "2024-01-01 00:00:01", "event_id": 0, "value": 99.0},
+        {"user_id": 2, "ts": "2024-01-01 00:00:05", "event_id": 5, "value": 15.0},
+    ]
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in spark.table("ewma_out").collect()
+    }
+    # batch fold over the in-order union (late event 0 excluded)
+    batch_rows = [r for r in b1 + b2 if r["event_id"] != 0]
+    df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["value"]) for r in batch_rows],
+        "user_id long, ts string, event_id long, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "value")
+    want = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(df, ["user_id"], ["ts", "event_id"], "value", alpha=0.25).collect()
+    }
+    assert got == want and (1, 0) not in got
