@@ -588,7 +588,9 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
         )
-        per_sess[key] = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+        # jaccard rides along: the cluster-stats report (#112) needs it,
+        # and edge-only consumers just project it away from the checkpoint
+        per_sess[key] = pairs.select("id_a", "id_b", "jaccard").localCheckpoint(eager=True)
     return per_sess[key]
 
 
@@ -1440,13 +1442,8 @@ FROM documents
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
-    docs = load(spark, sf_dir, "documents")
-    pairs_j = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
-    )
-    cc = graph.connected_components(
-        _shared_pair_tier(spark, sf_dir), src="id_a", dst="id_b"
-    )
+    pairs_j = _shared_pair_tier(spark, sf_dir)
+    cc = graph.connected_components(pairs_j, src="id_a", dst="id_b")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     edge_stats = (
         pairs_j.join(cc, pairs_j["id_a"] == cc["vertex"])
