@@ -84,16 +84,20 @@ def build_bloom(
 def bloom_maybe_contains(
     col: Column, bloom: str, k: int = DEFAULT_K
 ) -> Column:
-    """True iff all k bit positions for ``col`` are set — i.e. the key
-    MAY be in the built set (false ⇒ definitely absent). NULL keys
-    yield NULL (neither branch of a prefilter wants them; equi-joins
-    drop them regardless)."""
+    """True iff ``col`` is non-null and all k bit positions are set —
+    i.e. the key MAY be in the built set (false ⇒ definitely absent).
+    NULL keys are ALWAYS false: a NULL never equi-joins, so "definitely
+    absent" is the correct verdict — and it must be explicit, because
+    ``xxhash64(NULL)`` returns the seed hash (non-null), so without the
+    guard a NULL key would probe the seed's bit positions and could
+    read "maybe" (review r4 finding: that double-counted NULL-key rows
+    in the prefiltered anti-join whenever the filter was dense)."""
     m_bits = len(bloom)
     tests = [
         F.substring(F.lit(bloom), p + 1, F.lit(1)) == "1"
         for p in _positions(col, m_bits, k)
     ]
-    return reduce(lambda a, b: a & b, tests)
+    return col.isNotNull() & reduce(lambda a, b: a & b, tests)
 
 
 def bloom_prefiltered_anti_join(
@@ -111,11 +115,12 @@ def bloom_prefiltered_anti_join(
     either way the shuffled volume is the bloom-positive slice, not the
     corpus.
 
-    NULL-key rows are kept (a NULL never equi-joins, so a plain
-    left-anti keeps them too — the bypass must agree)."""
+    NULL-key rows are kept exactly once (``bloom_maybe_contains`` is
+    false for NULL, routing them to the bypass — a plain left-anti
+    keeps them too, so the branches agree)."""
     bloom = build_bloom(keys, col, m_bits, k)
     maybe = bloom_maybe_contains(F.col(col), bloom, k)
-    definite_miss = df.filter(~maybe | F.col(col).isNull())
+    definite_miss = df.filter(~maybe)
     candidates = df.filter(maybe).join(
         keys.select(col).distinct(), col, "left_anti"
     )

@@ -440,14 +440,15 @@ def decontaminate_neardup(
     necessarily all) shingles, where :func:`decontaminate`'s
     any-shared-shingle flag is the high-recall/low-precision first pass.
 
-    Same scale contract as #72: the benchmark side is small by
-    construction → its (doc, shingle, size) set broadcasts; the corpus
-    streams through one explode + broadcast join, candidates are
-    bounded by benchmark docs sharing a shingle, and the exact Jaccard
-    verifies inline — both shingle-set sizes are computed from the
-    array BEFORE exploding (``size(shingle_array)``), so the corpus is
-    shingled once and NEVER shuffled or windowed on content; the only
-    shuffle is the final (corpus doc, bench doc) candidate aggregate.
+    Scale shape: the benchmark side joins UNHINTED — a real eval set is
+    bounded and AQE will broadcast it, but ``benchmark_pred`` can also
+    select a corpus-proportional slice (the registered query uses a
+    1-in-5 split), and a hard hint would force that build side at any
+    size (BROADCAST_POLICY — review r4 caught the original hint here).
+    Candidates are bounded by benchmark docs sharing a shingle, and
+    the exact Jaccard verifies inline — both shingle-set sizes are
+    computed from the array BEFORE exploding (``size(shingle_array)``),
+    so the corpus is shingled once and never windowed on content.
 
     Returns (id, bench_id, jaccard) for every flagged pair.
     """
@@ -469,7 +470,7 @@ def decontaminate_neardup(
 
     bench_sized = sized_shingles(df.filter(benchmark_pred), "bench_id", "nb")
     corpus_sized = sized_shingles(df.filter(~benchmark_pred), id_col, "na")
-    joined = corpus_sized.join(F.broadcast(bench_sized), "shingle")
+    joined = corpus_sized.join(bench_sized, "shingle")
     return (
         joined.groupBy(id_col, "bench_id")
         .agg(

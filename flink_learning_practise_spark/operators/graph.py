@@ -277,10 +277,13 @@ def pagerank(
     exist — the relative ordering, which is what centrality consumers
     use, is unaffected).
 
-    Determinism: each round's rank is rounded to 9 digits, so the
-    whole iteration is a pure function of the edge list — a SQL oracle
-    can replay the exact rounds (bounded unrolling), and partition
-    order can't drift the result.
+    Determinism: each round's rank is quantized to 9 digits via
+    ``floor(x·1e9 + 0.5)/1e9`` — plain IEEE ops, bit-identical across
+    engines where ``round()`` is not (the transforms.ewma lesson; a
+    chained recursion compounds boundary disagreements) — so the whole
+    iteration is a pure function of the edge list: a SQL oracle can
+    replay the exact rounds (bounded unrolling), and partition order
+    can't drift the result.
 
     Scale shape per round: one join (ranks onto out-edges, vertex key)
     + one aggregate (contributions onto the destination key) — the CC
@@ -310,8 +313,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
+    import math
+
+    def _q9(c):
+        return F.floor(c * 1e9 + F.lit(0.5)) / 1e9
+
     base = (1.0 - damping) / n
-    ranks = v.withColumn("pagerank", F.round(F.lit(1.0 / n), 9)).persist()
+    r0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9
+    ranks = v.withColumn("pagerank", F.lit(r0)).persist()
     for i in range(iterations):
         # per-edge contribution rounded, then DECIMAL-summed: a raw
         # double sum is partition-order-dependent (num.py rule) and
@@ -320,7 +329,7 @@ def pagerank(
             links.join(ranks, links["_src"] == ranks["vertex"])
             .select(
                 F.col("_dst").alias("vertex"),
-                F.round(F.col("pagerank") / F.col("_deg"), 12)
+                (F.floor(F.col("pagerank") / F.col("_deg") * 1e12 + F.lit(0.5)) / 1e12)
                 .cast("decimal(28,12)")
                 .alias("_c"),
             )
@@ -331,10 +340,9 @@ def pagerank(
             v.join(contribs, "vertex", "left")
             .select(
                 "vertex",
-                F.round(
+                _q9(
                     F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
-                    9,
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("pagerank"),
             )
         )

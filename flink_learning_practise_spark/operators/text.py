@@ -304,9 +304,13 @@ def heavy_hitter_tokens(
     exact vocabulary aggregate.
 
     Tokenization parity: phase 1's Python tokenizer replicates the JVM
-    ``normalize``+split (ASCII-whitespace collapse, lower) so the
-    superset guarantee holds for the same token stream phase 2 counts;
-    exotic Unicode whitespace/case is the documented precondition.
+    ``normalize``+split — split on the exact Java ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]`` with NO ``str.strip()`` (Python strip
+    removes Unicode whitespace the JVM side keeps, which could drop a
+    boundary token from the candidate pass; empty tokens are filtered
+    either way, so edge whitespace needs no trimming) — so the superset
+    guarantee holds for the same token stream phase 2 counts; exotic
+    Unicode CASE folding is the remaining documented precondition.
     """
     import re as _re
     from collections.abc import Iterator
@@ -321,7 +325,7 @@ def heavy_hitter_tokens(
             for text in pdf[text_col]:
                 if not text:
                     continue
-                for tok in _re.split(r"[ \t\n\r\f\v]+", text.lower().strip()):
+                for tok in _re.split(r"[ \t\n\r\f\v]+", text.lower()):
                     if not tok:
                         continue
                     if tok in counters:

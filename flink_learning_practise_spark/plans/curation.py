@@ -292,10 +292,14 @@ WITH h AS (
   SELECT doc_id, doc_id % {SNAP_MOD} = 0 AS snap, md5({NORM_SQL}) AS hh
   FROM documents
 ),
-snap_h AS (SELECT DISTINCT hh FROM h WHERE snap),
+-- IS NOT NULL guard + explicit NULL-digest branch: a NULL snapshot
+-- digest would make NOT IN three-valued (0 rows regardless of real
+-- survivors), and a NULL delta digest never equi-joins so Spark's
+-- left_anti KEEPS it — the oracle must too (advice r3 / review r4)
+snap_h AS (SELECT DISTINCT hh FROM h WHERE snap AND hh IS NOT NULL),
 fresh AS (
   SELECT doc_id, hh FROM h
-  WHERE NOT snap AND hh NOT IN (SELECT hh FROM snap_h)
+  WHERE NOT snap AND (hh IS NULL OR hh NOT IN (SELECT hh FROM snap_h))
 )
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM fresh GROUP BY hh

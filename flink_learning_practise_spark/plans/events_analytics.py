@@ -1936,15 +1936,18 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    targets = [(p, max(1, math.ceil(p * n))) for p in PCT_POINTS]
-    cond = None
-    for p, r in targets:
-        c = F.when(F.col("_r") == r, F.lit(p))
-        cond = c if cond is None else cond.when(F.col("_r") == r, F.lit(p))
+    # a JOIN against the literal target frame, not a when-chain: two
+    # percentile points can land on the SAME rank at small n
+    # (ceil(0.9*n) == ceil(0.99*n) for n <= ~100) and each must still
+    # emit its own row, as the oracle's VALUES cross join does
+    # (review r4 finding)
+    targets = spark.createDataFrame(
+        [(float(p), max(1, math.ceil(p * n))) for p in PCT_POINTS],
+        "percentile double, _r long",
+    )
     return (
-        ranked.withColumn("percentile", cond)
-        .filter(F.col("percentile").isNotNull())
-        .select("percentile", F.col("value").alias("value"))
+        ranked.join(F.broadcast(targets), "_r")
+        .select("percentile", "value")
         .orderBy("percentile")
     )
 

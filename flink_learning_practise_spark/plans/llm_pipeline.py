@@ -571,19 +571,21 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r3 #8).
 
     Lifecycle: the memo is keyed weakly by SparkSession (dropped with
-    the session) and capped at 2 sf_dirs — evicted entries are
-    unpersisted; the checkpoint blocks are pair-tier-sized (edges, not
-    corpus). At 100 TB this is the same pattern as materializing the
-    edge list to a table between stages of a production CC run."""
+    the session) and capped at 2 sf_dirs, evicting the LEAST-recently
+    inserted (dict order; review r4 — popitem() would evict the newest
+    and keep the stalest). Eviction releases the checkpoint blocks by
+    dropping the only reference: ``unpersist()`` is a no-op for
+    localCheckpointed frames (their blocks live in RDD storage, not the
+    CacheManager), so the actual free happens when GC + ContextCleaner
+    collect the dropped RDD — eventual, and bounded because the blocks
+    are pair-tier-sized (edges, not corpus). At 100 TB this is the
+    same pattern as materializing the edge list to a table between
+    stages of a production CC run."""
     per_sess = _PAIR_TIER_MEMO.setdefault(spark, {})
     key = (sf_dir, 3, JACCARD_THRESHOLD)
     if key not in per_sess:
         while len(per_sess) >= 2:
-            _, old = per_sess.popitem()
-            try:
-                old.unpersist()
-            except Exception:  # session shutting down — nothing to free
-                pass
+            per_sess.pop(next(iter(per_sess)))  # oldest entry; GC frees blocks
         docs = load(spark, sf_dir, "documents")
         pairs = dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
@@ -1354,11 +1356,11 @@ def _pagerank_sql() -> str:
     for i in range(1, PR_ITERS + 1):
         rounds.append(f"""r{i} AS (
   SELECT vv.v,
-         round((1.0 - {PR_DAMPING}) / (SELECT n FROM n)
-               + {PR_DAMPING} * COALESCE(c.inp, 0.0), 9) AS pr
+         floor(((1.0 - {PR_DAMPING}) / (SELECT n FROM n)
+               + {PR_DAMPING} * COALESCE(c.inp, 0.0)) * 1e9 + 0.5) / 1e9 AS pr
   FROM verts vv LEFT JOIN (
     SELECT e.d AS v,
-           CAST(SUM(CAST(round(r.pr / deg.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS inp
+           CAST(SUM(CAST(floor(r.pr / deg.deg * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS inp
     FROM edges e JOIN r{i - 1} r ON e.s = r.v JOIN deg ON deg.s = e.s
     GROUP BY e.d
   ) c ON vv.v = c.v
@@ -1384,7 +1386,7 @@ edges AS (
 verts AS (SELECT doc_id AS v FROM documents),
 n AS (SELECT COUNT(*) AS n FROM verts),
 deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
-r0 AS (SELECT v, round(1.0 / (SELECT n FROM n), 9) AS pr FROM verts),
+r0 AS (SELECT v, floor(1.0 / (SELECT n FROM n) * 1e9 + 0.5) / 1e9 AS pr FROM verts),
 {",".join(rounds)}
 SELECT v AS doc_id, pr AS pagerank FROM r{PR_ITERS}
 """

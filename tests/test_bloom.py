@@ -60,9 +60,26 @@ def test_bloom_bypass_reduces_join_input_and_keeps_nulls(spark):
     built = bloom.build_bloom(keys, "k")  # default m: ~131k bits for 100 keys
     bypassed = probe.filter(
         ~bloom.bloom_maybe_contains(F.col("k"), built)
-        | F.col("k").isNull()
     ).count()
     assert bypassed >= 4950  # FP rate at this sizing is ~0
     out = bloom.bloom_prefiltered_anti_join(probe, keys, "k")
     assert out.count() == 5000  # nothing matched; NULL-key rows kept
     assert out.filter(F.col("k").isNull()).count() == 100
+
+    # NULL keys against a DENSE filter (every bit set): xxhash64(NULL)
+    # returns the seed hash, so without the explicit isNotNull guard a
+    # NULL key reads "maybe" and lands in BOTH branches (review r4:
+    # empirically 2x duplication). Must be exactly once, maybe=False.
+    dense_keys = spark.range(3000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    dense = bloom.build_bloom(dense_keys, "k", m_bits=64, k=3)
+    null_probe = spark.range(10).select(
+        F.col("id").alias("pid"), F.lit(None).cast("string").alias("k")
+    )
+    flags = null_probe.select(
+        bloom.bloom_maybe_contains(F.col("k"), dense, k=3).alias("m")
+    ).collect()
+    assert all(r.m is False for r in flags)
+    out2 = bloom.bloom_prefiltered_anti_join(null_probe, dense_keys, "k", m_bits=64, k=3)
+    assert out2.count() == 10  # kept exactly once, never duplicated
