@@ -316,3 +316,38 @@ def test_pagerank_invariants(spark):
     n = len(pr)
     floor_rank = round(0.15 / n, 9)
     assert abs(pr[10] - floor_rank) < 1e-9 and pr[10] == pr[11]
+
+
+def test_heavy_hitter_exact_property_random_corpora(spark):
+    """Property sweep (fixed-seed randomized): on random corpora with
+    skewed token distributions, random partitioning and several k, the
+    MG-candidates + exact-filter output must equal the exact
+    {token: freq > n/(k+1)} set computed offline."""
+    import collections
+    import random
+
+    from flink_learning_practise_spark.operators.text import heavy_hitter_tokens
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(30)]
+    for trial in range(3):
+        # zipf-ish skew: token i weight ~ 1/(i+1)
+        weights = [1.0 / (i + 1) for i in range(len(vocab))]
+        docs = []
+        for d in range(rng.randint(20, 60)):
+            toks = rng.choices(vocab, weights=weights, k=rng.randint(1, 30))
+            docs.append((d, " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, text string").repartition(
+            rng.choice([1, 5, 13])
+        )
+        exact = collections.Counter(
+            t for _, text in docs for t in text.split()
+        )
+        n = sum(exact.values())
+        for k in (4, 16):
+            want = {(t, c) for t, c in exact.items() if c * (k + 1) > n}
+            got = {
+                (r.token, r.cnt)
+                for r in heavy_hitter_tokens(df, "text", k=k).collect()
+            }
+            assert got == want, f"trial {trial} k={k}: {got ^ want}"

@@ -83,3 +83,38 @@ def test_bloom_bypass_reduces_join_input_and_keeps_nulls(spark):
     assert all(r.m is False for r in flags)
     out2 = bloom.bloom_prefiltered_anti_join(null_probe, dense_keys, "k", m_bits=64, k=3)
     assert out2.count() == 10  # kept exactly once, never duplicated
+
+
+def test_bloom_anti_join_property_random_keysets(spark):
+    """Property sweep (fixed-seed randomized): for random key/probe
+    sets with NULLs, unicode and empty strings, at several filter
+    sizings, the prefiltered anti-join must equal the plain left-anti
+    exactly."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "é", "", "x y", "\t", "0"]
+    for trial in range(4):
+        keys_vals = [
+            "".join(rng.choices(alphabet, k=rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 40))
+        ]
+        probe_vals = [
+            None if rng.random() < 0.15
+            else "".join(rng.choices(alphabet, k=rng.randint(1, 3)))
+            for _ in range(60)
+        ]
+        keys = spark.createDataFrame([(v,) for v in keys_vals], "k string")
+        probe = spark.createDataFrame(
+            list(enumerate(probe_vals)), "pid long, k string"
+        )
+        m = rng.choice([32, 512, 1 << 12])
+        got = sorted(
+            r.pid for r in bloom.bloom_prefiltered_anti_join(
+                probe, keys, "k", m_bits=m, k=3
+            ).collect()
+        )
+        want = sorted(
+            r.pid for r in probe.join(keys, "k", "left_anti").collect()
+        )
+        assert got == want, f"trial {trial} m={m}"
