@@ -1964,3 +1964,114 @@ FROM r, (VALUES {", ".join(f"({p})" for p in PCT_POINTS)}) AS t(p)
 WHERE rn = GREATEST(1, CAST(ceil(p * n) AS BIGINT))
 ORDER BY percentile
 """
+
+
+# ---------------------------------------------------------------------------
+# #115 event-transition mining: per-user consecutive event-type bigrams
+# → global transition counts + row-normalized probabilities (the
+# first-order Markov view of the event stream; what session-flow
+# diagrams and next-event predictors consume). One user-keyed window
+# (lag) + one tiny aggregate — the same single-sort shape as #100.
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("from_type"), F.col("event_type").alias("to_type"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p",
+            F.round(F.col("n") / F.sum("n").over(w_from), 6),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM cnt
+ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# #116 per-user activity outliers: users whose event count is beyond
+# ±2σ of the population — z from closed-form moments (n, Σx, Σx²,
+# decimal-routed like #108/#109) so the flag is partition-order-exact;
+# two tiny aggregates, no window over the full population.
+
+OUTLIER_Z = 2.0
+
+
+def user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    x = F.col("n_events").cast("double")
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    z = (F.col("n_events") - F.col("_mean")) / F.col("_sd")
+    return (
+        per_user.crossJoin(
+            F.broadcast(
+                m.select(mean.alias("_mean"), F.sqrt(var).alias("_sd"))
+            )
+        )
+        .filter(
+            (F.col("_sd") > 0)
+            & (F.abs(F.col("n_events") - F.col("_mean")) > OUTLIER_Z * F.col("_sd"))
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(z * 1e6 + F.lit(0.5)).cast("double").alias("_zq"),
+        )
+        .withColumn("z_score", F.col("_zq") / 1e6)
+        .drop("_zq")
+        .orderBy("user_id")
+    )
+
+
+USER_OUTLIERS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(n_events AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(n_events * n_events AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM per_user
+),
+s AS (
+  SELECT sx / n AS mean, sqrt((sxx - sx * sx / n) / n) AS sd FROM m
+)
+SELECT user_id, n_events,
+       floor((n_events - mean) / sd * 1e6 + 0.5) / 1e6 AS z_score
+FROM per_user, s
+WHERE sd > 0 AND abs(n_events - mean) > {OUTLIER_Z} * sd
+ORDER BY user_id
+"""

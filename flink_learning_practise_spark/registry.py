@@ -187,6 +187,10 @@ def _populate() -> None:
         cur.decontaminate_neardup,
         cur.DECONTAMINATE_NEARDUP_SQL,
     )
+    register(
+        "q_event_transitions", ea.event_transitions, ea.EVENT_TRANSITIONS_SQL
+    )
+    register("q_user_outliers", ea.user_outliers, ea.USER_OUTLIERS_SQL)
 
     # ---- Tier 3: driver-green in a previous round ----
     register(
