@@ -61,6 +61,12 @@ def _populate() -> None:
     never received a driver row register first (round-3's registrations
     51+ were silently skipped), new queries next, and queries already
     driver-green in a previous round fill the tail.
+
+    Round-5 note: after round 4's run, tiers 1+2 below (49 entries) are
+    driver-checked and every tier-3 query was green in rounds 2/3 — so
+    next round, move any NEW queries to the front and rotate the oldest
+    tier-3 entries (their green rows date to r2) into the window behind
+    them.
     """
     global _POPULATED
     if _POPULATED:
