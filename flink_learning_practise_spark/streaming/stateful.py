@@ -36,7 +36,7 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start BIGINT, last BIGINT, n BIGINT, total DOUBLE"
 
 
-def _session_fn(gap_ms: int):
+def _session_fn(gap_us: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -47,8 +47,8 @@ def _session_fn(gap_ms: int):
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
                     "n_events": [n],
                     "sum_value": [total],
                     "closed": [True],
@@ -56,37 +56,52 @@ def _session_fn(gap_ms: int):
             )
             return
 
-        start = last = None
-        n, total = 0, 0.0
+        # Interval-merge SWEEP over the sorted union of the new rows and
+        # the carried open-session interval - not an append-only fold:
+        # a late in-watermark event can precede the stored session start
+        # (round-4 review: the old fold absorbed it without extending
+        # start, mis-reporting the session bounds). Sorting the state
+        # interval in with the rows handles every arrival order: a late
+        # row within gap of the open session extends its START; a late
+        # row disjointly EARLIER closes as its own session immediately
+        # (should even-later data extend such a session, a second closed
+        # row is emitted - the batch operator remains the reprocessing
+        # authority, as with every streaming twin here).
+        items: list[tuple[int, int, int, float]] = [
+            (t, t, 1, v) for t, v in _sorted_rows(pdfs, ("value",))
+        ]
         if state.exists:
             start, last, n, total = state.get
-        rows: list[tuple[int, float]] = []
-        for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            rows.extend(zip(ts_ms, pdf["value"].tolist()))
-        rows.sort()
+            items.append((start, last, n, total))
+        items.sort(key=lambda it: (it[0], it[1]))
         emitted = []
-        for ts_ms, value in rows:
-            if start is None:
-                start, last, n, total = ts_ms, ts_ms, 1, value
-            elif ts_ms - last > gap_ms:
-                emitted.append((start, last, n, total, True))
-                start, last, n, total = ts_ms, ts_ms, 1, value
+        acc = None
+        for st, en, n_, tot in items:
+            if acc is None:
+                acc = [st, en, n_, tot]
+            elif st - acc[1] > gap_us:
+                emitted.append((acc[0], acc[1], acc[2], acc[3], True))
+                acc = [st, en, n_, tot]
             else:
-                last, n, total = max(last, ts_ms), n + 1, total + value
-        state.update((start, last, n, total))
+                acc[1] = max(acc[1], en)
+                acc[2] += n_
+                acc[3] += tot
+        if acc is None:  # only null-ts rows arrived; nothing to do
+            return
+        state.update((acc[0], acc[1], acc[2], acc[3]))
         # Event-time timeout: close when the watermark passes session end
-        # + gap. Must be strictly above the current watermark or Spark
-        # rejects it (can happen for a key whose data is itself late).
+        # + gap (timeout API is in ms). Must be strictly above the
+        # current watermark or Spark rejects it (can happen for a key
+        # whose data is itself late).
         state.setTimeoutTimestamp(
-            max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
+            max((acc[1] + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
         )
-        emitted.append((start, last, n, total, False))  # open-session snapshot
+        emitted.append((acc[0], acc[1], acc[2], acc[3], False))  # open snapshot
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(emitted),
-                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _, _, _ in emitted],
-                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _, _, _ in emitted],
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _, _ in emitted],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _, _ in emitted],
                 "n_events": [n_ for _, _, n_, _, _ in emitted],
                 "sum_value": [t for _, _, _, t, _ in emitted],
                 "closed": [c for _, _, _, _, c in emitted],
@@ -111,12 +126,12 @@ def sessionize(
     (not processing-time) timeouts keep the query quiescent between
     batches: no data → no triggers → no wasted cluster cycles.
     """
-    gap_ms = _interval_to_ms(gap)
+    gap_us = _interval_to_ms(gap) * 1000
     return (
         df.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_ms),
+            _session_fn(gap_us),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="update",
@@ -126,10 +141,45 @@ def sessionize(
 
 
 def _interval_to_ms(interval: str) -> int:
-    qty, unit = interval.split()
+    parts = interval.split()
+    if len(parts) != 2:
+        raise ValueError(
+            f"expected a single '<n> <unit>' interval, got {interval!r} "
+            "(compound intervals like '1 hour 30 minutes' are not supported here)"
+        )
+    qty, unit = parts
     unit = unit.rstrip("s").lower()
-    factors = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}
+    factors = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 604_800_000,
+    }
+    if unit not in factors:
+        raise ValueError(
+            f"unsupported interval unit {unit!r}; accepted: {sorted(factors)}"
+        )
     return int(qty) * factors[unit]
+
+
+def _sorted_rows(pdfs: Iterator[pd.DataFrame], cols: tuple[str, ...]):
+    """(ts_us, *cols) tuples across all Arrow batches, sorted by
+    (ts, *cols). MICROSECOND grain - Spark timestamps are us-precision,
+    and millisecond truncation (the round-4 review finding) both
+    reordered same-millisecond events relative to the batch twins and
+    mutated every emitted timestamp. Null-ts rows are dropped: NaT
+    int-casts to the int64-min sentinel and would corrupt state.
+    The ONE shared conversion point for every stateful operator here
+    (cep.py keeps its own us variant)."""
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        mask = pdf["ts"].notna()
+        ts_us = (pdf["ts"][mask].astype("int64") // 1_000).tolist()
+        rows.extend(zip(ts_us, *(pdf[c][mask].tolist() for c in cols)))
+    rows.sort()
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +195,7 @@ ATTR_OUTPUT_SCHEMA = (
 ATTR_STATE_SCHEMA = "view_ts BIGINT, view_id BIGINT"
 
 
-def _attr_fn(window_ms: int):
+def _attr_fn(window_sec: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -156,34 +206,40 @@ def _attr_fn(window_ms: int):
             state.remove()
             return
         view_ts, view_id = state.get if state.exists else (None, None)
-        rows: list[tuple[int, int, str]] = []
-        for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            rows.extend(
-                zip(ts_ms, pdf["event_id"].tolist(), pdf["event_type"].tolist())
-            )
-        rows.sort()  # event-time order within the batch = batch-op order
+        # ordering at full us precision; the WINDOW CHECK and latency
+        # truncate to whole seconds, because the batch twin (#99) uses
+        # unix_timestamp on both operands - ms/us arithmetic here would
+        # attribute differently on sub-second timestamps (review r4)
+        rows = _sorted_rows(pdfs, ("event_id", "event_type"))
         out: list[tuple[int, int, int | None, int | None]] = []
         for t, eid, et in rows:
             if et == "view":
                 if view_ts is None or (t, eid) > (view_ts, view_id):
                     view_ts, view_id = t, eid
             elif et == "purchase":
-                if view_ts is not None and 0 <= t - view_ts <= window_ms:
-                    out.append((eid, t, view_id, (t - view_ts) // 1000))
+                lat = (
+                    t // 1_000_000 - view_ts // 1_000_000
+                    if view_ts is not None
+                    else None
+                )
+                if lat is not None and 0 <= lat <= window_sec:
+                    out.append((eid, t, view_id, lat))
                 else:
                     out.append((eid, t, None, None))
         if view_ts is not None:
             state.update((view_ts, view_id))
             state.setTimeoutTimestamp(
-                max(view_ts + window_ms, state.getCurrentWatermarkMs() + 1)
+                max(
+                    view_ts // 1000 + (window_sec + 1) * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
             )
         if out:
             yield pd.DataFrame(
                 {
                     "purchase_id": [p for p, _, _, _ in out],
                     "user_id": [user_id] * len(out),
-                    "purchase_ts": [pd.Timestamp(t, unit="ms") for _, t, _, _ in out],
+                    "purchase_ts": [pd.Timestamp(t, unit="us") for _, t, _, _ in out],
                     "view_id": pd.array(
                         [v for _, _, v, _ in out], dtype="Int64"
                     ),
@@ -213,12 +269,12 @@ def streaming_last_touch(
     retro-attribute — first-emission wins, the batch op (#99) stays the
     reprocessing authority (same contract as the streaming dedups).
     """
-    window_ms = _interval_to_ms(window)
+    window_sec = _interval_to_ms(window) // 1000
     return (
         df.withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _attr_fn(window_ms),
+            _attr_fn(window_sec),
             outputStructType=ATTR_OUTPUT_SCHEMA,
             stateStructType=ATTR_STATE_SCHEMA,
             outputMode="append",
@@ -341,16 +397,14 @@ def _ewma_fn(alpha: float):
         prev, last_ts, last_id = (
             state.get if state.exists else (None, -1, -1)
         )
-        rows: list[tuple[int, int, float]] = []
-        for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            rows.extend(
-                zip(ts_ms, pdf["event_id"].tolist(), pdf["value"].tolist())
-            )
-        rows.sort()
+        rows = _sorted_rows(pdfs, ("event_id", "value"))
         out = {"ts": [], "event_id": [], "value": [], "ewma": []}
         for t, eid, v in rows:
-            if (t, eid) <= (last_ts, last_id):
+            # the behind-state guard applies only once state EXISTS:
+            # prev is the no-state sentinel otherwise, and comparing a
+            # fresh key's (possibly pre-epoch) event against (-1, -1)
+            # would silently drop it (review r4)
+            if prev is not None and (t, eid) <= (last_ts, last_id):
                 continue  # out-of-order arrival behind the carried state: drop
             prev = (
                 q9(v)
@@ -358,7 +412,7 @@ def _ewma_fn(alpha: float):
                 else q9(alpha * v + (1.0 - alpha) * prev)
             )
             last_ts, last_id = t, eid
-            out["ts"].append(pd.Timestamp(t, unit="ms"))
+            out["ts"].append(pd.Timestamp(t, unit="us"))
             out["event_id"].append(eid)
             out["value"].append(v)
             out["ewma"].append(prev)
@@ -387,10 +441,15 @@ def streaming_ewma(
     Identical per-step quantization to the batch fold
     (floor(x·1e9+0.5)/1e9), so in-order streams reproduce the batch
     operator's output exactly (pytest-proven across micro-batches).
-    Events arriving behind the carried (ts, id) high-water mark are
-    DROPPED, not re-folded — a recursive statistic cannot absorb late
-    data without replaying everything after it; the batch op is the
-    reprocessing authority (same contract as the other streaming twins).
+    Late policy, two tiers: rows older than the WATERMARK are dropped
+    by the engine before reaching the operator (EventTimeTimeout mode —
+    under NoTimeout the watermark is inert and ``watermark_delay``
+    would be a decoy parameter; review r4); rows inside the watermark
+    but behind the carried (ts, id) high-water mark are dropped here —
+    a recursive statistic cannot absorb late data without replaying
+    everything after it; the batch op is the reprocessing authority
+    (same contract as the other streaming twins). No timers are ever
+    set, so state still lives forever (the EWMA contract).
 
     Expects columns (user_id, ts, event_id, value).
     """
@@ -402,6 +461,6 @@ def streaming_ewma(
             outputStructType=EWMA_OUTPUT_SCHEMA,
             stateStructType=EWMA_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -1464,3 +1464,69 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
         for r in ewma(df, ["user_id"], ["ts", "event_id"], "value", alpha=0.25).collect()
     }
     assert got == want and (1, 0) not in got
+
+
+def test_sessionize_late_event_extends_session_start(spark, tmp_path):
+    """A late in-watermark event that PRECEDES the stored session start
+    must extend session_start backwards (review r4: the old fold
+    absorbed it without the min-update, mis-reporting bounds)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import sessionize
+
+    src = str(tmp_path / "sess_late_in")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/b1.json", "w") as f:
+        f.write(_json.dumps(
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "value": 1.0}) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).json(src)
+    out = sessionize(stream, gap="30 minutes", watermark_delay="1 hour")
+    q = out.writeStream.format("memory").queryName("sess_late_out").outputMode("update").start()
+    q.processAllAvailable()
+    # batch 2: in-watermark late event 20s BEFORE the stored start
+    with open(f"{src}/b2.json", "w") as f:
+        f.write(_json.dumps(
+            {"user_id": 1, "ts": "2024-01-01 09:59:40", "value": 2.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = [r for r in spark.table("sess_late_out").collect() if not r.closed]
+    latest = max(rows, key=lambda r: r.n_events)
+    assert str(latest.session_start) == "2024-01-01 09:59:40"
+    assert str(latest.session_end) == "2024-01-01 10:00:00"
+    assert latest.n_events == 2 and latest.sum_value == 3.0
+
+
+def test_streaming_last_touch_subsecond_matches_batch_truncation(spark, tmp_path):
+    """Window check and latency must use SECOND-truncated arithmetic
+    like the batch operator's unix_timestamp (review r4: ms arithmetic
+    rejected view->purchase spans the batch op attributes)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import (
+        streaming_last_touch,
+    )
+
+    src = str(tmp_path / "attr_sub_in")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        # span = 1800.8s in full precision, but 1800s after per-operand
+        # second truncation -> batch attributes; streaming must agree
+        {"event_id": 1, "user_id": 5, "ts": "2024-01-01 00:00:00.100", "event_type": "view"},
+        {"event_id": 2, "user_id": 5, "ts": "2024-01-01 00:30:00.900", "event_type": "purchase"},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string"
+    ).json(src)
+    out = streaming_last_touch(stream, window="30 minutes")
+    q = out.writeStream.format("memory").queryName("attr_sub_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r.purchase_id: (r.view_id, r.latency_sec)
+           for r in spark.table("attr_sub_out").collect()}
+    assert got == {2: (1, 1800)}
