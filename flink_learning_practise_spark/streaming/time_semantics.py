@@ -99,18 +99,18 @@ def _punctuated_fn(count: int | None):
         start, n, total = None, 0, 0.0
         if state.exists:
             start, n, total = state.get
-        rows: list[tuple[int, float, bool]] = []
-        for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            rows.extend(zip(ts_ms, pdf["value"].tolist(), pdf["_fire"].tolist()))
-        rows.sort()  # event-time order within the batch
+        from .stateful import _sorted_rows
+
+        # µs grain via the shared helper (ms truncation mutated emitted
+        # window_start/fire_ts and could reorder same-ms events)
+        rows = _sorted_rows(pdfs, ("value", "_fire"))
         out: list[tuple[int, int, int, float]] = []
-        for ts_ms, value, fire in rows:
+        for ts_us, value, fire in rows:
             if start is None:
-                start = ts_ms
+                start = ts_us
             n, total = n + 1, total + value
             if fire or (count is not None and n >= count):
-                out.append((start, ts_ms, n, total))  # FIRE...
+                out.append((start, ts_us, n, total))  # FIRE...
                 start, n, total = None, 0, 0.0  # ...AND_PURGE
         if start is None:
             if state.exists:
@@ -121,8 +121,8 @@ def _punctuated_fn(count: int | None):
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(out),
-                    "window_start": [pd.Timestamp(s, unit="ms") for s, _, _, _ in out],
-                    "fire_ts": [pd.Timestamp(f, unit="ms") for _, f, _, _ in out],
+                    "window_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in out],
+                    "fire_ts": [pd.Timestamp(f, unit="us") for _, f, _, _ in out],
                     "n_events": [n_ for _, _, n_, _ in out],
                     "sum_value": [t for _, _, _, t in out],
                 }
