@@ -308,17 +308,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates: broadcast the
-    # few candidate pairs against per-doc shingle ARRAYS (no shuffle of
-    # the corpus, work ∝ candidates) and intersect row-wise.
+    # exact-Jaccard verification restricted to candidates.  NO forced
+    # broadcast here: the candidate-pair set grows with corpus size and
+    # duplicate density (nothing caps it), and once joined to `pa` it
+    # carries full shingle arrays — a hard F.broadcast of either frame
+    # OOMs executors at 100× (BROADCAST_POLICY §6; r4 verdict weak #2).
+    # Unhinted, AQE broadcasts the candidate side only when its RUNTIME
+    # size is small, else both joins fall back to keyed exchanges — the
+    # same pattern PPJoin's verify tier uses (dedup.py::ngram_jaccard).
     arrs = widen(df).select(
         F.col(id_col), shingle_array(normalize(F.col(text_col)), k).alias("_sh")
     )
     pa = arrs.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     pb = arrs.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
-    cand_a = pa.join(F.broadcast(candidates), "id_a")  # ∝ candidates
+    cand_a = pa.join(candidates, "id_a")  # ∝ candidates after the join
     jac = (
-        pb.join(F.broadcast(cand_a), "id_b")
+        pb.join(cand_a, "id_b")
         .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")))
         .withColumn(
             "jaccard",

@@ -363,7 +363,9 @@ def heavy_hitter_tokens(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        toks.join(F.broadcast(candidates), "token", "left")
+        # MG candidate set is CAPPED at shards*k rows regardless of
+        # corpus size (Misra-Gries bound), so the hint is safe at 100TB
+        toks.join(F.broadcast(candidates), "token", "left")  # broadcast-policy-exempt
         .groupBy(
             F.when(F.col("_cand"), F.col("token")).alias("token")
         )

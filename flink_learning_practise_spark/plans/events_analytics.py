@@ -1669,9 +1669,10 @@ ORDER BY entry_type
 # ---------------------------------------------------------------------------
 # #104 per-user EWMA smoothing: the recursive time-series operator a
 # window aggregate can't express (each value depends on the previous
-# RESULT) — runs as an ordered JVM-side array fold per user
-# (operators/transforms.ewma); per-step rounding makes the recursion
-# engine-exact, so the oracle replays it with a recursive CTE.
+# RESULT) — runs as a LINEAR Arrow-batched per-key fold
+# (operators/transforms.ewma, applyInPandas); per-step rounding is
+# plain IEEE arithmetic, identical in Python and SQL, so the oracle
+# replays the recursion exactly with a recursive CTE.
 
 EWMA_ALPHA = 0.3
 
