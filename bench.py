@@ -44,6 +44,10 @@ import re
 import sys
 import time
 
+from flink_learning_practise_spark.plans.llm_pipeline import (
+    PAIR_TIER_CONSUMERS,
+    reset_shared_caches,
+)
 from flink_learning_practise_spark.registry import all_queries
 from flink_learning_practise_spark.session import get_spark
 
@@ -121,6 +125,10 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     for p in range(PASSES + 1):  # pass 0 = compile warm-up, discarded
+        # re-pay the shared pair-tier build each pass so its cost is
+        # visible in the timings (charged to the first consumer in
+        # registry order — see evidence["shared_tiers"])
+        reset_shared_caches()
         t0 = time.perf_counter()
         for n in names:
             if n in errors:
@@ -145,6 +153,10 @@ def main() -> None:
             # valid pass samples, and recording it in `errors` while
             # keeping its timing would break the "errors are excluded
             # from timings" contract.
+            if n in PAIR_TIER_CONSUMERS:
+                # never sample a consumer against a warm memo — the min
+                # would exclude the tier build the passes charged
+                reset_shared_caches()
             try:
                 s.append(run_once(n))
             except Exception:  # noqa: BLE001
@@ -172,6 +184,10 @@ def main() -> None:
         "loadavg_1m": load_points,  # before warmup, after each pass
         "cpu_busy_frac": busy_frac,  # whole-box busy share during the run
         "errors": errors,  # queries that threw (excluded from timings)
+        # shared-tier accounting: these queries reuse one checkpointed
+        # pair tier; its build is re-paid once per pass (reset above)
+        # and lands on whichever consumer runs first in registry order
+        "shared_tiers": {"ppjoin_pair_tier": list(PAIR_TIER_CONSUMERS)},
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_EVIDENCE.json")

@@ -320,7 +320,7 @@ def pagerank(
 
     base = (1.0 - damping) / n
     r0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9
-    ranks = v.withColumn("pagerank", F.lit(r0)).persist()
+    ranks = v.withColumn("pagerank", F.lit(r0))
     for i in range(iterations):
         # per-edge contribution rounded, then DECIMAL-summed: a raw
         # double sum is partition-order-dependent (num.py rule) and
@@ -346,10 +346,12 @@ def pagerank(
                 ).alias("pagerank"),
             )
         )
-        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-            updated = updated.localCheckpoint(eager=False)
-        updated = updated.persist()
-        updated.count()  # materialize before releasing the previous round
-        ranks.unpersist()
-        ranks = updated
+        # LAZY checkpoint per round (the CC loop's pattern, minus even
+        # the per-round action): lineage truncates when the CONSUMER's
+        # single action computes the chain, so `iterations` rounds cost
+        # one job instead of one-materialize-job-per-round (the r4
+        # persist();count();unpersist() ladder paid 6 extra jobs).
+        # links stays eagerly checkpointed above — the loop's only
+        # reused input — so no recomputation multiplies across rounds.
+        ranks = updated.localCheckpoint(eager=False)
     return ranks

@@ -82,23 +82,25 @@ DECODED_SCHEMA = (
 )
 
 try:  # pragma: no cover - PIL is absent in this container
-    from PIL import Image  # type: ignore
-
-    _HAS_PIL = True
+    from PIL import Image as _PIL_IMAGE  # type: ignore
 except ImportError:
-    _HAS_PIL = False
+    _PIL_IMAGE = None
 
 
-def decode_image(df: DataFrame) -> DataFrame:
+def decode_image(df: DataFrame, image_module=None) -> DataFrame:
     """Decode an image binary column to (width, height, mean_intensity).
 
-    With PIL installed this is a real decode. Without it (this
-    container), a DETERMINISTIC FAKE stands in: dimensions and intensity
-    are derived from the content digest, so tests exercise the full
-    Spark plumbing (schema, Arrow batching, partition parallelism) and
-    results are stable. The fake is labeled in the ``decoder`` column —
-    downstream must treat ``decoder='fake'`` rows as placeholders.
+    The codec is probed at import: with PIL installed (or any
+    PIL-compatible module passed as ``image_module`` — how the tests
+    prove the real path without the lib in this container) this is a
+    real decode, labeled ``decoder='pil'``. Without it, a DETERMINISTIC
+    FAKE stands in: dimensions and intensity derive from the content
+    digest, so tests exercise the full Spark plumbing (schema, Arrow
+    batching, partition parallelism) and results are stable. The fake
+    is labeled in the ``decoder`` column — downstream must treat
+    ``decoder='fake'`` rows as placeholders.
     """
+    mod = image_module if image_module is not None else _PIL_IMAGE
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -107,8 +109,8 @@ def decode_image(df: DataFrame) -> DataFrame:
             rows = {"doc_id": [], "width": [], "height": [], "mean_intensity": [], "decoder": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
                 data = bytes(blob) if blob is not None else b""
-                if _HAS_PIL:
-                    img = Image.open(io.BytesIO(data)).convert("L")
+                if mod is not None:
+                    img = mod.open(io.BytesIO(data)).convert("L")
                     w, h = img.size
                     mean = sum(img.getdata()) / (w * h)
                     dec = "pil"
@@ -133,14 +135,18 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+def resize_image(
+    df: DataFrame, width: int = 224, height: int = 224, image_module=None
+) -> DataFrame:
     """Resize an image binary column to (width, height) — the standard
-    normalization step before model inference. With PIL this is a real
-    LANCZOS resize re-encoded to PNG; without it (this container) the
-    DETERMINISTIC FAKE emits a digest-seeded byte payload of the right
-    conceptual shape (width*height bytes, labeled ``decoder='fake'``).
-    Either way the operator contract — binary in, fixed-dims binary out,
+    normalization step before model inference. With PIL (or an injected
+    PIL-compatible ``image_module``) this is a real resize re-encoded
+    to PNG; without it (this container) the DETERMINISTIC FAKE emits a
+    digest-seeded byte payload of the right conceptual shape
+    (width*height bytes, labeled ``decoder='fake'``). Either way the
+    operator contract — binary in, fixed-dims binary out,
     Arrow-batched, partition-parallel — is the real one."""
+    mod = image_module if image_module is not None else _PIL_IMAGE
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -149,8 +155,8 @@ def resize_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFram
             rows = {"doc_id": [], "width": [], "height": [], "content": [], "decoder": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
                 data = bytes(blob) if blob is not None else b""
-                if _HAS_PIL:
-                    img = Image.open(io.BytesIO(data)).resize((width, height))
+                if mod is not None:
+                    img = mod.open(io.BytesIO(data)).resize((width, height))
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     payload, dec = buf.getvalue(), "pil"

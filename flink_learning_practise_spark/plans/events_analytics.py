@@ -1058,8 +1058,14 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       keeps the count, one only the key), so the key-column scan
       repeats rather than ReusedExchange-ing — deliberate: a one-column
       pushed-projection re-scan is cheaper at 100 TB than pinning a
-      customer-sized cached tier in executor memory.  Net plan: 5 keyed
-      exchanges (was 12), heavy tables (lineitem, events) scanned once;
+      customer-sized cached tier in executor memory.  Net plan: 5 KEYED
+      exchanges (was 12 before the r4 fusion), plus 4 SinglePartition
+      exchanges of finished one-row aggregates and 3 broadcasts of key
+      sets — the scalar/broadcast moves are bytes, not data motion, so
+      the keyed count is the scale claim (PLANS.md's "9 shuffles" =
+      5 keyed + 4 scalar; pinned in tests/test_plan_shape.py::
+      test_dq_report_exchange_budget).  Heavy tables (lineitem,
+      events) are scanned once;
     - FK checks are presence-marker left joins (NOT EXISTS semantics:
       null FK values are not orphans), orphan and total counted in the
       same aggregate.

@@ -596,6 +596,28 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_sess[key]
 
 
+# consumers of the shared tier, in registry order — bench.py records
+# this in BENCH_EVIDENCE.json so a reader knows the tier build cost
+# lands on whichever of these runs FIRST in each timing pass
+PAIR_TIER_CONSUMERS = (
+    "q_dedup_clusters_star",
+    "q_pagerank_dupgraph",
+    "q_dedup_cluster_stats",
+    "q_dedup_survivors",
+    "q_dedup_clusters",
+)
+
+
+def reset_shared_caches() -> None:
+    """Drop every memoized shared tier. bench.py calls this before each
+    timing pass so the pair-tier derivation is re-paid (and therefore
+    VISIBLE in the timings) once per pass instead of once per process —
+    min-across-passes then always includes one build, charged to the
+    first consumer of the pass (advice r4: the memo otherwise excluded
+    the dominant build from every post-first-invocation sample)."""
+    _PAIR_TIER_MEMO.clear()
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document labeled with its duplicate-cluster id (minimum
     doc_id reachable through near-dup pairs; singletons label

@@ -125,6 +125,14 @@ def sessionize(
     snapshots) — the applyInPandasWithState escape hatch. Event-time
     (not processing-time) timeouts keep the query quiescent between
     batches: no data → no triggers → no wasted cluster cycles.
+
+    CLOSED ROWS ARE UPSERT-STYLE, NOT FINAL: a late event that lands
+    inside the watermark but disjoint-EARLIER than the carried session
+    is closed immediately as its own session, and a later sweep may
+    emit a second closed=true row whose range overlaps it. Downstream
+    consumers treating closed rows as final per-session aggregates must
+    dedup on (user_id, overlapping range) — e.g. MERGE on key + range
+    containment — or read only the latest row per key range.
     """
     gap_us = _interval_to_ms(gap) * 1000
     return (
@@ -416,7 +424,12 @@ def _ewma_fn(alpha: float):
             out["event_id"].append(eid)
             out["value"].append(v)
             out["ewma"].append(prev)
-        state.update((prev, last_ts, last_id))
+        # only write state when there is something to carry: a batch of
+        # nothing-but-dropped rows for a FRESH key would otherwise pin a
+        # permanent (None,-1,-1) entry that no timer ever evicts
+        # (NoTimeout by design) — slow state growth on junk keys
+        if prev is not None or state.exists:
+            state.update((prev, last_ts, last_id))
         if out["ts"]:
             yield pd.DataFrame(
                 {

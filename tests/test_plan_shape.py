@@ -120,6 +120,26 @@ def test_partial_aggregation_before_shuffle(spark, sf_medium):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_dq_report_exchange_budget(spark, sf_medium):
+    """Pins the fused dq_report formulation (r4): exactly 5 KEYED
+    exchanges — cust keys ×2 (unique check + FK parent set; deliberate
+    one-column re-scan instead of a cached tier), order keys ×2, part
+    keys ×1.  SinglePartition moves of finished one-row aggregates and
+    broadcasts of key sets are excluded from the budget (bytes, not
+    data motion) but bounded too, so the plan can't silently unfuse."""
+    plan = plan_of(all_queries()["q_dq_report"].fn(spark, sf_medium))
+    lines = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "ReusedExchange" not in ln
+    ]
+    keyed = [ln for ln in lines if "hashpartitioning" in ln]
+    single = [ln for ln in lines if "SinglePartition" in ln]
+    bcast = [ln for ln in lines if "BroadcastExchange" in ln]
+    assert len(keyed) == 5, f"keyed exchanges changed: {len(keyed)}\n" + "\n".join(keyed)
+    assert len(single) <= 4
+    assert len(bcast) <= 3
+
+
 def test_no_cartesian_product_anywhere(spark, sf_medium):
     """No registered query may plan a CartesianProduct: every join must
     have usable keys (the only nested-loop join allowed is the
