@@ -310,3 +310,77 @@ def ewma(
         return pdf[cols + [out_col]]
 
     return df.groupBy(*key_cols).applyInPandas(_fold, schema=out_schema)
+
+
+def keyed_rank_with_totals(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "key_rank",
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-KEY dense row ranking for the FEW-HUGE-KEYS regime, without
+    funneling any key through a single task.
+
+    ``Window.partitionBy(key).orderBy(...)`` puts each key's ENTIRE
+    series in one task — correct for many small keys (per-user series),
+    a scale trap when a handful of keys each hold billions of rows
+    (per-event-type, per-priority, per-status). This operator extends
+    the :func:`global_rank` pattern to keys:
+
+    1. ``repartitionByRange`` on (key, order) — each key occupies a
+       RUN of consecutive partitions, each partition a bounded slice;
+    2. per-partition local ``row_number`` within (partition, key);
+    3. per-(partition, key) counts to the driver — at most
+       P + K - 1 rows (each partition adds one count per key it
+       touches, and a key spans partitions contiguously), so the
+       collect is bounded by parallelism + key cardinality, NOT data;
+    4. prefix-sum offsets per key across its partition run, joined
+       back as a broadcast frame (P+K rows — policy-exempt bounded).
+
+    Returns (ranked frame with ``rank_col``, totals frame with one
+    (key..., n) row per key — the final prefix sums, no extra job).
+    ``order_cols`` must totally order rows WITHIN a key.  For
+    many-small-keys use a plain keyed window instead; the driver
+    collect here is bounded by K.
+    """
+    from pyspark.sql import Window
+
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in key_cols]
+    pinned = (
+        df.repartitionByRange(p, *keys, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*key_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = pinned.groupBy("_pid", *key_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    # prefix sums per key, in partition order (partitions are globally
+    # range-ordered, so a key's slices appear in rank order)
+    acc: dict[tuple, int] = {}
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        k = tuple(r[c] for c in key_cols)
+        offsets.append((r["_pid"], *k, acc.get(k, 0)))
+        acc[k] = acc.get(k, 0) + r["_n"]
+    spark = df.sparkSession
+    off_schema = ", ".join(
+        ["_pid int"]
+        + [f"{c} {t}" for c, t in df.select(*key_cols).dtypes]
+        + ["_off long"]
+    )
+    off = spark.createDataFrame(offsets, off_schema)
+    totals = spark.createDataFrame(
+        [(*k, n) for k, n in acc.items()],
+        ", ".join([f"{c} {t}" for c, t in df.select(*key_cols).dtypes] + ["n long"]),
+    )
+    w = Window.partitionBy("_pid", *key_cols).orderBy(*order_cols)
+    ranked = (
+        # bounded P+K-row frame, never data-proportional
+        pinned.join(F.broadcast(off), ["_pid", *key_cols])  # broadcast-policy-exempt
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    return ranked, totals

@@ -2082,3 +2082,477 @@ FROM per_user, s
 WHERE sd > 0 AND abs(n_events - mean) > {OUTLIER_Z} * sd
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# #117 robust outliers via median/MAD — the median-based twin of #116's
+# mean/stddev z-score (robust to the heavy tail that inflates a mean).
+# The scale problem is per-TYPE medians with only ~5 types: a keyed
+# window would funnel each type's billions of rows through one task, so
+# both selection passes run on operators/transforms.keyed_rank_with_totals
+# (range-partitioned per-key rank; driver traffic bounded by P+K).
+# Discrete percentile convention (value at rank ceil(p·n) over a total
+# order) — no interpolation arithmetic to diverge between engines.
+
+MAD_K = 3.0  # flag |x - median| > MAD_K * 1.4826 * MAD
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import keyed_rank_with_totals
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select("event_type", "event_id", "value")
+
+    def keyed_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        ranked, totals = keyed_rank_with_totals(
+            df, ["event_type"], [val, "event_id"], "_r"
+        )
+        target = totals.select(
+            "event_type", F.ceil(F.col("n") / 2).cast("long").alias("_t")
+        )
+        return (
+            # one row per type — bounded by key cardinality
+            ranked.join(F.broadcast(target), "event_type")  # broadcast-policy-exempt
+            .filter(F.col("_r") == F.col("_t"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = keyed_median(base, "value", "median")
+    dev = base.join(F.broadcast(med), "event_type").select(  # broadcast-policy-exempt: K rows
+        "event_type",
+        "event_id",
+        "value",
+        F.abs(F.col("value") - F.col("median")).alias("_dev"),
+        "median",
+    )
+    mad = keyed_median(
+        dev.select("event_type", "event_id", F.col("_dev").alias("value")),
+        "value",
+        "mad",
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(  # broadcast-policy-exempt: K rows
+        "_is_out",
+        F.col("_dev") > F.lit(MAD_K * MAD_CONSISTENCY) * F.col("mad"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(F.col("_is_out").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type, value AS median FROM r1
+  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT b.event_type, b.event_id, b.value,
+         abs(b.value - m.median) AS dv, m.median
+  FROM base b JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dv,
+         row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, dv AS mad FROM r2
+  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       MAX(d.median) AS median,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dv > {MAD_K * MAD_CONSISTENCY} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# #118 peak concurrency (sweep line): max number of simultaneously-open
+# user sessions per day — the capacity-planning staple. The naive
+# global prefix sum is a single-task sort; this plan (a) compresses
+# boundary events to per-(day, ts) start/end COUNTS before any window
+# (distinct-timestamp cardinality, not event cardinality), and (b)
+# sweeps per DAY (keyed window over the compressed frame). Sessions
+# are inclusive [start, end]: at the peak timestamp all starts count
+# before any end, so peak(ts) = cum_net(ts) + n_end(ts) — the +1s of a
+# tick apply before its -1s, deterministically, with no per-row order.
+
+CONCURRENCY_GAP_MIN = 30
+
+
+def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = CONCURRENCY_GAP_MIN * 60
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts").over(w_u))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("_prev") > gap_s)
+            ).cast("long"),
+        )
+        .withColumn("_sid", F.sum("_new").over(w_u))
+        .groupBy("user_id", "_sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    # explode sessions across the days they span, clipped inclusive
+    days = sess.select(
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("day"),
+    ).select(
+        "day",
+        F.greatest(F.col("s_start"), F.col("day").cast("timestamp")).alias("c_start"),
+        F.least(
+            F.col("s_end"),
+            F.expr("timestampadd(MICROSECOND, -1, CAST(date_add(day, 1) AS TIMESTAMP))"),
+        ).alias("c_end"),
+    )
+    bounds = (
+        days.select(F.col("day"), F.col("c_start").alias("t"), F.lit(1).alias("_s"))
+        .unionByName(
+            days.select(F.col("day"), F.col("c_end").alias("t"), F.lit(0).alias("_s"))
+        )
+        .groupBy("day", "t")
+        .agg(
+            F.sum("_s").alias("n_start"),
+            F.sum(1 - F.col("_s")).alias("n_end"),
+        )
+    )
+    w_d = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bounds.withColumn(
+            "_cum_net", F.sum(F.col("n_start") - F.col("n_end")).over(w_d)
+        )
+        .withColumn("_peak", F.col("_cum_net") + F.col("n_end"))
+        .groupBy("day")
+        .agg(F.max("_peak").alias("max_concurrency"))
+        .orderBy("day")
+    )
+
+
+MAX_CONCURRENCY_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                   > {CONCURRENCY_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+    FROM marked
+  )
+  GROUP BY user_id, sid
+),
+clipped AS (
+  SELECT CAST(d.day AS DATE) AS day,
+         greatest(s_start, CAST(CAST(d.day AS DATE) AS TIMESTAMP)) AS c_start,
+         least(s_end, CAST(CAST(d.day AS DATE) AS TIMESTAMP)
+                      + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS c_end
+  FROM sess,
+       LATERAL unnest(generate_series(CAST(s_start AS DATE),
+                                      CAST(s_end AS DATE),
+                                      INTERVAL 1 DAY)) AS d(day)
+),
+bounds AS (
+  SELECT day, t,
+         CAST(SUM(s) AS BIGINT) AS n_start,
+         CAST(SUM(1 - s) AS BIGINT) AS n_end
+  FROM (
+    SELECT day, c_start AS t, 1 AS s FROM clipped
+    UNION ALL
+    SELECT day, c_end AS t, 0 AS s FROM clipped
+  )
+  GROUP BY day, t
+),
+swept AS (
+  SELECT day,
+         SUM(n_start - n_end) OVER (PARTITION BY day ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_end AS peak
+  FROM bounds
+)
+SELECT day, CAST(MAX(peak) AS BIGINT) AS max_concurrency
+FROM swept GROUP BY day ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# #119 hour-of-day seasonality profile: per (event_type, hour) counts
+# zero-filled over the full 24-hour grid, each bucket's share of its
+# type and its z-score against the type's hourly mean. Variance is
+# computed from CENTERED integer deviations (d = 24·cnt − total, exact
+# BIGINT) so no >2^53 raw moment ever passes through a double
+# (num.py / oracle-portability rule: DuckDB's hugeint→double cast is
+# not correctly rounded above 2^53).
+
+
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("event_type", F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(  # broadcast-policy-exempt: 24-row literal frame
+                ev.sparkSession.range(24).select(F.col("id").cast("int").alias("hour"))
+            )
+        )
+    )
+    filled = (
+        grid.join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    from pyspark.sql import Window
+
+    w_t = Window.partitionBy("event_type")  # 24 rows per type — bounded
+    d = 24 * F.col("cnt") - F.col("_total")
+    return (
+        filled.withColumn("_total", F.sum("cnt").over(w_t))
+        .withColumn("_d", d)
+        .withColumn("_sum_d2", F.sum(F.col("_d") * F.col("_d")).over(w_t))
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 9).alias("share"),
+            F.when(
+                F.col("_sum_d2") > 0,
+                F.round(
+                    F.col("_d") / F.sqrt(F.col("_sum_d2").cast("double") / 24), 9
+                ),
+            ).otherwise(F.lit(0.0)).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+HOURLY_SEASONALITY_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(0, 23)) AS hour) h
+),
+filled AS (
+  SELECT g.event_type, CAST(g.hour AS INTEGER) AS hour,
+         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.hour = c.hour
+),
+stats AS (
+  SELECT event_type, hour, cnt,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS total,
+         24 * cnt - CAST(SUM(cnt) OVER w AS BIGINT) AS d
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type)
+),
+d2 AS (
+  SELECT event_type, hour, cnt, total, d,
+         CAST(SUM(d * d) OVER (PARTITION BY event_type) AS BIGINT) AS sum_d2
+  FROM stats
+)
+SELECT event_type, hour, cnt,
+       round(CAST(cnt AS DOUBLE) / total, 9) AS share,
+       CASE WHEN sum_d2 > 0
+            THEN round(d / sqrt(CAST(sum_d2 AS DOUBLE) / 24), 9)
+            ELSE 0.0 END AS z
+FROM d2
+ORDER BY event_type, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# #120 event-type co-occurrence mining: which event types appear in the
+# SAME user's history, scored by lift and Jaccard — the association
+# view over users (#115's transition mining is its sequential cousin).
+# Pure ratios, no log: deterministic in both engines with no libm
+# dependency. Pair fan-out is C(|types|, 2) per user — bounded by the
+# type vocabulary, not the event count.
+
+
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("_u")
+    )
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = singles.select(
+        F.col("event_type").alias("type_a"), F.col("_n").alias("n_a")
+    )
+    nb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("_n").alias("n_b")
+    )
+    return (
+        # singles/total are type-vocabulary- and single-row-sized
+        pairs.join(F.broadcast(na), "type_a")  # broadcast-policy-exempt
+        .join(F.broadcast(nb), "type_b")  # broadcast-policy-exempt
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("_u") * F.col("n_both") / (F.col("n_a") * F.col("n_b")), 9
+            ).alias("lift"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENT_COOCCURRENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+singles AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       round(CAST(u.n_users AS DOUBLE) * n_both / (sa.n * sb.n), 9) AS lift,
+       round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 9) AS jaccard
+FROM pairs
+JOIN singles sa ON type_a = sa.event_type
+JOIN singles sb ON type_b = sb.event_type
+CROSS JOIN u
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# #121 activity bitmap + streaks: each user's active days packed into a
+# 64-bit bitmask (bit i = active on epoch-day-offset i from the corpus
+# start) — the Roaring-bitmap-style retention layout — plus the longest
+# consecutive-day streak via gaps-and-islands (idx − dense_rank is
+# constant within a run). Bit ops and window ranks only; no iteration.
+
+STREAK_EPOCH = "2024-01-01"
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit(STREAK_EPOCH).cast("date")).alias(
+                "idx"
+            ),
+        )
+        .filter((F.col("idx") >= 0) & (F.col("idx") < 64))
+        .distinct()
+    )
+    w_u = Window.partitionBy("user_id").orderBy("idx")
+    islands = (
+        days.withColumn("_grp", F.col("idx") - F.row_number().over(w_u))
+        .groupBy("user_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy("user_id")
+        .agg(F.max("_len").alias("longest_streak"))
+    )
+    masks = days.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("day_mask"),
+        F.count(F.lit(1)).alias("days_active"),
+    )
+    return (
+        masks.join(islands, "user_id")
+        .select("user_id", "day_mask", "days_active", "longest_streak")
+        .orderBy("user_id")
+    )
+
+
+ACTIVITY_STREAKS_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '{STREAK_EPOCH}', CAST(ts AS DATE)) AS idx
+  FROM events
+  WHERE datediff('day', DATE '{STREAK_EPOCH}', CAST(ts AS DATE)) BETWEEN 0 AND 63
+),
+islands AS (
+  SELECT user_id, MAX(len) AS longest_streak
+  FROM (
+    SELECT user_id, COUNT(*) AS len
+    FROM (
+      SELECT user_id, idx,
+             idx - row_number() OVER (PARTITION BY user_id ORDER BY idx) AS grp
+      FROM days
+    )
+    GROUP BY user_id, grp
+  )
+  GROUP BY user_id
+),
+masks AS (
+  SELECT user_id,
+         CAST(SUM(CAST(1 AS BIGINT) << idx) AS BIGINT) AS day_mask,
+         COUNT(*) AS days_active
+  FROM days GROUP BY user_id
+)
+SELECT m.user_id, m.day_mask, m.days_active, i.longest_streak
+FROM masks m JOIN islands i ON m.user_id = i.user_id
+ORDER BY m.user_id
+"""

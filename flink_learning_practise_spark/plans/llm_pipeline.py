@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datasets import load
+from ..num import DEC
 from ..operators import dedup, similarity, text, transforms
 
 NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -600,11 +601,12 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this in BENCH_EVIDENCE.json so a reader knows the tier build cost
 # lands on whichever of these runs FIRST in each timing pass
 PAIR_TIER_CONSUMERS = (
+    "q_triangle_census",
+    "q_dedup_survivors",
+    "q_dedup_clusters",
     "q_dedup_clusters_star",
     "q_pagerank_dupgraph",
     "q_dedup_cluster_stats",
-    "q_dedup_survivors",
-    "q_dedup_clusters",
 )
 
 
@@ -1533,4 +1535,298 @@ edge_stats AS (
 SELECT m.cluster_id, m.n_members, e.n_pairs, e.mean_jaccard
 FROM members m JOIN edge_stats e ON m.cluster_id = e.cluster_id
 ORDER BY m.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #126 bigram-LM quality scoring: mean conditional log-probability
+# p(w_t | w_{t-1}) under the corpus's own bigram distribution — one
+# order up from #96's unigram filter (catches word-salad documents
+# whose unigrams are individually common). Same determinism contract:
+# per-bigram logprob rounded to 9 digits, decimal-summed.
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: bigram/context tables are vocabulary²-bounded
+    (Heaps-sublinear in the corpus, though fatter than unigram), built
+    with ONE aggregate each over the exploded bigram stream; the join
+    back to documents is token-keyed and AQE-sized. No smoothing term:
+    every document bigram exists in the corpus distribution by
+    construction (the corpus scores itself), so the probability is
+    always finite."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import widen
+    from ..operators.text import normalize
+
+    w = F.split(normalize(F.col("text")), " ")
+    bigrams = (
+        widen(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bg_cnt = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n12"))
+    from pyspark.sql import Window
+
+    w_ctx = Window.partitionBy("w1")
+    probs = (
+        bg_cnt.withColumn("_n1", F.sum("_n12").over(w_ctx))
+        .withColumn(
+            "_lp",
+            F.round(F.log(F.col("_n12") / F.col("_n1")), 9).cast("decimal(18,9)"),
+        )
+        .select("w1", "w2", "_lp")
+    )
+    return (
+        bigrams.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("_lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(w) AS token, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents)
+),
+bigrams AS (
+  SELECT doc_id, w1, token AS w2
+  FROM (
+    SELECT doc_id, token,
+           lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM toks
+  )
+  WHERE w1 IS NOT NULL AND w1 <> '' AND token <> ''
+),
+bg AS (SELECT w1, w2, COUNT(*) AS n12 FROM bigrams GROUP BY w1, w2),
+probs AS (
+  SELECT w1, w2,
+         CAST(round(ln(CAST(n12 AS DOUBLE) /
+                       SUM(n12) OVER (PARTITION BY w1)), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM bg
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM bigrams JOIN probs USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #127 BM25 retrieval scoring: rank documents against a fixed query
+# term set with the classic Okapi BM25 (k1=1.2, b=0.75) — the sparse
+# half of any RAG retrieval stack. idf and each term's contribution
+# are rounded to 9 digits and decimal-summed (term-order-independent,
+# engine-exact); doc length / avgdl use the whitespace token count.
+
+BM25_TERMS = ("query", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: tf is one corpus aggregate filtered to the |Q|
+    query terms (the filter prunes BEFORE the shuffle — the aggregate
+    carries only matching tokens); df/idf and avgdl are |Q|-row /
+    single-row broadcast frames. No per-query corpus rescan — a query
+    batch would join its term set the same way."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import widen
+    from ..operators.text import normalize
+
+    toks = (
+        widen(docs)
+        .select(
+            "doc_id",
+            F.explode(F.split(normalize(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_avg = dl.agg(
+        F.count(F.lit(1)).alias("_N"),
+        (F.sum(F.col("dl").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "_avgdl"
+        ),
+    )
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    tf = (
+        toks.filter(F.array_contains(terms, F.col("token")))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(n_avg)).select(
+        "token",
+        F.round(
+            F.log(
+                1.0
+                + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            9,
+        ).alias("idf"),
+        "_avgdl",
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "token")  # broadcast-policy-exempt: |Q| rows
+        .withColumn(
+            "_c",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl"))
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("_c").cast("double"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_N)
+    )
+
+
+BM25_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+na AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+idf AS (
+  SELECT token,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 9) AS idf,
+         avgdl
+  FROM dft CROSS JOIN na
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           idf * (tf * ({BM25_K1} + 1))
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl)),
+         9) AS DECIMAL(18,9)) AS c
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.token = idf.token
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+       round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #128 triangle census on the near-dup graph: counts of connected
+# triples (triangles) — the local-clustering signal that separates
+# "chain of near-misses" clusters from "everything matches everything"
+# template blobs. Classic two-join formulation over id-oriented edges
+# (a<b<c — each triangle counted exactly once); at scale the standard
+# refinement is degree-based orientation, noted in the docstring.
+
+
+def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges come from the shared checkpointed PPJoin pair tier
+    (id_a < id_b already — the orientation that makes each triangle
+    appear once as a<b<c). Two edge-keyed joins; the wedge frame
+    (a,b,c) is bounded by Σ deg(b)² over the b that close wedges —
+    at 100 TB, orient by (degree, id) instead of raw id to bound the
+    worst hub's wedge fan-out (same joins, different comparator).
+    Output: one row — triangles, wedges (open+closed), edges, and the
+    global closure ratio 3·tri/wedges."""
+    pairs = _shared_pair_tier(spark, sf_dir).select("id_a", "id_b")
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tris = wedges.join(e3, ["a", "c"])
+    n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_wedge = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_edge = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_tri.crossJoin(F.broadcast(n_wedge))
+        .crossJoin(F.broadcast(n_edge))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            "n_edges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closure_ratio"),
+        )
+    )
+
+
+TRIANGLE_CENSUS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+wedges AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+),
+tris AS (
+  SELECT w.a, w.b, w.c FROM wedges w
+  JOIN pairs e3 ON w.a = e3.id_a AND w.c = e3.id_b
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM tris) AS n_triangles,
+         (SELECT COUNT(*) FROM wedges) AS n_wedges,
+         (SELECT COUNT(*) FROM pairs) AS n_edges
+)
+SELECT n_triangles, n_wedges, n_edges,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 9)
+            ELSE 0.0 END AS closure_ratio
+FROM agg
 """

@@ -388,3 +388,270 @@ def _corr_sql() -> str:
 
 
 LINEITEM_CORR_SQL = _corr_sql()
+
+
+# ---------------------------------------------------------------------------
+# #122 market-basket co-occurrence: part pairs bought together in one
+# order, with support counts and lift. The self-join is keyed on
+# l_orderkey, so pair fan-out is bounded by (lines-per-order choose 2)
+# per order — never corpus² — and the (orderkey, partkey) DISTINCT
+# shrinks the fact stream before the join (same pre-shrink as Q16).
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_N = 50
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    ca = part_cnt.select(F.col("l_partkey").alias("part_a"), F.col("_c").alias("n_a"))
+    cb = part_cnt.select(F.col("l_partkey").alias("part_b"), F.col("_c").alias("n_b"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("_n") * F.col("n_both") / (F.col("n_a") * F.col("n_b")), 9
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )
+
+
+BASKET_PAIRS_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pc AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_both, ca.c AS n_a, cb.c AS n_b,
+       round(CAST(n.n_orders AS DOUBLE) * n_both / (ca.c * cb.c), 9) AS lift
+FROM pairs
+JOIN pc ca ON part_a = ca.l_partkey
+JOIN pc cb ON part_b = cb.l_partkey
+CROSS JOIN n
+ORDER BY n_both DESC, part_a, part_b
+LIMIT {BASKET_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #123 RFM segmentation: recency / frequency / monetary quartiles per
+# customer, each scored 1-4 by DISTRIBUTED ntile (transforms.global_ntile
+# — the single-partition `ntile() OVER (ORDER BY ..)` trap is exactly
+# what it replaces), then segment-level rollup. Order facts aggregate
+# to one row per customer FIRST (keyed exchange with map-side partials)
+# so the three rank passes run on customer cardinality, not fact
+# cardinality.
+
+RFM_REF_DATE = "2025-01-01"
+RFM_BUCKETS = 4
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import global_ntile
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    r = global_ntile(
+        per_cust, RFM_BUCKETS, ["recency_days", "o_custkey"], "r_score"
+    )
+    f = global_ntile(r, RFM_BUCKETS, ["frequency", "o_custkey"], "f_score")
+    m = global_ntile(f, RFM_BUCKETS, ["monetary", "o_custkey"], "m_score")
+    return (
+        m.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("monetary", "avg_monetary"),
+            davg("frequency", "avg_frequency"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                  DATE '{RFM_REF_DATE}') AS recency_days,
+         COUNT(*) AS frequency,
+         {sql_dsum('o_totalprice', 'monetary')}
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       {sql_davg('monetary', 'avg_monetary')},
+       {sql_davg('frequency', 'avg_frequency')}
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+# ---------------------------------------------------------------------------
+# #124 shipping-delay percentiles by priority: exact p50/p90/p99 of
+# (ship date − order date) per o_orderpriority. Per-key percentiles
+# with FEW huge keys, but the value domain is SMALL INTEGERS (days) —
+# so instead of ranking rows, aggregate a sparse histogram per
+# (priority, delay) first (bounded by |priorities|·|delay domain|) and
+# walk its cumulative counts: the discrete value at rank ceil(p·n).
+# The window runs over the HISTOGRAM, never the fact table.
+
+DELAY_PCTS = (0.5, 0.9, 0.99)
+
+
+def shipping_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    hist = delays.groupBy("o_orderpriority", "delay_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_p = Window.partitionBy("o_orderpriority").orderBy("delay_days")
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = (
+        hist.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                w_p.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("n", F.sum("cnt").over(w_all))
+    )
+    pcts = None
+    for p in DELAY_PCTS:
+        tier = (
+            cum.filter(
+                (F.col("cum") - F.col("cnt") < F.ceil(F.lit(p) * F.col("n")))
+                & (F.col("cum") >= F.ceil(F.lit(p) * F.col("n")))
+            )
+            .select(
+                "o_orderpriority",
+                F.lit(float(p)).alias("percentile"),
+                F.col("delay_days"),
+            )
+        )
+        pcts = tier if pcts is None else pcts.unionByName(tier)
+    return pcts.orderBy("o_orderpriority", "percentile")
+
+
+SHIPPING_DELAY_PCTS_SQL = f"""
+WITH delays AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+hist AS (
+  SELECT o_orderpriority, delay_days, COUNT(*) AS cnt
+  FROM delays GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, delay_days, cnt,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY delay_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM hist
+)
+SELECT o_orderpriority, CAST(p AS DOUBLE) AS percentile, delay_days
+FROM cum, (VALUES {", ".join(f"({p})" for p in DELAY_PCTS)}) AS t(p)
+WHERE cum - cnt < ceil(p * n) AND cum >= ceil(p * n)
+ORDER BY o_orderpriority, percentile
+"""
+
+
+# ---------------------------------------------------------------------------
+# #125 fuzzy name matching: near-identical part names by Levenshtein
+# distance. The scalable shape matches the DICTIONARY, not the rows:
+# names collapse to their distinct vocabulary first (bounded by the
+# name vocabulary, Heaps-sublinear), pairs are blocked on the last
+# token (same noun) so the edit-distance join is |block|² over
+# vocabulary blocks — never corpus². Part counts then re-attach per
+# name.
+
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("_noun", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "_noun",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "_noun",
+    )
+    return (
+        a.join(b, "_noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_PART_MATCH_SQL = f"""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts,
+         string_split(p_name, ' ')[-1] AS noun
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""

@@ -941,3 +941,141 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 LIMIT 40
 """
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part (correlated-MIN subquery →
+# argmin). The testdata schema carries no partsupp table, so supply
+# cost derives from lineitem history: avg unit price each supplier
+# actually charged for the part.
+# Reference: flink_learning/flink_typora.md SQL exercises (correlated
+# subquery pattern); flink_table_api_utils.py:209 execute_sql_query.
+
+MIN_COST_REGION = "EUROPE"
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every part supplied from MIN_COST_REGION, the supplier with
+    the LOWEST average unit price (ties → lowest suppkey), Q2's
+    correlated `cost = (SELECT min(..) WHERE partkey = p_partkey)`
+    expressed as a window argmin.
+
+    Scale shape: unit cost aggregates lineitem on (partkey, suppkey) —
+    ONE keyed exchange of the fact table with map-side partials; the
+    region filter cuts suppliers BEFORE the cost join (semi-join
+    through broadcast nation/region dims); the per-part argmin is a
+    row_number over (p_partkey) on the already-aggregated bridge (pair
+    cardinality, not fact cardinality). No correlated re-scan per part
+    — the window pass IS the decorrelation.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == MIN_COST_REGION)
+    nation = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(davg(F.col("l_extendedprice") / F.col("l_quantity"), "unit_cost"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        cost.join(supp, cost.l_suppkey == supp.s_suppkey)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            "s_name",
+            "n_name",
+            F.col("unit_cost").alias("min_unit_cost"),
+        )
+        .orderBy("min_unit_cost", "p_partkey")
+        .limit(100)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         {sql_davg('l_extendedprice / l_quantity', 'unit_cost')}
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MIN_COST_REGION}'
+),
+ranked AS (
+  SELECT l_partkey, s_name, n_name, unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rn
+  FROM cost JOIN eu ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, p_name, p_type, s_name, n_name,
+       unit_cost AS min_unit_cost
+FROM ranked JOIN part ON l_partkey = p_partkey
+WHERE rn = 1
+ORDER BY min_unit_cost, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important-stock identification — per-part value filtered
+# against a GLOBAL scalar threshold (fraction of total traded value).
+
+IMPORTANT_STOCK_FRACTION = 0.001
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose traded value exceeds IMPORTANT_STOCK_FRACTION of the
+    total — Q11's `HAVING value > (SELECT sum(..) * f)` scalar
+    subquery.
+
+    Scale shape: ONE keyed aggregation of lineitem on partkey (partial
+    aggs map-side), the global total computed from the SAME aggregate
+    (single-row frame, broadcast crossJoin — bytes, policy-exempt) —
+    the fact table is scanned once, not twice.
+    """
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(dsum(value, "part_value"))
+    )
+    total = per_part.agg(dsum("part_value", "total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * IMPORTANT_STOCK_FRACTION)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+IMPORTANT_STOCK_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {sql_dsum('l_extendedprice * (1 - l_discount)', 'part_value')}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
+         * {IMPORTANT_STOCK_FRACTION}
+  FROM per_part
+)
+ORDER BY part_value DESC, l_partkey
+"""

@@ -62,11 +62,12 @@ def _populate() -> None:
     51+ were silently skipped), new queries next, and queries already
     driver-green in a previous round fill the tail.
 
-    Round-5 note: after round 4's run, tiers 1+2 below (49 entries) are
-    driver-checked and every tier-3 query was green in rounds 2/3 — so
-    next round, move any NEW queries to the front and rotate the oldest
-    tier-3 entries (their green rows date to r2) into the window behind
-    them.
+    Round-5 window (positions 1-50): 14 NEW queries, then the 20
+    queries whose only driver-green row dated to round 2 (rotated in so
+    their rows refresh against current code), then the r3-dated TPC-H
+    classics + relational core fill the remainder.  Round-6 note:
+    rotate the NEXT-oldest green rows (windows/joins/LLM blocks, r3)
+    behind any new queries.
     """
     global _POPULATED
     if _POPULATED:
@@ -81,7 +82,187 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- Tier 1: never driver-checked before round 4 (24 queries) ----
+    # ---- Tier N: NEW in round 5 (14 queries) ----
+    register(
+        "q_min_cost_supplier",
+        tpch.min_cost_supplier,
+        tpch.MIN_COST_SUPPLIER_SQL,
+        headline=True,
+    )
+    register("q_important_stock", tpch.important_stock, tpch.IMPORTANT_STOCK_SQL)
+    register("q_basket_pairs", os_.basket_pairs, os_.BASKET_PAIRS_SQL, headline=True)
+    register("q_rfm_segments", os_.rfm_segments, os_.RFM_SEGMENTS_SQL)
+    register(
+        "q_shipping_delay_percentiles",
+        os_.shipping_delay_percentiles,
+        os_.SHIPPING_DELAY_PCTS_SQL,
+    )
+    register("q_fuzzy_part_match", os_.fuzzy_part_match, os_.FUZZY_PART_MATCH_SQL)
+    register("q_mad_outliers", ea.mad_outliers, ea.MAD_OUTLIERS_SQL, headline=True)
+    register("q_max_concurrency", ea.max_concurrency, ea.MAX_CONCURRENCY_SQL)
+    register("q_hourly_seasonality", ea.hourly_seasonality, ea.HOURLY_SEASONALITY_SQL)
+    register("q_event_cooccurrence", ea.event_cooccurrence, ea.EVENT_COOCCURRENCE_SQL)
+    register("q_activity_streaks", ea.activity_streaks, ea.ACTIVITY_STREAKS_SQL)
+    register("q_bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL)
+    register("q_bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL, headline=True)
+    register("q_triangle_census", llm.triangle_census, llm.TRIANGLE_CENSUS_SQL)
+
+    # ---- Tier R: r2-dated rotation (20 queries whose only driver-green
+    # row dated to round 2 — refreshed against current code this round) ----
+    register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
+    register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
+    register("q_doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL)
+    register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
+    register("q_dedup_survivors", llm.dedup_survivors, llm.DEDUP_SURVIVORS_SQL)
+    register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
+    register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
+    register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
+    register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
+    register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
+    register("q_status_distribution", os_.status_distribution, os_.STATUS_DISTRIBUTION_SQL)
+    register("q_top_parts_per_segment", os_.top_parts_per_segment, os_.TOP_PARTS_PER_SEGMENT_SQL)
+    register("q_dedup_clusters", llm.dedup_clusters, llm.DEDUP_CLUSTERS_SQL)
+    register("q_stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL)
+    register(
+        "q_event_funnel", ea.event_funnel, ea.EVENT_FUNNEL_SQL, headline=True
+    )
+    register(
+        "q_funnel_abandonment", ea.funnel_abandonment, ea.FUNNEL_ABANDONMENT_SQL
+    )
+    register(
+        "q_order_json_roundtrip",
+        oe.order_json_roundtrip,
+        oe.ORDER_JSON_ROUNDTRIP_SQL,
+    )
+    register("q_union_activity", comp.union_activity, comp.UNION_ACTIVITY_SQL)
+    register(
+        "q_cogroup_user_activity",
+        comp.cogroup_user_activity,
+        comp.COGROUP_USER_ACTIVITY_SQL,
+    )
+    register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
+
+    # ---- Tier O: r3-dated greens (TPC-H classics first — next-oldest rows) ----
+    register(
+        "q_sql_pricing_summary",
+        tpch.pricing_summary,
+        tpch.PRICING_SUMMARY_SQL,
+        headline=True,
+    )
+    register(
+        "q_shipping_priority",
+        tpch.shipping_priority,
+        tpch.SHIPPING_PRIORITY_SQL,
+        headline=True,
+    )
+    register(
+        "q_local_supplier_volume",
+        tpch.local_supplier_volume,
+        tpch.LOCAL_SUPPLIER_VOLUME_SQL,
+        headline=True,
+    )
+    register("q_market_share", tpch.market_share, tpch.MARKET_SHARE_SQL, headline=True)
+    register(
+        "q_order_priority_check",
+        tpch.order_priority_check,
+        tpch.ORDER_PRIORITY_CHECK_SQL,
+        headline=True,
+    )
+    register(
+        "q_customer_order_distribution",
+        tpch.customer_order_distribution,
+        tpch.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        headline=True,
+    )
+    register(
+        "q_large_volume_orders",
+        tpch.large_volume_orders,
+        tpch.LARGE_VOLUME_ORDERS_SQL,
+    )
+    register(
+        "q_dormant_high_value",
+        tpch.dormant_high_value,
+        tpch.DORMANT_HIGH_VALUE_SQL,
+    )
+    register("q_volume_shipping", tpch.volume_shipping, tpch.VOLUME_SHIPPING_SQL)
+    register(
+        "q_promo_revenue_share",
+        tpch.promo_revenue_share,
+        tpch.PROMO_REVENUE_SHARE_SQL,
+    )
+    register("q_top_supplier", tpch.top_supplier, tpch.TOP_SUPPLIER_SQL)
+    register(
+        "q_small_quantity_revenue",
+        tpch.small_quantity_revenue,
+        tpch.SMALL_QUANTITY_REVENUE_SQL,
+    )
+    register(
+        "q_disjunctive_revenue",
+        tpch.disjunctive_revenue,
+        tpch.DISJUNCTIVE_REVENUE_SQL,
+    )
+    register(
+        "q_sole_returner_suppliers",
+        tpch.sole_returner_suppliers,
+        tpch.SOLE_RETURNER_SUPPLIERS_SQL,
+    )
+
+    # relational core (SURVEY §2 #1-6, #20)
+    register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
+    register("q_filter_pushdown", ea.filter_pushdown, ea.FILTER_PUSHDOWN_SQL)
+    register("q_flatmap_words", ea.flatmap_words, ea.FLATMAP_WORDS_SQL)
+    register("q_keyby_agg", ea.keyby_agg, ea.KEYBY_AGG_SQL)
+    register("q_validate_clean", ea.validate_clean, ea.VALIDATE_CLEAN_SQL)
+    register("q_side_output_errors", ea.side_output_errors, ea.SIDE_OUTPUT_ERRORS_SQL)
+    register("q_json_etl", ea.json_etl, ea.JSON_ETL_SQL, headline=True)
+
+    # windows (#10-14)
+    register("q_tumbling_window", ea.tumbling_window, ea.TUMBLING_WINDOW_SQL, headline=True)
+    register("q_sliding_window", ea.sliding_window, ea.SLIDING_WINDOW_SQL, headline=True)
+    register("q_session_window", ea.session_window, ea.SESSION_WINDOW_SQL, headline=True)
+    register("q_count_window_tumbling", ea.count_window_tumbling, ea.COUNT_WINDOW_TUMBLING_SQL)
+    register("q_count_window_sliding", ea.count_window_sliding, ea.COUNT_WINDOW_SLIDING_SQL)
+
+    # joins (#16-19)
+    register("q_lookup_join", os_.lookup_join, os_.LOOKUP_JOIN_SQL, headline=True)
+    register("q_window_join", ea.window_join, ea.WINDOW_JOIN_SQL)
+    register("q_interval_join", ea.interval_join, ea.INTERVAL_JOIN_SQL, headline=True)
+    register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
+
+    # LLM-data-pipeline ops (#37-47)
+    register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
+    register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
+    register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
+    register(
+        "q_dedup_minhash_lsh",
+        llm.dedup_minhash_lsh,
+        llm.DEDUP_MINHASH_LSH_SQL,
+        headline=True,
+    )
+    register("q_dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_SQL)
+    register("q_dedup_embedding", llm.dedup_embedding, llm.DEDUP_EMBEDDING_SQL)
+    register("q_knn_bruteforce", llm.knn_bruteforce, llm.KNN_BRUTEFORCE_SQL, headline=True)
+    register("q_knn_lsh", llm.knn_lsh, llm.KNN_LSH_SQL)
+    register("q_knn_ivf", llm.knn_ivf, llm.KNN_IVF_SQL, headline=True)
+    register("q_embed_quantize", llm.embed_quantize, llm.EMBED_QUANTIZE_SQL)
+    register("q_knn_quantized", llm.knn_quantized, llm.KNN_QUANTIZED_SQL)
+    register("q_semantic_dedup", llm.semantic_dedup, llm.SEMANTIC_DEDUP_SQL)
+    register("q_model_score", llm.model_score, llm.MODEL_SCORE_SQL)
+    register("q_embed_cluster", llm.embed_cluster, llm.EMBED_CLUSTER_SQL)
+    register("q_curriculum_buckets", llm.curriculum_buckets, llm.CURRICULUM_BUCKETS_SQL)
+    register("q_corpus_stats", llm.corpus_stats, llm.CORPUS_STATS_SQL)
+    register("q_vocab_topk", llm.vocab_topk, llm.VOCAB_TOPK_SQL)
+    register("q_lang_id", llm.lang_id, llm.LANG_ID_SQL)
+    register("q_quality_score", llm.quality_score, llm.QUALITY_SCORE_SQL, headline=True)
+
+    # order statistics (#9, #21-24)
+    # multidim aggregation + profiling (#49-50)
+    register("q_event_profile_sketch", ea.event_profile_sketch, None)
+
+
+    # multi-stream composition (#60-62: union/connect, cogroup, running reduce)
+
+    # ---- Tier F: driver-green r4 (freshest rows — tail of the window) ----
     register("q_dedup_clusters_star", llm.dedup_clusters_star, llm.DEDUP_CLUSTERS_STAR_SQL)
     register("q_pii_scrub", cur.pii_scrub, cur.PII_SCRUB_SQL)
     register("q_gopher_quality", cur.gopher_quality, cur.GOPHER_QUALITY_SQL, headline=True)
@@ -197,155 +378,3 @@ def _populate() -> None:
         "q_event_transitions", ea.event_transitions, ea.EVENT_TRANSITIONS_SQL
     )
     register("q_user_outliers", ea.user_outliers, ea.USER_OUTLIERS_SQL)
-
-    # ---- Tier 3: driver-green in a previous round ----
-    register(
-        "q_sql_pricing_summary",
-        tpch.pricing_summary,
-        tpch.PRICING_SUMMARY_SQL,
-        headline=True,
-    )
-    register(
-        "q_shipping_priority",
-        tpch.shipping_priority,
-        tpch.SHIPPING_PRIORITY_SQL,
-        headline=True,
-    )
-    register(
-        "q_local_supplier_volume",
-        tpch.local_supplier_volume,
-        tpch.LOCAL_SUPPLIER_VOLUME_SQL,
-        headline=True,
-    )
-    register("q_market_share", tpch.market_share, tpch.MARKET_SHARE_SQL, headline=True)
-    register(
-        "q_order_priority_check",
-        tpch.order_priority_check,
-        tpch.ORDER_PRIORITY_CHECK_SQL,
-        headline=True,
-    )
-    register(
-        "q_customer_order_distribution",
-        tpch.customer_order_distribution,
-        tpch.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-        headline=True,
-    )
-    register(
-        "q_large_volume_orders",
-        tpch.large_volume_orders,
-        tpch.LARGE_VOLUME_ORDERS_SQL,
-    )
-    register(
-        "q_dormant_high_value",
-        tpch.dormant_high_value,
-        tpch.DORMANT_HIGH_VALUE_SQL,
-    )
-    register("q_volume_shipping", tpch.volume_shipping, tpch.VOLUME_SHIPPING_SQL)
-    register(
-        "q_promo_revenue_share",
-        tpch.promo_revenue_share,
-        tpch.PROMO_REVENUE_SHARE_SQL,
-    )
-    register("q_top_supplier", tpch.top_supplier, tpch.TOP_SUPPLIER_SQL)
-    register(
-        "q_small_quantity_revenue",
-        tpch.small_quantity_revenue,
-        tpch.SMALL_QUANTITY_REVENUE_SQL,
-    )
-    register(
-        "q_disjunctive_revenue",
-        tpch.disjunctive_revenue,
-        tpch.DISJUNCTIVE_REVENUE_SQL,
-    )
-    register(
-        "q_sole_returner_suppliers",
-        tpch.sole_returner_suppliers,
-        tpch.SOLE_RETURNER_SUPPLIERS_SQL,
-    )
-
-    # relational core (SURVEY §2 #1-6, #20)
-    register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
-    register("q_filter_pushdown", ea.filter_pushdown, ea.FILTER_PUSHDOWN_SQL)
-    register("q_flatmap_words", ea.flatmap_words, ea.FLATMAP_WORDS_SQL)
-    register("q_keyby_agg", ea.keyby_agg, ea.KEYBY_AGG_SQL)
-    register("q_validate_clean", ea.validate_clean, ea.VALIDATE_CLEAN_SQL)
-    register("q_side_output_errors", ea.side_output_errors, ea.SIDE_OUTPUT_ERRORS_SQL)
-    register("q_json_etl", ea.json_etl, ea.JSON_ETL_SQL, headline=True)
-
-    # windows (#10-14)
-    register("q_tumbling_window", ea.tumbling_window, ea.TUMBLING_WINDOW_SQL, headline=True)
-    register("q_sliding_window", ea.sliding_window, ea.SLIDING_WINDOW_SQL, headline=True)
-    register("q_session_window", ea.session_window, ea.SESSION_WINDOW_SQL, headline=True)
-    register("q_count_window_tumbling", ea.count_window_tumbling, ea.COUNT_WINDOW_TUMBLING_SQL)
-    register("q_count_window_sliding", ea.count_window_sliding, ea.COUNT_WINDOW_SLIDING_SQL)
-
-    # joins (#16-19)
-    register("q_lookup_join", os_.lookup_join, os_.LOOKUP_JOIN_SQL, headline=True)
-    register("q_window_join", ea.window_join, ea.WINDOW_JOIN_SQL)
-    register("q_interval_join", ea.interval_join, ea.INTERVAL_JOIN_SQL, headline=True)
-    register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
-
-    # LLM-data-pipeline ops (#37-47)
-    register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
-    register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
-    register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
-    register(
-        "q_dedup_minhash_lsh",
-        llm.dedup_minhash_lsh,
-        llm.DEDUP_MINHASH_LSH_SQL,
-        headline=True,
-    )
-    register("q_dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_SQL)
-    register("q_dedup_embedding", llm.dedup_embedding, llm.DEDUP_EMBEDDING_SQL)
-    register("q_knn_bruteforce", llm.knn_bruteforce, llm.KNN_BRUTEFORCE_SQL, headline=True)
-    register("q_knn_lsh", llm.knn_lsh, llm.KNN_LSH_SQL)
-    register("q_knn_ivf", llm.knn_ivf, llm.KNN_IVF_SQL, headline=True)
-    register("q_embed_quantize", llm.embed_quantize, llm.EMBED_QUANTIZE_SQL)
-    register("q_knn_quantized", llm.knn_quantized, llm.KNN_QUANTIZED_SQL)
-    register("q_semantic_dedup", llm.semantic_dedup, llm.SEMANTIC_DEDUP_SQL)
-    register("q_model_score", llm.model_score, llm.MODEL_SCORE_SQL)
-    register("q_embed_cluster", llm.embed_cluster, llm.EMBED_CLUSTER_SQL)
-    register("q_curriculum_buckets", llm.curriculum_buckets, llm.CURRICULUM_BUCKETS_SQL)
-    register("q_corpus_stats", llm.corpus_stats, llm.CORPUS_STATS_SQL)
-    register("q_vocab_topk", llm.vocab_topk, llm.VOCAB_TOPK_SQL)
-    register("q_lang_id", llm.lang_id, llm.LANG_ID_SQL)
-    register("q_quality_score", llm.quality_score, llm.QUALITY_SCORE_SQL, headline=True)
-    register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
-    register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
-    register("q_doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL)
-    register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
-    register("q_dedup_survivors", llm.dedup_survivors, llm.DEDUP_SURVIVORS_SQL)
-    register("q_dedup_clusters", llm.dedup_clusters, llm.DEDUP_CLUSTERS_SQL)
-    register("q_stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL)
-
-    # order statistics (#9, #21-24)
-    # multidim aggregation + profiling (#49-50)
-    register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
-    register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
-    register("q_event_profile_sketch", ea.event_profile_sketch, None)
-    register(
-        "q_event_funnel", ea.event_funnel, ea.EVENT_FUNNEL_SQL, headline=True
-    )
-    register(
-        "q_funnel_abandonment", ea.funnel_abandonment, ea.FUNNEL_ABANDONMENT_SQL
-    )
-
-    register(
-        "q_order_json_roundtrip",
-        oe.order_json_roundtrip,
-        oe.ORDER_JSON_ROUNDTRIP_SQL,
-    )
-
-    # multi-stream composition (#60-62: union/connect, cogroup, running reduce)
-    register("q_union_activity", comp.union_activity, comp.UNION_ACTIVITY_SQL)
-    register(
-        "q_cogroup_user_activity",
-        comp.cogroup_user_activity,
-        comp.COGROUP_USER_ACTIVITY_SQL,
-    )
-    register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
-    register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
-    register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
-    register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
-    register("q_status_distribution", os_.status_distribution, os_.STATUS_DISTRIBUTION_SQL)
-    register("q_top_parts_per_segment", os_.top_parts_per_segment, os_.TOP_PARTS_PER_SEGMENT_SQL)
