@@ -355,3 +355,42 @@ def pagerank(
         # reused input — so no recomputation multiplies across rounds.
         ranks = updated.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Triangle/wedge/edge counts over an id-ORIENTED edge list
+    (``src < dst`` required — each triangle then appears exactly once
+    as a<b<c). Classic two-join census: wedges a-b-c from edge pairs
+    sharing the middle vertex, closed by an (a,c) edge probe.
+
+    Scale: the wedge frame is Σ over middle vertices of
+    out-deg·in-deg; with raw id orientation a hub id that sorts low
+    fans out quadratically — at 100 TB orient by (degree, id) first
+    (same joins, different comparator; standard Cohen's trick). Output
+    is ONE row: n_triangles, n_wedges, n_edges, closure_ratio =
+    3·tri/wedges (the global clustering coefficient).
+    """
+    pairs = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    e1 = pairs.select(F.col("_a").alias("a"), F.col("_b").alias("b"))
+    e2 = pairs.select(F.col("_a").alias("b"), F.col("_b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    e3 = pairs.select(F.col("_a").alias("a"), F.col("_b").alias("c"))
+    tris = wedges.join(e3, ["a", "c"])
+    n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_wedge = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_edge = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_tri.crossJoin(F.broadcast(n_wedge))
+        .crossJoin(F.broadcast(n_edge))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            "n_edges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closure_ratio"),
+        )
+    )

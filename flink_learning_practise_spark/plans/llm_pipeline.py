@@ -1770,31 +1770,12 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB, orient by (degree, id) instead of raw id to bound the
     worst hub's wedge fan-out (same joins, different comparator).
     Output: one row — triangles, wedges (open+closed), edges, and the
-    global closure ratio 3·tri/wedges."""
+    global closure ratio 3·tri/wedges (operators/graph.triangle_census,
+    brute-force-checked in tests/test_graph.py)."""
+    from ..operators import graph
+
     pairs = _shared_pair_tier(spark, sf_dir).select("id_a", "id_b")
-    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tris = wedges.join(e3, ["a", "c"])
-    n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_wedge = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-    n_edge = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        n_tri.crossJoin(F.broadcast(n_wedge))
-        .crossJoin(F.broadcast(n_edge))
-        .select(
-            "n_triangles",
-            "n_wedges",
-            "n_edges",
-            F.when(
-                F.col("n_wedges") > 0,
-                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 9),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("closure_ratio"),
-        )
-    )
+    return graph.triangle_census(pairs, src="id_a", dst="id_b")
 
 
 TRIANGLE_CENSUS_SQL = f"""

@@ -1034,15 +1034,18 @@ LIMIT 100
 
 # ---------------------------------------------------------------------------
 # Q11 shape: important-stock identification — per-part value filtered
-# against a GLOBAL scalar threshold (fraction of total traded value).
+# against a GLOBAL scalar threshold. TPC-H's fixed fraction-of-total
+# empties as the part catalog grows (at sf0.01 no part holds 0.1% of
+# total value), so the threshold is a MULTIPLE OF THE MEAN part value —
+# scale-free: it flags the same top tail at every SF.
 
-IMPORTANT_STOCK_FRACTION = 0.001
+IMPORTANT_STOCK_MULTIPLE = 1.5
 
 
 def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose traded value exceeds IMPORTANT_STOCK_FRACTION of the
-    total — Q11's `HAVING value > (SELECT sum(..) * f)` scalar
-    subquery.
+    """Parts whose traded value exceeds IMPORTANT_STOCK_MULTIPLE x the
+    mean per-part value — Q11's `HAVING value > (SELECT agg(..) * f)`
+    scalar subquery.
 
     Scale shape: ONE keyed aggregation of lineitem on partkey (partial
     aggs map-side), the global total computed from the SAME aggregate
@@ -1055,10 +1058,10 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum(value, "part_value"))
     )
-    total = per_part.agg(dsum("part_value", "total_value"))
+    mean = per_part.agg(davg("part_value", "mean_value"))
     return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("total_value") * IMPORTANT_STOCK_FRACTION)
+        per_part.crossJoin(F.broadcast(mean))
+        .filter(F.col("part_value") > F.col("mean_value") * IMPORTANT_STOCK_MULTIPLE)
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")
     )
@@ -1074,7 +1077,7 @@ SELECT l_partkey, part_value
 FROM per_part
 WHERE part_value > (
   SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
-         * {IMPORTANT_STOCK_FRACTION}
+         / COUNT(part_value) * {IMPORTANT_STOCK_MULTIPLE}
   FROM per_part
 )
 ORDER BY part_value DESC, l_partkey

@@ -384,3 +384,86 @@ def test_heavy_hitter_exact_property_random_corpora(spark):
                 for r in heavy_hitter_tokens(df, "text", k=k).collect()
             }
             assert got == want, f"trial {trial} k={k}: {got ^ want}"
+
+
+def test_keyed_rank_matches_window(spark):
+    """keyed_rank_with_totals must equal row_number() OVER (PARTITION BY
+    key ORDER BY ...) for every key, and totals must equal key counts —
+    across a partition count that forces keys to straddle partitions."""
+    import random
+
+    from flink_learning_practise_spark.operators.transforms import (
+        keyed_rank_with_totals,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (rng.choice(["a", "b", "c", "d"]), i, rng.uniform(-50, 50))
+        for i in range(4000)
+    ]
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    ranked, totals = keyed_rank_with_totals(
+        df, ["k"], ["v", "id"], "r", partitions=16
+    )
+    w = Window.partitionBy("k").orderBy("v", "id")
+    exp = {
+        (r.k, r.id): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = {(r.k, r.id): r.r for r in ranked.collect()}
+    assert got == exp
+    from collections import Counter
+
+    key_counts = Counter(k for k, _, _ in rows)
+    assert {r.k: r.n for r in totals.collect()} == dict(key_counts)
+
+
+def test_max_concurrency_brute_force(spark):
+    """Sweep-line result vs brute-force interval stabbing at sf0.001:
+    sessionize identically, then count overlaps at every boundary
+    instant per day in pure Python."""
+    from flink_learning_practise_spark.plans.events_analytics import (
+        CONCURRENCY_GAP_MIN,
+        max_concurrency,
+    )
+    from flink_learning_practise_spark.datasets import load
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id").collect()
+    from collections import defaultdict
+    import datetime
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    gap = datetime.timedelta(minutes=CONCURRENCY_GAP_MIN)
+    sessions = []
+    for rows in by_user.values():
+        rows.sort()
+        start = prev = rows[0][0]
+        for t, _ in rows[1:]:
+            # whole-second gap comparison, matching unix_timestamp()
+            if int(t.timestamp()) - int(prev.timestamp()) > gap.total_seconds():
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    # clip per day, stab at each boundary
+    per_day = defaultdict(list)
+    for s, e in sessions:
+        d = s.date()
+        while d <= e.date():
+            day_start = datetime.datetime.combine(d, datetime.time())
+            day_end = day_start + datetime.timedelta(days=1) - datetime.timedelta(microseconds=1)
+            per_day[d].append((max(s, day_start), min(e, day_end)))
+            d += datetime.timedelta(days=1)
+    expected = {}
+    for d, ivals in per_day.items():
+        bounds = {t for iv in ivals for t in iv}
+        expected[d] = max(
+            sum(1 for s, e in ivals if s <= t <= e) for t in bounds
+        )
+    got = {r.day: r.max_concurrency for r in max_concurrency(spark, sf).collect()}
+    assert got == expected

@@ -146,3 +146,50 @@ def test_star_cc_keeps_self_loop_only_vertices(spark):
         for r in connected_components(edges, "a", "b").collect()
     }
     assert star == base == {7: 7, 1: 1, 2: 1}
+
+
+def test_triangle_census_brute_force(spark):
+    """Census vs itertools brute force on a random oriented graph."""
+    import itertools
+    import random
+
+    from flink_learning_practise_spark.operators.graph import triangle_census
+
+    rng = random.Random(11)
+    n = 40
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                tuple(sorted(rng.sample(range(n), 2))) for _ in range(200)
+            )
+        }
+    )
+    eset = set(edges)
+    tris = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    wedges = sum(
+        1
+        for (a, b) in edges
+        for c in range(b + 1, n)
+        if (b, c) in eset
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_census(df).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tris
+    assert row.n_wedges == wedges
+    if wedges:
+        assert abs(row.closure_ratio - round(3.0 * tris / wedges, 9)) < 1e-12
+
+
+def test_triangle_census_empty_graph(spark):
+    from flink_learning_practise_spark.operators.graph import triangle_census
+
+    df = spark.createDataFrame([], "u long, v long")
+    row = triangle_census(df).collect()[0]
+    assert (row.n_triangles, row.n_wedges, row.n_edges) == (0, 0, 0)
+    assert row.closure_ratio == 0.0
