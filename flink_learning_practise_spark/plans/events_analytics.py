@@ -2099,39 +2099,35 @@ MAD_CONSISTENCY = 1.4826  # normal-consistency constant
 
 
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.transforms import keyed_rank_with_totals
+    from ..operators.transforms import keyed_select_rank
 
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     base = ev.select("event_type", "event_id", "value")
 
-    def keyed_median(df: DataFrame, val: str, out: str) -> DataFrame:
-        ranked, totals = keyed_rank_with_totals(
-            df, ["event_type"], [val, "event_id"], "_r"
-        )
-        target = totals.select(
-            "event_type", F.ceil(F.col("n") / 2).cast("long").alias("_t")
-        )
-        return (
-            # one row per type — bounded by key cardinality
-            ranked.join(F.broadcast(target), "event_type")  # broadcast-policy-exempt
-            .filter(F.col("_r") == F.col("_t"))
-            .select("event_type", F.col(val).alias(out))
-        )
+    # discrete median = rank ceil(n/2); keyed_select_rank windows ONLY
+    # the partitions holding each key's target rank (≤K of them), never
+    # the full relation — see the operator docstring
+    median_rank = lambda n: (n + 1) // 2  # noqa: E731  ceil(n/2)
 
-    med = keyed_median(base, "value", "median")
-    dev = base.join(F.broadcast(med), "event_type").select(  # broadcast-policy-exempt: K rows
+    pinned1, med_row = keyed_select_rank(
+        base, ["event_type"], ["value", "event_id"], median_rank
+    )
+    med = med_row.select("event_type", F.col("value").alias("median"))
+    # dev chains off the PASS-1 CHECKPOINT (not a fresh events scan)
+    dev = pinned1.join(F.broadcast(med), "event_type").select(  # broadcast-policy-exempt: K rows
         "event_type",
         "event_id",
         "value",
         F.abs(F.col("value") - F.col("median")).alias("_dev"),
         "median",
     )
-    mad = keyed_median(
-        dev.select("event_type", "event_id", F.col("_dev").alias("value")),
-        "value",
-        "mad",
+    # pass 2 pins the FULL dev rows, so its checkpoint doubles as the
+    # flagging input — nothing upstream is recomputed for the final agg
+    pinned2, mad_row = keyed_select_rank(
+        dev, ["event_type"], ["_dev", "event_id"], median_rank
     )
-    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(  # broadcast-policy-exempt: K rows
+    mad = mad_row.select("event_type", F.col("_dev").alias("mad"))
+    flagged = pinned2.join(F.broadcast(mad), "event_type").withColumn(  # broadcast-policy-exempt: K rows
         "_is_out",
         F.col("_dev") > F.lit(MAD_K * MAD_CONSISTENCY) * F.col("mad"),
     )

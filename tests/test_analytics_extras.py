@@ -467,3 +467,38 @@ def test_max_concurrency_brute_force(spark):
         )
     got = {r.day: r.max_concurrency for r in max_concurrency(spark, sf).collect()}
     assert got == expected
+
+
+def test_keyed_select_rank_matches_window_median(spark):
+    """keyed_select_rank at ceil(n/2) must pick exactly the window-based
+    discrete median row per key, including keys that straddle range
+    partitions."""
+    import random
+
+    from pyspark.sql import Window
+
+    from flink_learning_practise_spark.operators.transforms import (
+        keyed_select_rank,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (rng.choice(["a", "b", "c"]), i, rng.uniform(-10, 10))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    _, sel = keyed_select_rank(
+        df, ["k"], ["v", "id"], lambda n: (n + 1) // 2, partitions=16
+    )
+    got = {r.k: (r.v, r.id) for r in sel.collect()}
+    w = Window.partitionBy("k").orderBy("v", "id")
+    ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+    exp = {
+        r.k: (r.v, r.id)
+        for r in ranked.filter(
+            F.col("rn") == F.ceil(F.col("n") / 2).cast("int")
+        ).collect()
+    }
+    assert got == exp
