@@ -1641,11 +1641,15 @@ BM25_TOP_N = 20
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: tf is one corpus aggregate filtered to the |Q|
-    query terms (the filter prunes BEFORE the shuffle — the aggregate
-    carries only matching tokens); df/idf and avgdl are |Q|-row /
-    single-row broadcast frames. No per-query corpus rescan — a query
-    batch would join its term set the same way."""
+    """Scale shape: two pruned passes, deliberately NOT one shared
+    (doc, token) aggregate — the doc-length tier needs every token but
+    only 2 narrow columns, while the tf tier filters to the |Q| query
+    terms BEFORE its shuffle (Catalyst pushes the term filter beneath
+    the aggregate, which also means a "shared" aggregate would not be
+    reused — the pushed filter makes the subtrees differ). df/idf and
+    avgdl are |Q|-row / single-row broadcast frames. No per-query
+    corpus rescan — a query batch would join its term set the same
+    way."""
     docs = load(spark, sf_dir, "documents")
     from ..operators.dedup import widen
     from ..operators.text import normalize
@@ -1810,4 +1814,96 @@ SELECT n_triangles, n_wedges, n_edges,
             THEN round(3.0 * n_triangles / n_wedges, 9)
             ELSE 0.0 END AS closure_ratio
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# #132 Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the top-K
+# vocabulary — the corpus-health diagnostic (natural text sits near
+# slope −1; template/boilerplate corpora flatten, codey corpora
+# steepen). The regression inputs are rounded-ln values decimal-summed
+# (partition-order-exact), the window runs over the VOCAB frame
+# (Heaps-sublinear), and the fit is closed-form double math over five
+# finished scalars.
+
+ZIPF_TOP_K = 1000
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import widen
+    from ..operators.text import normalize
+
+    toks = (
+        widen(docs)
+        .select(F.explode(F.split(normalize(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab-sized unpartitioned window (same bounded-frame justification
+    # as the unigram tier); rank ties broken on the token for a total order
+    w = Window.orderBy(F.desc("cnt"), "token")
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP_K)
+        .select(
+            F.round(F.log("rank"), 9).alias("x"),
+            F.round(F.log("cnt"), 9).alias("y"),
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return m.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)), 9) AS x,
+         round(ln(CAST(cnt AS DOUBLE)), 9) AS y,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM freq
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy
+  FROM ranked WHERE rank <= {ZIPF_TOP_K}
+)
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+FROM m
 """

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datasets import load
-from ..num import davg, dsum, sql_davg, sql_dsum
+from ..num import DEC, davg, dsum, sql_davg, sql_dsum
 from ..operators.dedup import widen
 from ..operators import joins, windows
 
@@ -403,7 +403,18 @@ BASKET_TOP_N = 50
 
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the (order, part) DISTINCT feeds FOUR consumers (two self-join
+    # sides, per-part supports, the order total) — materialize it ONCE
+    # behind an eager checkpoint, pre-partitioned on the join key, so
+    # the fact scan + distinct run once instead of per branch (the same
+    # materialization boundary the shared pair tier uses; at 100 TB
+    # this intermediate would land as a table between stages)
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition("l_orderkey")
+        .localCheckpoint(eager=True)
+    )
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -654,4 +665,152 @@ SELECT a.p_name AS name_a, b.p_name AS name_b,
 FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# #129 set-operation churn segments: customers retained / churned / new
+# across two order-date halves — INTERSECT and EXCEPT exercised as
+# first-class relational surface (both compile to hash semi/anti joins;
+# the two period key-sets come from ONE orders scan each, distinct
+# pushed below the set op).
+
+CHURN_SPLIT_DATE = "1997-07-01"
+
+
+def customer_churn_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    h1 = orders.filter(F.col("o_orderdate") < F.lit(CHURN_SPLIT_DATE).cast("timestamp")).select(
+        "o_custkey"
+    ).distinct()
+    h2 = orders.filter(F.col("o_orderdate") >= F.lit(CHURN_SPLIT_DATE).cast("timestamp")).select(
+        "o_custkey"
+    ).distinct()
+    seg = (
+        h1.intersect(h2).select(F.lit("retained").alias("segment"), "o_custkey")
+        .unionByName(
+            h1.exceptAll(h2).select(F.lit("churned").alias("segment"), "o_custkey")
+        )
+        .unionByName(
+            h2.exceptAll(h1).select(F.lit("new").alias("segment"), "o_custkey")
+        )
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+CUSTOMER_CHURN_SEGMENTS_SQL = f"""
+WITH h1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '{CHURN_SPLIT_DATE} 00:00:00'
+),
+h2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{CHURN_SPLIT_DATE} 00:00:00'
+),
+seg AS (
+  SELECT 'retained' AS segment, o_custkey FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+  UNION ALL
+  SELECT 'churned', o_custkey FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+  UNION ALL
+  SELECT 'new', o_custkey FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
+)
+SELECT segment, COUNT(*) AS n_customers
+FROM seg GROUP BY segment ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# #130 percent-of-parent hierarchical shares: nation revenue as a share
+# of its region and of the total — the two-level report every BI layer
+# builds. ONE fact aggregate (nation grain); the share windows run over
+# the 25-row nation tier, so the "unpartitioned window" is bounded by
+# the dimension, never the data.
+
+
+def regional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w_r = Window.partitionBy("r_name")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        rev.withColumn(
+            "region_share",
+            F.round(F.col("revenue") / F.sum(F.col("revenue").cast(DEC)).over(w_r).cast("double"), 9),
+        )
+        .withColumn(
+            "total_share",
+            F.round(F.col("revenue") / F.sum(F.col("revenue").cast(DEC)).over(w_all).cast("double"), 9),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REGIONAL_SHARE_SQL = f"""
+WITH rev AS (
+  SELECT r_name, n_name, {sql_dsum('o_totalprice', 'revenue')}
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue,
+       round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY r_name) AS DOUBLE), 9) AS region_share,
+       round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER () AS DOUBLE), 9) AS total_share
+FROM rev
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# #131 custom GROUPING SETS + grouping_id: the exact subtotal
+# combinations a report needs — (year), (status), (year, status) — NOT
+# the full cube (no grand total here), completing the rollup (#49) /
+# cube (#49b) family; grouping_id disambiguates real NULLs from
+# subtotal NULLs.
+
+
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.withColumn("order_year", F.year("o_orderdate"))
+    return (
+        base.groupingSets(
+            [["order_year"], ["o_orderstatus"], ["order_year", "o_orderstatus"]],
+            "order_year",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select("order_year", "o_orderstatus", "gid", "n_orders", "total_price")
+    )
+
+
+SALES_GROUPING_SETS_SQL = f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       CAST(grouping(year(o_orderdate)) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus),
+                        (year(o_orderdate), o_orderstatus))
 """

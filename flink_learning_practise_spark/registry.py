@@ -62,7 +62,7 @@ def _populate() -> None:
     51+ were silently skipped), new queries next, and queries already
     driver-green in a previous round fill the tail.
 
-    Round-5 window (positions 1-50): 14 NEW queries, then the 20
+    Round-5 window (positions 1-50): 18 NEW queries, then the 20
     queries whose only driver-green row dated to round 2 (rotated in so
     their rows refresh against current code), then the r3-dated TPC-H
     classics + relational core fill the remainder.  Round-6 note:
@@ -82,7 +82,7 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- Tier N: NEW in round 5 (14 queries) ----
+    # ---- Tier N: NEW in round 5 (18 queries) ----
     register(
         "q_min_cost_supplier",
         tpch.min_cost_supplier,
@@ -106,6 +106,18 @@ def _populate() -> None:
     register("q_bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL)
     register("q_bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL, headline=True)
     register("q_triangle_census", llm.triangle_census, llm.TRIANGLE_CENSUS_SQL)
+    register(
+        "q_customer_churn_segments",
+        os_.customer_churn_segments,
+        os_.CUSTOMER_CHURN_SEGMENTS_SQL,
+    )
+    register("q_regional_share", os_.regional_share, os_.REGIONAL_SHARE_SQL)
+    register(
+        "q_sales_grouping_sets",
+        os_.sales_grouping_sets,
+        os_.SALES_GROUPING_SETS_SQL,
+    )
+    register("q_zipf_fit", llm.zipf_fit, llm.ZIPF_FIT_SQL)
 
     # ---- Tier R: r2-dated rotation (20 queries whose only driver-green
     # row dated to round 2 — refreshed against current code this round) ----

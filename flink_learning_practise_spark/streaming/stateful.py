@@ -477,3 +477,87 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming activity bitmap (the unbounded twin of #121
+# plans/events_analytics.activity_streaks): per-user state is ONE
+# 64-bit day mask — the smallest possible retention footprint, carried
+# forever by design (evicting it would forget the user's history;
+# NoTimeout is the contract, same as streaming EWMA).
+
+BITMAP_OUTPUT_SCHEMA = (
+    "user_id BIGINT, day_mask BIGINT, days_active INT, longest_streak INT"
+)
+BITMAP_STATE_SCHEMA = "mask BIGINT"
+
+
+def _bitmap_fn(epoch_date):
+    import datetime
+
+    epoch = datetime.date.fromisoformat(epoch_date)
+
+    def longest_run(mask: int) -> int:
+        k = 0
+        while mask:
+            mask &= mask << 1
+            k += 1
+        return k
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (mask,) = state.get if state.exists else (0,)
+        seen = False
+        for ts_us, in ((r[0],) for r in _sorted_rows(pdfs, ())):
+            idx = (
+                datetime.datetime.fromtimestamp(
+                    ts_us / 1e6, tz=datetime.timezone.utc
+                ).date()
+                - epoch
+            ).days
+            if 0 <= idx < 64:
+                mask |= 1 << idx
+                seen = True
+        if seen or state.exists:
+            state.update((mask,))
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "day_mask": [mask],
+                    "days_active": [bin(mask).count("1")],
+                    "longest_streak": [longest_run(mask)],
+                }
+            )
+
+    return fn
+
+
+def streaming_activity_bitmap(
+    df: DataFrame, epoch_date: str = "2024-01-01"
+) -> DataFrame:
+    """Per-user active-day bitmask over an unbounded stream, emitted as
+    an UPSERT row per updated user per micro-batch (update mode): the
+    streaming twin of the batch activity/streak report, with identical
+    columns so a MERGE sink converges to the batch output.
+
+    Day indexing is UTC days since ``epoch_date`` clamped to [0, 64) —
+    the same window the batch op uses; out-of-range events leave state
+    untouched. NoTimeout: retention state is a permanent 8 bytes per
+    user (the point of a bitmap layout); there is nothing to expire
+    without forgetting history.
+
+    Expects columns (user_id, ts).
+    """
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            _bitmap_fn(epoch_date),
+            outputStructType=BITMAP_OUTPUT_SCHEMA,
+            stateStructType=BITMAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

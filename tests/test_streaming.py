@@ -1530,3 +1530,59 @@ def test_streaming_last_touch_subsecond_matches_batch_truncation(spark, tmp_path
     got = {r.purchase_id: (r.view_id, r.latency_sec)
            for r in spark.table("attr_sub_out").collect()}
     assert got == {2: (1, 1800)}
+
+
+def test_streaming_activity_bitmap_matches_batch(spark, tmp_path):
+    """Bitmap/streak state across two micro-batches: the LAST upsert per
+    user must equal the batch gaps-and-islands computation on the union
+    of the data (same mask, same streak), and repeated days must not
+    change the mask (idempotent bit-or)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import (
+        streaming_activity_bitmap,
+    )
+
+    src = str(tmp_path / "bm_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 1, "ts": "2024-01-02 09:00:00"},
+        {"user_id": 1, "ts": "2024-01-02 23:00:00"},  # repeat day
+        {"user_id": 2, "ts": "2024-01-05 00:00:00"},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(src)
+    out = streaming_activity_bitmap(stream, epoch_date="2024-01-01")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bm_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    mid = {r.user_id: r for r in spark.table("bm_out").collect()}
+    assert mid[1].day_mask == 0b11 and mid[1].longest_streak == 2
+    assert mid[2].day_mask == 1 << 4 and mid[2].longest_streak == 1
+    b2 = [
+        {"user_id": 1, "ts": "2024-01-03 05:00:00"},  # extends streak to 3
+        {"user_id": 1, "ts": "2024-01-07 05:00:00"},  # new island
+        {"user_id": 2, "ts": "2024-01-05 12:00:00"},  # repeat day only
+        {"user_id": 3, "ts": "2023-12-25 00:00:00"},  # before epoch: ignored
+    ]
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("bm_out").collect()
+    # last upsert per user wins (update-mode MERGE contract)
+    last = {}
+    for r in rows:
+        last[r.user_id] = r
+    assert last[1].day_mask == 0b1000111
+    assert last[1].days_active == 4
+    assert last[1].longest_streak == 3
+    assert last[2].day_mask == 1 << 4  # unchanged by the repeat day
+    assert 3 not in last  # pre-epoch event created no state and no row
