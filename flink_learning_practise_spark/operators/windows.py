@@ -131,3 +131,83 @@ def sliding_count_window(
         .rowsBetween(-(count - 1), Window.currentRow)
     )
     return df.withColumns({name: c.over(w) for name, c in rolling.items()})
+
+
+def cumulate_window(
+    df: DataFrame,
+    ts_col: str,
+    max_size_sec: int,
+    step_sec: int,
+    keys: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """CUMULATE window TVF (ref cumulate SQL generator family alongside
+    TUMBLE/HOP/SESSION, flink_window_utils.py:467-645): each max-size
+    frame emits growing windows [frame, frame+step), [frame, 2*step), …
+    [frame, frame+max_size) — the "running total that resets daily"
+    report Flink exposes as ``CUMULATE(...)``.
+
+    Scale shape — NOT the naive size/step row explosion: events
+    aggregate once per (frame, slice, keys) slice (ONE keyed exchange
+    with map-side partials, shuffle volume O(slices), same as a
+    tumbling window at ``step`` grain), then the cumulative roll-up
+    runs over the slice tier, whose per-frame partition is bounded by
+    ``max_size/step`` rows — the window never sees the fact table.
+    Empty interior slices are gap-filled from a (frame, keys) × slice
+    grid so a window is emitted iff its prefix holds ≥1 event (exactly
+    the explode formulation's output, at a fraction of its shuffle).
+    Sums stay decimal through the slice agg AND the running window, so
+    the emitted doubles are partition-order independent.
+
+    Output: window_start, window_end, *keys, n_events, sum_value.
+    """
+    if max_size_sec % step_sec:
+        raise ValueError("max_size_sec must be a multiple of step_sec")
+    n_slices = max_size_sec // step_sec
+    sec = F.unix_timestamp(F.col(ts_col))
+    frame0 = (F.floor(sec / max_size_sec) * max_size_sec).cast("long")
+    slice_idx = F.floor((sec - frame0) / step_sec).cast("long")
+    dec_zero = F.lit(0).cast("decimal(18,6)")
+    val = (
+        F.col(value_col).cast("decimal(18,6)")
+        if value_col
+        else dec_zero
+    )
+    sl = (
+        df.select(
+            frame0.alias("_f0"), slice_idx.alias("_si"), *keys, val.alias("_v")
+        )
+        .groupBy("_f0", "_si", *keys)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s"))
+    )
+    grid = (
+        sl.select("_f0", *keys)
+        .distinct()
+        .withColumn("_si", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1))))
+    )
+    filled = grid.join(sl, ["_f0", "_si", *keys], "left").select(
+        "_f0",
+        "_si",
+        *keys,
+        F.coalesce("_n", F.lit(0)).alias("_n"),
+        F.coalesce("_s", dec_zero).alias("_s"),
+    )
+    w = (
+        Window.partitionBy("_f0", *keys)
+        .orderBy("_si")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        filled.withColumn("_cn", F.sum("_n").over(w))
+        .withColumn("_cs", F.sum("_s").over(w))
+        .filter(F.col("_cn") > 0)
+        .select(
+            F.timestamp_seconds(F.col("_f0")).alias("window_start"),
+            F.timestamp_seconds(
+                F.col("_f0") + (F.col("_si") + 1) * step_sec
+            ).alias("window_end"),
+            *keys,
+            F.col("_cn").alias("n_events"),
+            F.col("_cs").cast("double").alias("sum_value"),
+        )
+    )

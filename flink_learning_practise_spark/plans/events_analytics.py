@@ -2552,3 +2552,168 @@ SELECT m.user_id, m.day_mask, m.days_active, i.longest_streak
 FROM masks m JOIN islands i ON m.user_id = i.user_id
 ORDER BY m.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# #133 CUMULATE window TVF (Flink's fourth window kind, alongside the
+# TUMBLE/HOP/SESSION family above): per-day growing windows at 1-hour
+# steps over the event stream — "running total that resets daily".
+# The operator aggregates once per slice then rolls up over the
+# bounded slice tier (see operators/windows.cumulate_window for the
+# scale argument); this is NOT the size/step explode the HOP query
+# accepts at ratio 5 — at ratio 24 the explode would shuffle 12x the
+# facts.
+
+CUMULATE_MAX_SEC = 86400
+CUMULATE_STEP_SEC = 3600
+
+
+def cumulate_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return windows.cumulate_window(
+        ev,
+        "ts",
+        CUMULATE_MAX_SEC,
+        CUMULATE_STEP_SEC,
+        keys=["event_type"],
+        value_col="value",
+    ).orderBy("window_start", "window_end", "event_type")
+
+
+CUMULATE_WINDOW_SQL = f"""
+WITH sl AS (
+  SELECT CAST(floor(floor(epoch(ts)) / {CUMULATE_MAX_SEC}) * {CUMULATE_MAX_SEC} AS BIGINT) AS f0,
+         CAST(floor((floor(epoch(ts)) - floor(floor(epoch(ts)) / {CUMULATE_MAX_SEC}) * {CUMULATE_MAX_SEC}) / {CUMULATE_STEP_SEC}) AS BIGINT) AS si,
+         event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT f0, event_type, unnest(range(0, {CUMULATE_MAX_SEC // CUMULATE_STEP_SEC})) AS si
+  FROM (SELECT DISTINCT f0, event_type FROM sl)
+),
+filled AS (
+  SELECT g.f0, g.event_type, g.si,
+         COALESCE(sl.n, 0) AS n,
+         COALESCE(sl.s, CAST(0 AS DECIMAL(18,6))) AS s
+  FROM grid g LEFT JOIN sl
+    ON g.f0 = sl.f0 AND g.si = sl.si AND g.event_type = sl.event_type
+),
+cum AS (
+  SELECT f0, event_type, si,
+         SUM(n) OVER w AS cum_n,
+         SUM(s) OVER w AS cum_s
+  FROM filled
+  WINDOW w AS (PARTITION BY f0, event_type ORDER BY si
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT make_timestamp(f0 * 1000000) AS window_start,
+       make_timestamp((f0 + (si + 1) * {CUMULATE_STEP_SEC}) * 1000000) AS window_end,
+       event_type,
+       CAST(cum_n AS BIGINT) AS n_events,
+       CAST(cum_s AS DOUBLE) AS sum_value
+FROM cum WHERE cum_n > 0
+ORDER BY window_start, window_end, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# #134 chi-square independence test: is event_type independent of the
+# user-property bucket? The contingency table is |types| x |buckets|
+# (bounded dims), built in ONE keyed aggregate over the facts; the
+# marginals, expected counts and the statistic are windows/aggregates
+# over that <=20-row cell tier — the fact table is touched exactly
+# once. Completes the inferential family (#91 two-proportion z-test is
+# 2x2; this is the general r x c test with effect size).
+
+CHI2_BUCKET_WIDTH = 25
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.floor(
+                F.get_json_object(F.col("props"), "$.k").cast("int")
+                / CHI2_BUCKET_WIDTH
+            ).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # all three windows run over the bounded cell tier, never the facts
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("bucket")
+    e = (
+        F.sum("o").over(w_row).cast("double")
+        * F.sum("o").over(w_col).cast("double")
+        / F.sum("o").over(w_all).cast("double")
+    )
+    terms = cells.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 9).alias("term"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    agg = terms.agg(
+        F.first("n").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("bucket").alias("c"),
+        F.sum(F.col("term").cast(DEC)).cast("double").alias("chi2_raw"),
+    )
+    return agg.select(
+        "n",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+CHI2_INDEPENDENCE_SQL = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                    / {CHI2_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+         COUNT(*) AS o
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT o,
+         round((o - e) * (o - e) / e, 9) AS term, n
+  FROM (
+    SELECT o,
+           CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE)
+             * CAST(SUM(o) OVER (PARTITION BY bucket) AS DOUBLE)
+             / CAST(SUM(o) OVER () AS DOUBLE) AS e,
+           SUM(o) OVER () AS n
+    FROM cells
+  )
+),
+agg AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n,
+         (SELECT COUNT(DISTINCT event_type) FROM cells) AS r,
+         (SELECT COUNT(DISTINCT bucket) FROM cells) AS c,
+         CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2_raw
+  FROM terms
+)
+SELECT n,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(chi2_raw, 6) AS chi2,
+       round(sqrt(chi2_raw / (n * least(r - 1, c - 1))), 6) AS cramers_v
+FROM agg
+"""

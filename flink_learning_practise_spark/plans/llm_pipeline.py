@@ -1907,3 +1907,155 @@ SELECT n,
        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# #135 two-sample Kolmogorov-Smirnov drift test: is src0's document-
+# length distribution the same as the rest of the corpus? Exact KS —
+# no sampling, no sketch — via the #124 histogram-walk trick: the
+# facts collapse to a sparse per-length histogram (ONE keyed exchange,
+# map-side combined), the CDFs are running sums over the value-domain
+# tier (bounded by distinct lengths, never corpus-sized), and the
+# statistic's argmax orders on the EXACT integer numerator
+# |cum_a*n_b - cum_b*n_a| (decimal(38,0)) so engine float rounding can
+# never flip a near-tie. Complements #97's KL (binned, model-based)
+# with the exact distribution-free test.
+
+KS_SOURCE_A = "src0"
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy("n_chars")
+        .agg(
+            F.sum((F.col("source") == KS_SOURCE_A).cast("long")).alias("ca"),
+            F.sum((F.col("source") != KS_SOURCE_A).cast("long")).alias("cb"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = (
+        hist.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "d_int",
+            F.abs(
+                F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+            ),
+        )
+    )
+    return (
+        walked.orderBy(F.desc("d_int"), "n_chars")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("d_int").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                9,
+            ).alias("ks_stat"),
+            F.col("n_chars").alias("ks_at"),
+        )
+    )
+
+
+KS_DRIFT_SQL = f"""
+WITH hist AS (
+  SELECT n_chars,
+         SUM(CASE WHEN source = '{KS_SOURCE_A}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN source <> '{KS_SOURCE_A}' THEN 1 ELSE 0 END) AS cb
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM hist
+),
+walked AS (
+  SELECT n_chars,
+         abs(CAST(SUM(ca) OVER w AS DECIMAL(38,0)) * n_b
+             - CAST(SUM(cb) OVER w AS DECIMAL(38,0)) * n_a) AS d_int,
+         n_a, n_b
+  FROM hist CROSS JOIN tot
+  WINDOW w AS (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n_a, n_b,
+       round(CAST(d_int AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9) AS ks_stat,
+       n_chars AS ks_at
+FROM walked
+ORDER BY d_int DESC, n_chars
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# #136 duplicated-span detection (exact substring dedup, the fixed-k
+# span variant of Lee et al. 2022's suffix-array method): which
+# 8-token spans recur across documents? Spans are md5-hashed MAP-SIDE
+# inside the transform lambda, so only 32-char digests ever shuffle —
+# never the 8-token strings (8x text amplification stays in the scan
+# stage). Two keyed exchanges: (span, doc) partial counts combine
+# before the shuffle, then the tiny per-span tier aggregates; hot
+# boilerplate spans are exactly what map-side combine flattens.
+
+SPAN_K = 8
+SPAN_MIN_DOCS = 2
+SPAN_TOP_N = 20
+
+
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import widen
+    from ..operators.text import normalize
+
+    spans = (
+        widen(docs)
+        .select("doc_id", F.split(normalize(F.col("text")), " ").alias("w"))
+        .filter(F.size("w") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {SPAN_K - 1}),"
+                    f" i -> md5(array_join(slice(w, i, {SPAN_K}), ' ')))"
+                )
+            ).alias("span_md5"),
+        )
+    )
+    per_doc = spans.groupBy("span_md5", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    return (
+        per_doc.groupBy("span_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_in_doc").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span_md5")
+        .limit(SPAN_TOP_N)
+    )
+
+
+DUPLICATED_SPANS_SQL = f"""
+WITH words AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents),
+sp AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')) AS span_md5
+  FROM words, unnest(generate_series(1, len(w) - {SPAN_K - 1})) AS t(i)
+  WHERE len(w) >= {SPAN_K}
+),
+pd AS (SELECT span_md5, doc_id, COUNT(*) AS n_in_doc FROM sp GROUP BY 1, 2)
+SELECT span_md5, COUNT(*) AS n_docs, CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences
+FROM pd GROUP BY span_md5
+HAVING COUNT(*) >= {SPAN_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, span_md5
+LIMIT {SPAN_TOP_N}
+"""

@@ -814,3 +814,251 @@ FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus),
                         (year(o_orderdate), o_orderstatus))
 """
+
+
+# ---------------------------------------------------------------------------
+# #137 revenue concentration: Gini coefficient + top-1%/top-10% share
+# of per-customer revenue. The rank formula G = (2*Sum(r*x) - (n+1)*
+# Sum(x)) / (n*Sum(x)) needs a GLOBAL revenue rank — supplied by
+# transforms.global_rank (repartitionByRange + per-partition offsets),
+# never a single-partition ORDER BY window. Facts collapse to one row
+# per customer first, so every later pass runs at customer
+# cardinality; totals ride a single-row broadcast.
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(dsum("o_totalprice", "revenue"))
+    from ..operators.transforms import global_rank
+
+    ranked = global_rank(rev, ["revenue", "o_custkey"], "r")
+    totals = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("revenue").cast(DEC)).alias("total_dec"),
+    )
+    agg = (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n").alias("n_customers"),
+            F.first("total_dec").cast("double").alias("total"),
+            F.sum((F.col("r") * F.col("revenue")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_rx"),
+            F.sum(
+                F.when(
+                    F.col("r") > F.col("n") - F.floor(F.col("n") / 100),
+                    F.col("revenue"),
+                )
+                .otherwise(0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("top1"),
+            F.sum(
+                F.when(
+                    F.col("r") > F.col("n") - F.floor(F.col("n") / 10),
+                    F.col("revenue"),
+                )
+                .otherwise(0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("top10"),
+        )
+    )
+    return agg.select(
+        "n_customers",
+        F.round(
+            (2 * F.col("sum_rx") - (F.col("n_customers") + 1) * F.col("total"))
+            / (F.col("n_customers") * F.col("total")),
+            9,
+        ).alias("gini"),
+        F.round(F.col("top1") / F.col("total"), 9).alias("top1_share"),
+        F.round(F.col("top10") / F.col("total"), 9).alias("top10_share"),
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT revenue, row_number() OVER (ORDER BY revenue, o_custkey) AS r FROM rev
+),
+tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total
+  FROM rev
+),
+agg AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+         MIN(total) AS total,
+         CAST(SUM(CAST(r * revenue AS DECIMAL(38,6))) AS DOUBLE) AS sum_rx,
+         CAST(SUM(CAST(CASE WHEN r > n - n // 100 THEN revenue ELSE 0 END
+                       AS DECIMAL(18,6))) AS DOUBLE) AS top1,
+         CAST(SUM(CAST(CASE WHEN r > n - n // 10 THEN revenue ELSE 0 END
+                       AS DECIMAL(18,6))) AS DOUBLE) AS top10
+  FROM ranked CROSS JOIN tot
+)
+SELECT n_customers,
+       round((2 * sum_rx - (n_customers + 1) * total) / (n_customers * total), 9) AS gini,
+       round(top1 / total, 9) AS top1_share,
+       round(top10 / total, 9) AS top10_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# #138 Benford first-digit screen: does o_totalprice follow the
+# first-digit law? The fraud/data-entry screen auditors run. First
+# digit via string head (no float log10 at the decade boundaries —
+# log10(1000) flooring is a known 1-ulp trap); the 9-row digit tier
+# carries counts, observed share, Benford expectation and the gap.
+
+
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        digits.withColumn("share", F.round(F.col("n_orders") / F.sum("n_orders").over(w_all), 9))
+        .withColumn(
+            "benford_expected",
+            F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 9),
+        )
+        .withColumn(
+            "gap", F.round(F.col("share") - F.col("benford_expected"), 9)
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_DIGITS_SQL = """
+WITH digits AS (
+  SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT digit, n_orders,
+       round(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 9) AS share,
+       round(log10(1 + 1.0 / digit), 9) AS benford_expected,
+       round(round(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 9)
+             - round(log10(1 + 1.0 / digit), 9), 9) AS gap
+FROM digits
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# #139 time-series autocorrelation of daily revenue at lags 1 and 7
+# (the weekly-cycle diagnostic a forecasting pipeline checks first).
+# Facts collapse to the calendar-bounded daily tier in ONE keyed
+# aggregate — IN INTEGER CENTS, so every Pearson moment is an exact
+# decimal(38,0) integer (partition-order-proof, engine-identical); the
+# lag pairing is a calendar self-join of the tiny tier (exact "t vs
+# t-k days", robust to gaps — unlike a row-offset lag), and the only
+# doubles appear when the five finished moments enter the closed-form
+# correlation.
+
+AUTOCORR_LAGS = (1, 7)
+
+
+def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for lag in AUTOCORR_LAGS:
+        a = daily.select(F.col("day").alias("d"), F.col("cents").alias("x"))
+        b = daily.select(
+            F.date_add(F.col("day"), lag).alias("d"), F.col("cents").alias("y")
+        )
+        m = (
+            a.join(b, "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+                F.sum(
+                    (F.col("x").cast("decimal(38,0)") * F.col("y"))
+                ).alias("sxy"),
+                F.sum(
+                    (F.col("x").cast("decimal(38,0)") * F.col("x"))
+                ).alias("sxx"),
+                F.sum(
+                    (F.col("y").cast("decimal(38,0)") * F.col("y"))
+                ).alias("syy"),
+            )
+            .select(
+                F.lit(lag).alias("lag"),
+                F.col("n").alias("n_pairs"),
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                        "double"
+                    )
+                    / F.sqrt(
+                        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                            "double"
+                        )
+                        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                            "double"
+                        )
+                    ),
+                    6,
+                ).alias("autocorr"),
+            )
+        )
+        outs.append(m)
+    out = outs[0]
+    for m in outs[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("lag")
+
+
+AUTOCORR_DAILY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, a.cents AS x, b.cents AS y
+  FROM (SELECT unnest([{", ".join(str(l) for l in AUTOCORR_LAGS)}]) AS lag) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON a.day = b.day + to_days(CAST(l.lag AS INTEGER))
+),
+m AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+FROM m
+ORDER BY lag
+"""

@@ -62,7 +62,7 @@ def _populate() -> None:
     51+ were silently skipped), new queries next, and queries already
     driver-green in a previous round fill the tail.
 
-    Round-5 window (positions 1-50): 18 NEW queries, then the 20
+    Round-5 window (positions 1-50): 25 NEW queries, then the 20
     queries whose only driver-green row dated to round 2 (rotated in so
     their rows refresh against current code), then the r3-dated TPC-H
     classics + relational core fill the remainder.  Round-6 note:
@@ -82,7 +82,7 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- Tier N: NEW in round 5 (18 queries) ----
+    # ---- Tier N: NEW in round 5 (25 queries) ----
     register(
         "q_min_cost_supplier",
         tpch.min_cost_supplier,
@@ -118,6 +118,23 @@ def _populate() -> None:
         os_.SALES_GROUPING_SETS_SQL,
     )
     register("q_zipf_fit", llm.zipf_fit, llm.ZIPF_FIT_SQL)
+    register(
+        "q_cumulate_window",
+        ea.cumulate_window_daily,
+        ea.CUMULATE_WINDOW_SQL,
+        headline=True,
+    )
+    register("q_chi2_independence", ea.chi2_independence, ea.CHI2_INDEPENDENCE_SQL)
+    register("q_ks_drift", llm.ks_drift, llm.KS_DRIFT_SQL)
+    register(
+        "q_duplicated_spans",
+        llm.duplicated_spans,
+        llm.DUPLICATED_SPANS_SQL,
+        headline=True,
+    )
+    register("q_revenue_gini", os_.revenue_gini, os_.REVENUE_GINI_SQL)
+    register("q_benford_digits", os_.benford_digits, os_.BENFORD_DIGITS_SQL)
+    register("q_autocorr_daily", os_.autocorr_daily, os_.AUTOCORR_DAILY_SQL)
 
     # ---- Tier R: r2-dated rotation (20 queries whose only driver-green
     # row dated to round 2 — refreshed against current code this round) ----

@@ -17,6 +17,7 @@ from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -559,5 +560,124 @@ def streaming_activity_bitmap(
             stateStructType=BITMAP_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUMULATE window (the unbounded twin of
+# operators/windows.cumulate_window, SURVEY #133): per-(frame, key)
+# state is two fixed-length integer arrays — one (count, micro-sum)
+# slot per slice, so state is EXACTLY max_size/step * 16 bytes per
+# active frame-key and every emitted sum replays the batch op's
+# decimal(18,6) arithmetic (values quantize to integer micros with the
+# repo's floor(x*1e6+0.5) idiom; integer sums are order-exact).
+
+CUMULATE_OUTPUT_SCHEMA = (
+    "window_start TIMESTAMP, window_end TIMESTAMP, event_type STRING, "
+    "n_events BIGINT, sum_value DOUBLE"
+)
+CUMULATE_STATE_SCHEMA = "counts ARRAY<BIGINT>, micros ARRAY<BIGINT>"
+
+
+def _cumulate_fn(max_size_sec: int, step_sec: int):
+    import math
+
+    n_slices = max_size_sec // step_sec
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # key values arrive as numpy scalars; state goes through a JSON
+        # layer that only takes native ints — coerce at the boundary
+        frame0_sec, event_type = int(key[0]), key[1]
+        if state.hasTimedOut:
+            # every window of the frame was already emitted as an
+            # upsert; the timer only reclaims the slice arrays
+            state.remove()
+            return
+        counts, micros = (
+            ([int(x) for x in state.get[0]], [int(x) for x in state.get[1]])
+            if state.exists
+            else ([0] * n_slices, [0] * n_slices)
+        )
+        min_si = n_slices
+        for ts_us, v in _sorted_rows(pdfs, ("value",)):
+            si = (int(ts_us) // 1_000_000 - frame0_sec) // step_sec
+            if 0 <= si < n_slices:
+                counts[si] += 1
+                micros[si] += math.floor(v * 1e6 + 0.5)
+                min_si = min(min_si, si)
+        if min_si == n_slices:
+            return
+        state.update((counts, micros))
+        # frame fully closes one max_size past its start; keep state
+        # until the watermark proves no slice can still change
+        state.setTimeoutTimestamp(
+            max(
+                (frame0_sec + max_size_sec) * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        out = {
+            "window_start": [],
+            "window_end": [],
+            "event_type": [],
+            "n_events": [],
+            "sum_value": [],
+        }
+        cum_n = sum(counts[: min_si + 1])
+        cum_m = sum(micros[: min_si + 1])
+        for e in range(min_si, n_slices):
+            if e > min_si:
+                cum_n += counts[e]
+                cum_m += micros[e]
+            out["window_start"].append(pd.Timestamp(frame0_sec, unit="s"))
+            out["window_end"].append(
+                pd.Timestamp(frame0_sec + (e + 1) * step_sec, unit="s")
+            )
+            out["event_type"].append(event_type)
+            out["n_events"].append(cum_n)
+            out["sum_value"].append(cum_m / 1e6)
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_cumulate_window(
+    df: DataFrame,
+    max_size_sec: int = 86400,
+    step_sec: int = 3600,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """CUMULATE windows over an unbounded stream, emitted as UPSERT
+    rows (update mode): every window whose prefix gained events this
+    micro-batch re-emits with its current cumulative (count, sum), so
+    a MERGE sink keyed on (window_start, window_end, event_type)
+    converges to the batch operator's output — identical columns and
+    identical decimal-exact sums (integer-micros state).
+
+    Late policy: rows older than the watermark never reach the
+    operator; rows inside the watermark land in their slice and
+    re-emit the affected window suffix (upsert semantics absorb the
+    correction — unlike the recursive EWMA, a cumulate window CAN take
+    late data, because slice sums are commutative). State is reclaimed
+    by an event-time timer one full max_size after the frame start.
+
+    Expects columns (ts, event_type, value).
+    """
+    frame0 = (
+        F.floor(F.unix_timestamp(F.col("ts")) / max_size_sec) * max_size_sec
+    ).cast("long")
+    return (
+        df.withColumn("frame0_sec", frame0)
+        .withWatermark("ts", watermark_delay)
+        .groupBy("frame0_sec", "event_type")
+        .applyInPandasWithState(
+            _cumulate_fn(max_size_sec, step_sec),
+            outputStructType=CUMULATE_OUTPUT_SCHEMA,
+            stateStructType=CUMULATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

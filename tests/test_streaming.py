@@ -1586,3 +1586,77 @@ def test_streaming_activity_bitmap_matches_batch(spark, tmp_path):
     assert last[1].longest_streak == 3
     assert last[2].day_mask == 1 << 4  # unchanged by the repeat day
     assert 3 not in last  # pre-epoch event created no state and no row
+
+
+def test_streaming_cumulate_matches_batch(spark, tmp_path):
+    """CUMULATE upserts across two micro-batches: the LAST upsert per
+    (window, key) must equal the batch cumulate_window on the union of
+    the data — including a late-but-inside-watermark event landing in
+    an interior slice (upsert semantics absorb the correction), and
+    windows untouched by a batch must NOT re-emit."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.operators.windows import cumulate_window
+    from flink_learning_practise_spark.streaming.stateful import (
+        streaming_cumulate_window,
+    )
+
+    src = str(tmp_path / "cum_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = [
+        {"ts": "2024-01-01 00:05:00", "event_type": "click", "value": 1.5},
+        {"ts": "2024-01-01 00:25:00", "event_type": "click", "value": 2.25},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).json(src)
+    out = streaming_cumulate_window(
+        stream, max_size_sec=3600, step_sec=600, watermark_delay="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cum_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    n_after_b1 = spark.table("cum_out").count()
+    assert n_after_b1 == 6  # slices 0..5 of the click frame
+    b2 = [
+        # late (inside watermark) interior-slice event: corrects windows >= [,00:20)
+        {"ts": "2024-01-01 00:15:00", "event_type": "click", "value": 0.5},
+        {"ts": "2024-01-01 00:45:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 00:35:00", "event_type": "view", "value": 2.0},
+    ]
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("cum_out").collect()
+    # click batch-2 upserts start at slice 1 — window [00:00,00:10) must
+    # not re-emit (its only row is the batch-1 value)
+    w010 = [
+        r for r in rows
+        if r.event_type == "click" and r.window_end.minute == 10
+    ]
+    assert len(w010) == 1 and w010[0].n_events == 1 and w010[0].sum_value == 1.5
+    last = {}
+    for r in rows:
+        last[(r.window_start, r.window_end, r.event_type)] = (
+            r.n_events,
+            r.sum_value,
+        )
+    union = spark.createDataFrame(
+        [(r["ts"], r["event_type"], r["value"]) for r in b1 + b2],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in cumulate_window(
+            union, "ts", 3600, 600, keys=["event_type"], value_col="value"
+        ).collect()
+    }
+    assert last == batch
