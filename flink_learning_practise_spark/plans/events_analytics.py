@@ -2717,3 +2717,129 @@ SELECT n,
        round(sqrt(chi2_raw / (n * least(r - 1, c - 1))), 6) AS cramers_v
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# #142 OHLC bars: hourly open/high/low/close of the event value per
+# event_type — the candlestick rollup every metrics store exposes.
+# ONE keyed aggregate (map-side combined): open/close are min_by /
+# max_by over a zero-padded (epoch_us, event_id) string key, so the
+# "first/last" tie-break is total-ordered and engine-identical (no
+# window, no second shuffle).
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; the session tz is pinned to UTC, so
+    # the cast is an identity relabel and unix_micros == DuckDB epoch_us
+    skey = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"
+        ),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "event_type",
+            "value",
+            skey.alias("_k"),
+        )
+        .groupBy("bar_hour", "event_type")
+        .agg(
+            F.min_by("value", "_k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "_k").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("bar_hour", "event_type")
+    )
+
+
+OHLC_BARS_SQL = """
+SELECT date_trunc('hour', ts) AS bar_hour,
+       event_type,
+       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# #143 time-weighted average (TWAP): per user per day, each value
+# weighted by the seconds until the user's next event that day — the
+# correct "average level" for irregularly sampled series (a plain AVG
+# over-weights bursts). One keyed sort supplies the lead; durations
+# are exact integer seconds; the weighted sum routes value*duration
+# through decimal so the division sees partition-order-exact inputs.
+# Users with a single event in a day carry no duration and drop out.
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    timed = base.withColumn(
+        "dur",
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp(F.col("ts"))
+        ).cast("long"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        timed.groupBy("user_id", "day")
+        .agg(
+            F.sum((F.col("value") * F.col("dur")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("_wsum"),
+            F.sum("dur").alias("total_sec"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .filter(F.col("total_sec") > 0)
+        .select(
+            "user_id",
+            "day",
+            F.round(F.col("_wsum") / F.col("total_sec"), 9).alias("twap"),
+            "total_sec",
+            "n_intervals",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH timed AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                         ORDER BY ts, event_id)))
+              - floor(epoch(ts)) AS BIGINT) AS dur
+  FROM events
+)
+SELECT user_id, day,
+       round(CAST(SUM(CAST(value * dur AS DECIMAL(38,6))) AS DOUBLE)
+             / SUM(dur), 9) AS twap,
+       CAST(SUM(dur) AS BIGINT) AS total_sec,
+       COUNT(*) AS n_intervals
+FROM timed
+WHERE dur IS NOT NULL
+GROUP BY user_id, day
+HAVING SUM(dur) > 0
+ORDER BY user_id, day
+"""

@@ -2059,3 +2059,113 @@ HAVING COUNT(*) >= {SPAN_MIN_DOCS}
 ORDER BY n_docs DESC, n_occurrences DESC, span_md5
 LIMIT {SPAN_TOP_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# #140 weighted sampling without replacement (Efraimidis-Spirakis
+# A-ES): sample K docs with probability proportional to length — the
+# quality-weighted corpus subsampling step of a data-mixing pipeline,
+# made REPRODUCIBLE by deriving the uniform from md5(seed:id) instead
+# of rand() (same portability argument as assign_split). Each row
+# computes its key map-side; selection is a top-K (TakeOrdered — a
+# heap per partition + K-row driver merge, never a global sort). The
+# ranking key is quantized to 9 digits with doc_id tiebreak so a
+# 1-ulp ln() divergence between engines cannot flip the boundary.
+
+WSAMPLE_K = 100
+WSAMPLE_SEED = "ws1"
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # u in (0,1]: 13 hex digits of md5 -> 52 bits, +1 to dodge ln(0)
+    h = F.expr(
+        f"conv(substring(md5(concat('{WSAMPLE_SEED}', ':', CAST(doc_id AS STRING))), 1, 13), 16, 10)"
+    ).cast("double")
+    u = (h + 1) / F.lit(float(16**13 + 1))
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", F.col("n_chars").alias("weight"), key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars AS weight,
+       round(ln((('0x' || substr(md5('{WSAMPLE_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                / CAST({16**13 + 1} AS DOUBLE)) / n_chars, 9) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #141 dup-graph degree diagnostics: node count, edge count, max/mean
+# degree and the Hill power-law exponent over the shared PPJoin pair
+# tier — the graph-health row an operator checks before trusting CC /
+# PageRank output (a hub explosion shows up here first, as the 100 TB
+# degree-orientation note on #128 warns). Degrees are one keyed count
+# over the edge union; alpha's ln terms are rounded + decimal-summed
+# (the #132 idiom) so the MLE replays exactly.
+
+
+def dupgraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shared_pair_tier(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_edges = pairs.count()
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.sum(
+            F.round(F.log(2.0 * F.col("d")), 9).cast(DEC)
+        ).cast("double").alias("sum_ln"),
+    )
+    return agg.select(
+        "n_nodes",
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "max_degree",
+        F.round(2.0 * n_edges / F.col("n_nodes"), 9).alias("mean_degree"),
+        F.round(1.0 + F.col("n_nodes") / F.col("sum_ln"), 6).alias("alpha_hill"),
+    )
+
+
+DUPGRAPH_DEGREES_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY id
+),
+agg AS (
+  SELECT COUNT(*) AS n_nodes,
+         (SELECT COUNT(*) FROM pairs) AS n_edges,
+         MAX(d) AS max_degree,
+         CAST(SUM(CAST(round(ln(2.0 * d), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sum_ln
+  FROM deg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(max_degree AS BIGINT) AS max_degree,
+       round(2.0 * n_edges / n_nodes, 9) AS mean_degree,
+       round(1.0 + n_nodes / sum_ln, 6) AS alpha_hill
+FROM agg
+"""

@@ -1062,3 +1062,59 @@ SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
 FROM m
 ORDER BY lag
 """
+
+
+# ---------------------------------------------------------------------------
+# #144 referential-integrity audit: orphan counts for the three core
+# FK edges (lineitem→orders, orders→customer, customer→nation) — the
+# dq_report (#90) checks columns, this checks EDGES. Each edge is one
+# LEFT ANTI join on its key (AQE picks broadcast when the parent's
+# key set fits, shuffled-hash otherwise — no forced hints per
+# BROADCAST_POLICY); child/parent scans project only the key column,
+# so the audit reads megabytes per edge, not the tables.
+
+
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for name, child, ckey, parent, pkey in edges:
+        c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        n_children = c.agg(F.count(F.lit(1)).alias("n"))
+        orphans = c.join(p, "k", "left_anti").agg(F.count(F.lit(1)).alias("n"))
+        outs.append(
+            n_children.crossJoin(
+                orphans.withColumnRenamed("n", "n_orphans")
+            ).select(
+                F.lit(name).alias("fk"),
+                F.col("n").alias("n_child_rows"),
+                "n_orphans",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fk")
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'lineitem->orders' AS fk,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey))
+ORDER BY fk
+"""

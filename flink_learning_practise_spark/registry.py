@@ -62,7 +62,7 @@ def _populate() -> None:
     51+ were silently skipped), new queries next, and queries already
     driver-green in a previous round fill the tail.
 
-    Round-5 window (positions 1-50): 25 NEW queries, then the 20
+    Round-5 window (positions 1-50): 30 NEW queries, then the 20
     queries whose only driver-green row dated to round 2 (rotated in so
     their rows refresh against current code), then the r3-dated TPC-H
     classics + relational core fill the remainder.  Round-6 note:
@@ -82,7 +82,7 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- Tier N: NEW in round 5 (25 queries) ----
+    # ---- Tier N: NEW in round 5 (30 queries) ----
     register(
         "q_min_cost_supplier",
         tpch.min_cost_supplier,
@@ -135,6 +135,11 @@ def _populate() -> None:
     register("q_revenue_gini", os_.revenue_gini, os_.REVENUE_GINI_SQL)
     register("q_benford_digits", os_.benford_digits, os_.BENFORD_DIGITS_SQL)
     register("q_autocorr_daily", os_.autocorr_daily, os_.AUTOCORR_DAILY_SQL)
+    register("q_weighted_sample", llm.weighted_sample, llm.WEIGHTED_SAMPLE_SQL)
+    register("q_dupgraph_degrees", llm.dupgraph_degrees, llm.DUPGRAPH_DEGREES_SQL)
+    register("q_ohlc_bars", ea.ohlc_bars, ea.OHLC_BARS_SQL)
+    register("q_time_weighted_avg", ea.time_weighted_avg, ea.TIME_WEIGHTED_AVG_SQL)
+    register("q_fk_integrity", os_.fk_integrity, os_.FK_INTEGRITY_SQL)
 
     # ---- Tier R: r2-dated rotation (20 queries whose only driver-green
     # row dated to round 2 — refreshed against current code this round) ----
