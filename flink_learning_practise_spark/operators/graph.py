@@ -264,6 +264,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     iterations: int = 10,
     damping: float = 0.85,
+    checkpoint_rounds: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list — the
     bulk-iteration analog beside :func:`connected_components`' delta
@@ -353,7 +354,15 @@ def pagerank(
         # persist();count();unpersist() ladder paid 6 extra jobs).
         # links stays eagerly checkpointed above — the loop's only
         # reused input — so no recomputation multiplies across rounds.
-        ranks = updated.localCheckpoint(eager=False)
+        # checkpoint_rounds=False keeps the full Catalyst plan visible:
+        # the checkpoint truncates lineage to a LogicalRDD, which blinds
+        # plan audits (PLANS.md, the no-cartesian suite guard) to the
+        # loop's joins — tests audit the unchecked variant (review r5).
+        ranks = (
+            updated.localCheckpoint(eager=False)
+            if checkpoint_rounds
+            else updated
+        )
     return ranks
 
 
@@ -363,25 +372,47 @@ def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     as a<b<c). Classic two-join census: wedges a-b-c from edge pairs
     sharing the middle vertex, closed by an (a,c) edge probe.
 
-    Scale: the wedge frame is Σ over middle vertices of
+    Scale: the oriented-wedge frame is Σ over middle vertices of
     out-deg·in-deg; with raw id orientation a hub id that sorts low
     fans out quadratically — at 100 TB orient by (degree, id) first
     (same joins, different comparator; standard Cohen's trick). Output
-    is ONE row: n_triangles, n_wedges, n_edges, closure_ratio =
-    3·tri/wedges (the global clustering coefficient).
+    is ONE row: n_triangles, n_wedges (= Σ_v C(deg v, 2), ALL
+    unordered length-2 paths), n_edges, closure_ratio =
+    3·tri/wedges — the global clustering coefficient, in [0, 1].
     """
     pairs = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     e1 = pairs.select(F.col("_a").alias("a"), F.col("_b").alias("b"))
     e2 = pairs.select(F.col("_a").alias("b"), F.col("_b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
+    oriented = e1.join(e2, "b").select("a", "b", "c")
     e3 = pairs.select(F.col("_a").alias("a"), F.col("_b").alias("c"))
-    tris = wedges.join(e3, ["a", "c"])
+    tris = oriented.join(e3, ["a", "c"])
     n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_wedge = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-    n_edge = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    # wedge count = ALL unordered length-2 paths = Σ_v C(deg(v), 2) —
+    # NOT the a<b<c-oriented join above (which holds exactly ONE wedge
+    # per triangle and would let the "ratio" exceed 1; review r5). The
+    # oriented join exists only to find triangles once each.
+    deg = (
+        pairs.select(F.col("_a").alias("id"))
+        .unionAll(pairs.select(F.col("_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # d·(d−1) summed in decimal (hub degrees square past 2^53 at scale,
+    # where a double sum would silently lose wedges), halved exactly
+    wedge_edge = deg.agg(
+        F.coalesce(
+            (
+                F.sum((F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)")) / 2
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_wedges"),
+        F.coalesce(
+            (F.sum(F.col("d").cast("decimal(38,0)")) / 2).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_edges"),
+    )
     return (
-        n_tri.crossJoin(F.broadcast(n_wedge))
-        .crossJoin(F.broadcast(n_edge))
+        n_tri.crossJoin(F.broadcast(wedge_edge))
         .select(
             "n_triangles",
             "n_wedges",

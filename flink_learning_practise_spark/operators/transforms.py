@@ -289,10 +289,14 @@ def ewma(
 
     Null semantics mirror the SQL recursion: a null input value (NaN
     after Arrow transfer) poisons that row's EWMA and every later row
-    of the key, exactly as ``0.3·x + 0.7·NULL`` does in SQL.
+    of the key, exactly as ``0.3·x + 0.7·NULL`` does in SQL — and the
+    poisoned rows are emitted as SQL NULL (nullable Float64 → Arrow
+    null), not float NaN, so the DuckDB oracle's NULLs compare equal
+    (the parity harness distinguishes NaN from NULL; review r5).
     """
     import math
 
+    import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     a = float(alpha)
@@ -309,17 +313,20 @@ def ewma(
         for pdf in batches:
             key_rows = list(zip(*(pdf[k] for k in keys)))
             xs = pdf[val_col].to_numpy(dtype="float64", na_value=float("nan"))
-            out = [0.0] * len(xs)
+            out: list = [None] * len(xs)
             for i, x in enumerate(map(float, xs)):
                 k = key_rows[i]
                 if k != cur_key:
                     cur_key, prev = k, None
                 t = x if prev is None else a * x + (1.0 - a) * prev
-                # math.floor(nan) raises; NaN (SQL NULL) must poison
-                e = t if t != t else floor(t * 1e9 + 0.5) / 1e9
-                out[i] = e
-                prev = e
-            pdf[out_col] = out
+                if t != t:
+                    # NaN (SQL NULL): emit null, carry NaN to poison
+                    prev = t
+                else:
+                    e = floor(t * 1e9 + 0.5) / 1e9
+                    out[i] = e
+                    prev = e
+            pdf[out_col] = pd.array(out, dtype="Float64")
             yield pdf[cols + [out_col]]
 
     sort_by = keys + list(order_cols) + (
@@ -330,6 +337,34 @@ def ewma(
         .sortWithinPartitions(*sort_by)
         .mapInPandas(_fold, schema=out_schema)
     )
+
+
+def _pin_and_count(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    partitions: int | None,
+) -> tuple[DataFrame, list]:
+    """Shared preamble of the few-huge-keys rank family: range-pin the
+    relation on (key, order), sort within partitions, stamp partition
+    ids, eagerly-enough checkpoint (so every later job reads the SAME
+    sampled range bounds), and collect the bounded per-(partition, key)
+    counts in partition order (≤ P + K − 1 rows — each partition adds
+    one row per key it touches and keys span partitions contiguously).
+    One definition so the range-tie/empty-input edges can't drift
+    between the rank and the selection variants (review r5)."""
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in key_cols]
+    pinned = (
+        df.repartitionByRange(p, *keys, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*key_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = pinned.groupBy("_pid", *key_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    return pinned, sorted(counts, key=lambda r: r["_pid"])
 
 
 def keyed_rank_with_totals(
@@ -366,22 +401,12 @@ def keyed_rank_with_totals(
     """
     from pyspark.sql import Window
 
-    p = partitions or df.sparkSession.sparkContext.defaultParallelism
-    keys = [F.col(c) for c in key_cols]
-    pinned = (
-        df.repartitionByRange(p, *keys, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*key_cols, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = pinned.groupBy("_pid", *key_cols).agg(
-        F.count(F.lit(1)).alias("_n")
-    ).collect()
+    pinned, counts = _pin_and_count(df, key_cols, order_cols, partitions)
     # prefix sums per key, in partition order (partitions are globally
     # range-ordered, so a key's slices appear in rank order)
     acc: dict[tuple, int] = {}
     offsets = []
-    for r in sorted(counts, key=lambda r: r["_pid"]):
+    for r in counts:
         k = tuple(r[c] for c in key_cols)
         offsets.append((r["_pid"], *k, acc.get(k, 0)))
         acc[k] = acc.get(k, 0) + r["_n"]
@@ -436,20 +461,10 @@ def keyed_select_rank(
     """
     from pyspark.sql import Window
 
-    p = partitions or df.sparkSession.sparkContext.defaultParallelism
-    keys = [F.col(c) for c in key_cols]
-    pinned = (
-        df.repartitionByRange(p, *keys, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*key_cols, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = pinned.groupBy("_pid", *key_cols).agg(
-        F.count(F.lit(1)).alias("_n")
-    ).collect()
+    pinned, counts = _pin_and_count(df, key_cols, order_cols, partitions)
     acc: dict[tuple, int] = {}
     per_key_rows: dict[tuple, list] = {}
-    for r in sorted(counts, key=lambda r: r["_pid"]):
+    for r in counts:
         k = tuple(r[c] for c in key_cols)
         per_key_rows.setdefault(k, []).append((r["_pid"], acc.get(k, 0), r["_n"]))
         acc[k] = acc.get(k, 0) + r["_n"]

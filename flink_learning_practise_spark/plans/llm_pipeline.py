@@ -602,6 +602,7 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands on whichever of these runs FIRST in each timing pass
 PAIR_TIER_CONSUMERS = (
     "q_triangle_census",
+    "q_dupgraph_degrees",
     "q_dedup_survivors",
     "q_dedup_clusters",
     "q_dedup_clusters_star",
@@ -1796,18 +1797,25 @@ pairs AS (
   JOIN sizes sb ON id_b = sb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 ),
-wedges AS (
+oriented AS (
   SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
   FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
 ),
 tris AS (
-  SELECT w.a, w.b, w.c FROM wedges w
+  SELECT w.a, w.b, w.c FROM oriented w
   JOIN pairs e3 ON w.a = e3.id_a AND w.c = e3.id_b
+),
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY id
 ),
 agg AS (
   SELECT (SELECT COUNT(*) FROM tris) AS n_triangles,
-         (SELECT COUNT(*) FROM wedges) AS n_wedges,
-         (SELECT COUNT(*) FROM pairs) AS n_edges
+         (SELECT COALESCE(CAST(SUM(CAST(d * (d - 1) AS DECIMAL(38,0))) / 2 AS BIGINT), 0)
+            FROM deg) AS n_wedges,
+         (SELECT COALESCE(CAST(SUM(CAST(d AS DECIMAL(38,0))) / 2 AS BIGINT), 0)
+            FROM deg) AS n_edges
 )
 SELECT n_triangles, n_wedges, n_edges,
        CASE WHEN n_wedges > 0
@@ -2119,9 +2127,11 @@ def dupgraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    n_edges = pairs.count()
+    # n_edges = Σd / 2 rides the same aggregate — no separate count job
+    # against the checkpointed tier (review r5)
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d").cast("decimal(38,0)")) / 2).cast("long").alias("n_edges"),
         F.max("d").alias("max_degree"),
         F.sum(
             F.round(F.log(2.0 * F.col("d")), 9).cast(DEC)
@@ -2129,9 +2139,9 @@ def dupgraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n_nodes",
-        F.lit(n_edges).cast("long").alias("n_edges"),
+        "n_edges",
         "max_degree",
-        F.round(2.0 * n_edges / F.col("n_nodes"), 9).alias("mean_degree"),
+        F.round(2.0 * F.col("n_edges") / F.col("n_nodes"), 9).alias("mean_degree"),
         F.round(1.0 + F.col("n_nodes") / F.col("sum_ln"), 6).alias("alpha_hill"),
     )
 

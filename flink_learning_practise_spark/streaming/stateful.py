@@ -415,16 +415,17 @@ def _ewma_fn(alpha: float):
             # would silently drop it (review r4)
             if prev is not None and (t, eid) <= (last_ts, last_id):
                 continue  # out-of-order arrival behind the carried state: drop
-            prev = (
-                q9(v)
-                if prev is None
-                else q9(alpha * v + (1.0 - alpha) * prev)
-            )
+            # NaN (null value) poisons the recursion via the arithmetic
+            # itself (NaN prev stays NaN forever) — emitted as null,
+            # carried as NaN, same as the batch fold (review r5); q9 on
+            # NaN would raise, so it is bypassed for poisoned steps
+            t_raw = v if prev is None else alpha * v + (1.0 - alpha) * prev
+            prev = t_raw if t_raw != t_raw else q9(t_raw)
             last_ts, last_id = t, eid
             out["ts"].append(pd.Timestamp(t, unit="us"))
             out["event_id"].append(eid)
             out["value"].append(v)
-            out["ewma"].append(prev)
+            out["ewma"].append(None if prev != prev else prev)
         # only write state when there is something to carry: a batch of
         # nothing-but-dropped rows for a FRESH key would otherwise pin a
         # permanent (None,-1,-1) entry that no timer ever evicts
@@ -436,6 +437,10 @@ def _ewma_fn(alpha: float):
                 {
                     "user_id": [user_id] * len(out["ts"]),
                     **out,
+                    # nullable Float64: poisoned steps must reach the
+                    # sink as SQL NULL, not NaN (a float64 column would
+                    # coerce None back to NaN; review r5)
+                    "ewma": pd.array(out["ewma"], dtype="Float64"),
                 }
             )
 
@@ -509,7 +514,12 @@ def _bitmap_fn(epoch_date):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        (mask,) = state.get if state.exists else (0,)
+        # state/output are signed BIGINT; bit 63 therefore stores as a
+        # NEGATIVE long (two's complement), exactly like the batch
+        # twin's shiftleft(1L, 63) wraparound — Python's unbounded int
+        # would otherwise overflow the schema at 2^63 (review r5)
+        (raw,) = state.get if state.exists else (0,)
+        mask = int(raw) + (1 << 64 if raw < 0 else 0)
         seen = False
         for ts_us, in ((r[0],) for r in _sorted_rows(pdfs, ())):
             idx = (
@@ -521,13 +531,14 @@ def _bitmap_fn(epoch_date):
             if 0 <= idx < 64:
                 mask |= 1 << idx
                 seen = True
+        signed = mask - (1 << 64) if mask >= (1 << 63) else mask
         if seen or state.exists:
-            state.update((mask,))
+            state.update((signed,))
         if seen:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "day_mask": [mask],
+                    "day_mask": [signed],
                     "days_active": [bin(mask).count("1")],
                     "longest_streak": [longest_run(mask)],
                 }
@@ -606,7 +617,10 @@ def _cumulate_fn(max_size_sec: int, step_sec: int):
             si = (int(ts_us) // 1_000_000 - frame0_sec) // step_sec
             if 0 <= si < n_slices:
                 counts[si] += 1
-                micros[si] += math.floor(v * 1e6 + 0.5)
+                # null value arrives as NaN: COUNT it, skip the SUM —
+                # the batch aggregate's null semantics (review r5)
+                if v == v:
+                    micros[si] += math.floor(v * 1e6 + 0.5)
                 min_si = min(min_si, si)
         if min_si == n_slices:
             return

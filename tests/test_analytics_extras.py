@@ -502,3 +502,28 @@ def test_keyed_select_rank_matches_window_median(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_ewma_null_poisons_as_sql_null(spark):
+    """A null input value must poison that row and every later row of
+    its key — and the poisoned rows must be SQL NULL (None), not float
+    NaN, matching the DuckDB recursion's NULL propagation (the driver's
+    value hash distinguishes them; review r5). Other keys unaffected."""
+    from flink_learning_practise_spark.operators.transforms import ewma
+
+    rows = [
+        (1, 0, 10.0),
+        (1, 1, None),
+        (1, 2, 20.0),
+        (2, 0, 4.0),
+        (2, 1, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = {
+        (r.k, r.i): r.ewma
+        for r in ewma(df, ["k"], ["i"], "v", alpha=0.5).collect()
+    }
+    assert got[(1, 0)] == 10.0
+    assert got[(1, 1)] is None  # null in, null out — not NaN
+    assert got[(1, 2)] is None  # poisoned forever, like 0.5*x + 0.5*NULL
+    assert got[(2, 0)] == 4.0 and got[(2, 1)] == 6.0  # clean key untouched

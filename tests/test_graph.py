@@ -171,19 +171,35 @@ def test_triangle_census_brute_force(spark):
         for a, b, c in itertools.combinations(range(n), 3)
         if (a, b) in eset and (b, c) in eset and (a, c) in eset
     )
-    wedges = sum(
-        1
-        for (a, b) in edges
-        for c in range(b + 1, n)
-        if (b, c) in eset
-    )
+    # ALL unordered length-2 paths: sum over vertices of C(deg, 2)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
     df = spark.createDataFrame(edges, "u long, v long")
     row = triangle_census(df).collect()[0]
     assert row.n_edges == len(edges)
     assert row.n_triangles == tris
     assert row.n_wedges == wedges
     if wedges:
-        assert abs(row.closure_ratio - round(3.0 * tris / wedges, 9)) < 1e-12
+        ratio = round(3.0 * tris / wedges, 9)
+        assert abs(row.closure_ratio - ratio) < 1e-12
+        assert 0.0 <= row.closure_ratio <= 1.0
+
+
+def test_triangle_census_ratio_bounded(spark):
+    """K3 plus a pendant edge: the r5 review case where the oriented
+    formulation reported ratio 3.0 — the corrected global clustering
+    coefficient is 3*1 / (C(3,2)+2*C(2,2)+... ) = 3/5."""
+    from flink_learning_practise_spark.operators.graph import triangle_census
+
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_census(df).collect()[0]
+    assert row.n_triangles == 1
+    assert row.n_wedges == 5  # deg: 1->3, 2->2, 3->2, 4->1 => 3+1+1+0
+    assert abs(row.closure_ratio - 0.6) < 1e-12
 
 
 def test_triangle_census_empty_graph(spark):

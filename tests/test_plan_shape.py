@@ -298,3 +298,22 @@ def test_customer_distribution_preaggregates_orders(spark, sf_medium):
     # at least one aggregate must appear BELOW (after, in tree print
     # order) the outer join — the pre-aggregation
     assert "HashAggregate" in final[join_pos:]
+
+
+def test_pagerank_round_plan_visible_and_clean(spark):
+    """The per-round lazy localCheckpoint truncates pagerank's lineage
+    to a LogicalRDD, which blinds PLANS.md and the suite-wide cartesian
+    guard to the loop's joins (review r5). The unchecked variant
+    exposes the full unrolled plan — audit it here: no cartesian, no
+    nested-loop join, and exactly the per-round join pair."""
+    from flink_learning_practise_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "s long, d long"
+    )
+    df = pagerank(edges, "s", "d", iterations=2, checkpoint_rounds=False)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # 2 rounds x (links⋈ranks + v left⋈contribs) — joins ARE in the plan
+    assert plan.count("Join") >= 4

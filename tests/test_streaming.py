@@ -1660,3 +1660,119 @@ def test_streaming_cumulate_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert last == batch
+
+
+def test_streaming_ewma_null_value_poisons_not_crashes(spark, tmp_path):
+    """A null value row must not kill the query (q9(NaN) raised before
+    the r5 fix) — it poisons the key's recursion and reaches the sink
+    as SQL NULL, mirroring the batch fold."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import streaming_ewma
+
+    src = str(tmp_path / "ewma_null_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:01", "event_id": 1, "value": 8.0},
+        {"user_id": 1, "ts": "2024-01-01 00:00:02", "event_id": 2, "value": None},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, value double"
+    ).json(src)
+    q = (
+        streaming_ewma(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("ewma_null_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    b2 = [  # second batch: the carried NaN state must keep poisoning
+        {"user_id": 1, "ts": "2024-01-01 00:00:03", "event_id": 3, "value": 2.0},
+    ]
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id: r.ewma for r in spark.table("ewma_null_out").collect()}
+    assert got[1] == 8.0
+    assert got[2] is None and got[3] is None
+
+
+def test_streaming_cumulate_null_value_counts_not_crashes(spark, tmp_path):
+    """Null value: the event COUNTS but adds nothing to the sum — the
+    batch aggregate's null semantics (math.floor(NaN) crashed pre-r5)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import (
+        streaming_cumulate_window,
+    )
+
+    src = str(tmp_path / "cum_null_in")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"ts": "2024-01-01 00:05:00", "event_type": "click", "value": 1.5},
+        {"ts": "2024-01-01 00:06:00", "event_type": "click", "value": None},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).json(src)
+    q = (
+        streaming_cumulate_window(stream, max_size_sec=3600, step_sec=600)
+        .writeStream.format("memory")
+        .queryName("cum_null_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows_out = spark.table("cum_null_out").collect()
+    first = [r for r in rows_out if r.window_end.minute == 10][0]
+    assert first.n_events == 2 and first.sum_value == 1.5
+
+
+def test_streaming_activity_bitmap_day63_wraps_like_batch(spark, tmp_path):
+    """Epoch-day 63 sets bit 63: the mask must store as the NEGATIVE
+    two's-complement long (the batch twin's shiftleft wraparound), not
+    overflow the BIGINT state schema (crashed pre-r5)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.stateful import (
+        streaming_activity_bitmap,
+    )
+
+    src = str(tmp_path / "bm63_in")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01 12:00:00"},  # day 0
+        {"user_id": 1, "ts": "2024-03-04 12:00:00"},  # day 63 (2024 is a leap year)
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(src)
+    q = (
+        streaming_activity_bitmap(stream, epoch_date="2024-01-01")
+        .writeStream.format("memory")
+        .queryName("bm63_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    b2 = [{"user_id": 1, "ts": "2024-03-03 12:00:00"}]  # day 62, reload negative state
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    rows_out = spark.table("bm63_out").collect()
+    last = rows_out[-1]
+    expected_unsigned = 1 | (1 << 62) | (1 << 63)
+    assert last.day_mask == expected_unsigned - (1 << 64)  # negative long
+    assert last.days_active == 3
+    assert last.longest_streak == 2
