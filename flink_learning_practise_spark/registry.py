@@ -64,9 +64,10 @@ def _populate() -> None:
 
     Round-5 window (positions 1-50): 30 NEW queries, then the 20
     queries whose only driver-green row dated to round 2 (rotated in so
-    their rows refresh against current code), then the r3-dated TPC-H
-    classics + relational core fill the remainder.  Round-6 note:
-    rotate the NEXT-oldest green rows (windows/joins/LLM blocks, r3)
+    their rows refresh against current code) — the window is exactly
+    full; the r3-dated TPC-H classics + relational core sit at 51+.
+    Round-6 note: rotate the NEXT-oldest green rows (the r3-dated
+    TPC-H/relational block at 51+, then windows/joins/LLM blocks)
     behind any new queries.
     """
     global _POPULATED

@@ -439,3 +439,85 @@ def stream_incremental_dedup(
         )
         fresh = hashed.join(side, "_h", "left_anti")
     return fresh.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
+
+
+# ---------------------------------------------------------------------------
+# Streaming distribution-drift monitor (the unbounded companion of the
+# batch drift tier — #97 KL, #135 KS): per closed event-time window,
+# the Population Stability Index of the value distribution against a
+# fixed reference histogram. The standard "is production input
+# drifting from what the model was trained on" alarm.
+
+
+def windowed_value_histogram(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark_delay: str = "1 minute",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """APPEND-mode per-(window, bucket) value counts: equal-width bins
+    over [lo, hi), edge-clamped (outliers land in the end bins — a
+    drift monitor must SEE out-of-range mass, not drop it); null
+    values are dropped. State is bounded by windows-in-flight x
+    n_bins. Emits only when the watermark closes the window, so each
+    micro-batch delivers COMPLETE windows — exactly what the PSI
+    companion below needs to be exact (the trending_tokens pattern).
+    """
+    width = (hi - lo) / n_bins
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width)),
+    ).cast("int")
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(F.window(ts_col, window).alias("w"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "n",
+        )
+    )
+
+
+def psi_batch(
+    batch: DataFrame, ref_shares: dict[int, float], eps: float = 1e-6
+) -> DataFrame:
+    """foreachBatch companion of :func:`windowed_value_histogram`:
+    PSI per closed window vs the fixed reference shares —
+    psi = sum_b (p_b - r_b) * ln((p_b + eps) / (r_b + eps)), every
+    reference bucket contributing (a bucket the window never saw
+    enters with p=0 — vanished mass IS drift). The batch holds only
+    closed windows x n_bins rows, so the join/window math is
+    negligible; ref rides a broadcast literal frame. PSI reading:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift.
+    """
+    spark = batch.sparkSession
+    ref = spark.createDataFrame(
+        [(int(b), float(s)) for b, s in sorted(ref_shares.items())],
+        "bucket int, ref_share double",
+    )
+    wins = batch.select("window_start", "window_end").distinct()
+    grid = wins.crossJoin(F.broadcast(ref))
+    tot = batch.groupBy("window_start", "window_end").agg(
+        F.sum("n").alias("n_events")
+    )
+    joined = (
+        grid.join(batch, ["window_start", "window_end", "bucket"], "left")
+        .join(tot, ["window_start", "window_end"])
+        .withColumn("p", F.coalesce(F.col("n"), F.lit(0)) / F.col("n_events"))
+    )
+    term = (F.col("p") - F.col("ref_share")) * F.log(
+        (F.col("p") + eps) / (F.col("ref_share") + eps)
+    )
+    return (
+        joined.groupBy("window_start", "window_end", "n_events")
+        .agg(F.round(F.sum(term), 9).alias("psi"))
+        .select("window_start", "window_end", "n_events", "psi")
+    )

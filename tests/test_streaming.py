@@ -1776,3 +1776,59 @@ def test_streaming_activity_bitmap_day63_wraps_like_batch(spark, tmp_path):
     assert last.day_mask == expected_unsigned - (1 << 64)  # negative long
     assert last.days_active == 3
     assert last.longest_streak == 2
+
+
+def test_streaming_drift_monitor_psi(spark, tmp_path):
+    """Windowed histogram + PSI vs a Python-computed expectation: two
+    micro-batches, out-of-order rows inside the watermark, a sentinel
+    advancing the watermark to close the first window; closed-window
+    PSI must equal the direct formula on the union of that window's
+    data, including zero-mass reference buckets."""
+    import json as _json
+    import math
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        psi_batch,
+        windowed_value_histogram,
+    )
+
+    src = str(tmp_path / "drift_in")
+    os.makedirs(src, exist_ok=True)
+    # window [00:00, 00:10): values in buckets 0 (0-25), 1 (25-50), 3 (75-100)
+    b1 = [
+        {"ts": "2024-01-01 00:01:00", "value": 10.0},
+        {"ts": "2024-01-01 00:03:00", "value": 30.0},
+        {"ts": "2024-01-01 00:02:00", "value": 12.0},  # out of order
+        {"ts": "2024-01-01 00:09:00", "value": 90.0},
+        {"ts": "2024-01-01 00:05:00", "value": None},  # dropped
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema("ts timestamp, value double").json(src)
+    hist = windowed_value_histogram(
+        stream, window="10 minutes", watermark_delay="1 minute", n_bins=4
+    )
+    ref = {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+    out_rows = []
+
+    def sink(batch, _bid):
+        out_rows.extend(psi_batch(batch, ref).collect())
+
+    q = hist.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    # sentinel far ahead: watermark passes 00:10, closing the window
+    with open(f"{src}/b2.json", "w") as f:
+        f.write(_json.dumps({"ts": "2024-01-01 01:00:00", "value": 50.0}))
+    q.processAllAvailable()
+    q.stop()
+    closed = [r for r in out_rows if r.window_start.minute == 0 and r.window_start.hour == 0]
+    assert len(closed) == 1
+    r = closed[0]
+    assert r.n_events == 4
+    eps = 1e-6
+    p = {0: 0.5, 1: 0.25, 2: 0.0, 3: 0.25}
+    want = round(sum(
+        (p[b] - ref[b]) * math.log((p[b] + eps) / (ref[b] + eps)) for b in ref
+    ), 9)
+    assert abs(r.psi - want) < 1e-12
