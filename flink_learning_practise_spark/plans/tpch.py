@@ -1082,3 +1082,102 @@ WHERE part_value > (
 )
 ORDER BY part_value DESC, l_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q6 forecasting revenue change (ref: the one TPC-H shape that is pure
+# scan arithmetic — no join at all). Every predicate reaches the
+# parquet scan as a pushed filter; the single decimal-routed aggregate
+# is the whole plan. The "how much revenue would a discount band have
+# produced" what-if.
+
+FORECAST_YEAR = 1996
+FORECAST_DISC_LO = 0.05
+FORECAST_DISC_HI = 0.07
+FORECAST_QTY_MAX = 24
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{FORECAST_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{FORECAST_YEAR + 1}-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= FORECAST_DISC_LO)
+            & (F.col("l_discount") <= FORECAST_DISC_HI)
+            & (F.col("l_quantity") < FORECAST_QTY_MAX)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+FORECAST_REVENUE_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{FORECAST_YEAR + 1}-01-01 00:00:00'
+  AND l_discount BETWEEN {FORECAST_DISC_LO} AND {FORECAST_DISC_HI}
+  AND l_quantity < {FORECAST_QTY_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 potential part promotion, adapted to this schema (the dataset
+# carries no partsupp/availqty, so shipped quantity plays the supply
+# role): suppliers whose shipped quantity of '%widget%' parts in the
+# target year exceeds PROMO_MULTIPLE x the mean such per-supplier
+# quantity — Q20's nested IN ( IN ( ... ) ) + quantity-threshold
+# shape. Scale: part filter -> LEFT SEMI onto the year-pruned fact
+# scan (both predicates pushed), ONE keyed aggregate, threshold from
+# the same aggregate as a single-row broadcast (the Q11 pattern — the
+# fact table is scanned once; no hint on the part side, which scales
+# with SF: AQE decides).
+
+PROMO_TOKEN = "widget"
+PROMO_YEAR = 1996
+PROMO_MULTIPLE = 1.2
+
+
+def promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    widget = part.filter(F.col("p_name").like(f"%{PROMO_TOKEN}%")).select("p_partkey")
+    ship = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{PROMO_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{PROMO_YEAR + 1}-01-01").cast("timestamp"))
+        )
+        .join(widget, li.l_partkey == widget.p_partkey, "left_semi")
+    )
+    per_supp = ship.groupBy("l_suppkey").agg(dsum("l_quantity", "qty"))
+    mean = per_supp.agg(davg("qty", "mean_qty"))
+    qualified = per_supp.crossJoin(F.broadcast(mean)).filter(
+        F.col("qty") > F.col("mean_qty") * PROMO_MULTIPLE
+    )
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey)
+        .select("s_name", "s_acctbal", "qty")
+        .orderBy("s_name")
+    )
+
+
+PROMO_SUPPLIERS_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, {sql_dsum('l_quantity', 'qty')}
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%{PROMO_TOKEN}%')
+    AND l_shipdate >= TIMESTAMP '{PROMO_YEAR}-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '{PROMO_YEAR + 1}-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_name, s_acctbal, qty
+FROM supplier
+JOIN per_supp ON s_suppkey = l_suppkey
+WHERE qty > (
+  SELECT CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) / COUNT(qty)
+         * {PROMO_MULTIPLE}
+  FROM per_supp
+)
+ORDER BY s_name
+"""

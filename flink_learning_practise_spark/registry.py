@@ -178,6 +178,12 @@ def _populate() -> None:
     register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
 
     # ---- Tier O: r3-dated greens (TPC-H classics first — next-oldest rows) ----
+    # The two queries below are NEW in round 5 but land at 51+ because
+    # the window is exactly full (30 new + the 20 r2-rotations the r4
+    # verdict required); locally oracle-proven, rotate them into the
+    # round-6 window FIRST.
+    register("q_forecast_revenue", tpch.forecast_revenue, tpch.FORECAST_REVENUE_SQL)
+    register("q_promo_suppliers", tpch.promo_suppliers, tpch.PROMO_SUPPLIERS_SQL)
     register(
         "q_sql_pricing_summary",
         tpch.pricing_summary,
