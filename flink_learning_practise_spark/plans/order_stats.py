@@ -679,6 +679,14 @@ CHURN_SPLIT_DATE = "1997-07-01"
 
 
 def customer_churn_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as first-class surface — that IS the
+    capability this query covers (both compile to hash semi/anti
+    joins; the h1/h2 scans are exchange-reused across the three set
+    ops). A pipeline that only needs the COUNTS should prefer the
+    single-exchange form — ONE groupBy(custkey) with two boolean
+    max()-flags, segment = CASE over the flag pair — which this module
+    uses everywhere the set-op surface isn't the point; at 100 TB that
+    is 1 shuffle against this plan's reused 8."""
     orders = load(spark, sf_dir, "orders")
     h1 = orders.filter(F.col("o_orderdate") < F.lit(CHURN_SPLIT_DATE).cast("timestamp")).select(
         "o_custkey"
