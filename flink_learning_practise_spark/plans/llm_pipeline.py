@@ -2131,7 +2131,10 @@ def dupgraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against the checkpointed tier (review r5)
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d").cast("decimal(38,0)")) / 2).cast("long").alias("n_edges"),
+        F.coalesce(
+            (F.sum(F.col("d").cast("decimal(38,0)")) / 2).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_edges"),
         F.max("d").alias("max_degree"),
         F.sum(
             F.round(F.log(2.0 * F.col("d")), 9).cast(DEC)

@@ -474,7 +474,10 @@ def windowed_value_histogram(
     ).cast("int")
     return (
         stream.withWatermark(ts_col, watermark_delay)
-        .filter(F.col(value_col).isNotNull())
+        # NaN would pass isNotNull and floor() it to bucket 0 (verified:
+        # floor(NaN) casts to long 0) — fake low-end mass; drop it like
+        # null (review r5)
+        .filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
         .groupBy(F.window(ts_col, window).alias("w"), bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -504,7 +507,18 @@ def psi_batch(
         "bucket int, ref_share double",
     )
     wins = batch.select("window_start", "window_end").distinct()
-    grid = wins.crossJoin(F.broadcast(ref))
+    # grid buckets = ref ∪ OBSERVED: a bucket the reference never had
+    # (ref_share -> 0) is APPEARED mass — the strongest drift signal; a
+    # ref-keys-only grid would silently drop those batch rows and
+    # report "stable" during real drift (review r5)
+    buckets = (
+        ref.select("bucket")
+        .unionByName(batch.select("bucket"))
+        .distinct()
+        .join(ref, "bucket", "left")
+        .withColumn("ref_share", F.coalesce("ref_share", F.lit(0.0)))
+    )
+    grid = wins.crossJoin(F.broadcast(buckets))
     tot = batch.groupBy("window_start", "window_end").agg(
         F.sum("n").alias("n_events")
     )

@@ -1832,3 +1832,34 @@ def test_streaming_drift_monitor_psi(spark, tmp_path):
         (p[b] - ref[b]) * math.log((p[b] + eps) / (ref[b] + eps)) for b in ref
     ), 9)
     assert abs(r.psi - want) < 1e-12
+
+
+def test_psi_batch_sees_appeared_mass(spark):
+    """A bucket observed in the window but ABSENT from ref_shares must
+    enter the PSI with ref_share=0 (appeared mass is the strongest
+    drift signal — the r5 review case where a ref-keys-only grid
+    dropped it and reported 'stable')."""
+    import math
+
+    from flink_learning_practise_spark.streaming.pipeline import psi_batch
+
+    batch = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 00:10:00", b, n)
+         for b, n in [(0, 5), (1, 4), (2, 1)]],
+        "window_start string, window_end string, bucket int, n long",
+    ).selectExpr(
+        "cast(window_start as timestamp) window_start",
+        "cast(window_end as timestamp) window_end",
+        "bucket", "n",
+    )
+    ref = {0: 0.5, 1: 0.5}  # reference never saw bucket 2
+    r = psi_batch(batch, ref).collect()[0]
+    eps = 1e-6
+    p = {0: 0.5, 1: 0.4, 2: 0.1}
+    rs = {0: 0.5, 1: 0.5, 2: 0.0}
+    want = round(sum(
+        (p[b] - rs[b]) * math.log((p[b] + eps) / (rs[b] + eps)) for b in p
+    ), 9)
+    assert r.n_events == 10
+    assert abs(r.psi - want) < 1e-12
+    assert r.psi > 0.25  # this IS a major shift — must not read stable
