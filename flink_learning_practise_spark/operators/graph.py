@@ -425,3 +425,58 @@ def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
             .alias("closure_ratio"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 3,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Fixed-iteration Label Propagation communities over an undirected
+    edge list — the fifth graph op beside CC / star-CC / PageRank /
+    triangle census (reference flink_typora.md:885's iteration family).
+
+    Each round every vertex adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — a total order, so
+    the whole iteration is a pure function of the edge list and a SQL
+    oracle can replay the exact rounds (the pagerank unrolling
+    pattern). Fixed ``iterations`` (no convergence test): LPA is not
+    guaranteed to converge (labels can oscillate on bipartite
+    structure); a bounded unroll is both the deterministic and the
+    scale-honest choice.
+
+    Scale shape per round: one join (labels onto the doubled edge
+    list, vertex key) + one (vertex, label) count + one per-vertex
+    top-1 window — per-vertex groups are degree-sized (many small
+    keys), so the window is NOT the few-huge-keys trap. Lineage is
+    checkpoint-truncated per round; ``checkpoint_rounds=False``
+    exposes the unrolled plan for audits (review r5 pagerank note).
+
+    Returns (vertex, community).
+    """
+    from pyspark.sql import Window
+
+    both = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .unionAll(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = both.select(F.col("_u").alias("vertex")).distinct().withColumn(
+        "community", F.col("vertex")
+    )
+    w = Window.partitionBy("_v").orderBy(F.desc("_c"), F.asc("community"))
+    for _ in range(iterations):
+        updated = (
+            both.join(labels, both["_u"] == labels["vertex"])
+            .groupBy("_v", "community")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_v").alias("vertex"), "community")
+        )
+        labels = (
+            updated.localCheckpoint(eager=False) if checkpoint_rounds else updated
+        )
+    return labels

@@ -605,6 +605,7 @@ PAIR_TIER_CONSUMERS = (
     "q_dupgraph_degrees",
     "q_dedup_survivors",
     "q_dedup_clusters",
+    "q_lpa_communities",
     "q_dedup_clusters_star",
     "q_pagerank_dupgraph",
     "q_dedup_cluster_stats",
@@ -2181,4 +2182,67 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        round(2.0 * n_edges / n_nodes, 9) AS mean_degree,
        round(1.0 + n_nodes / sum_ln, 6) AS alpha_hill
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# #145 LPA communities on the dup graph: the modularity-style view of
+# near-dup structure beside exact CC (#63 — CC answers "which docs are
+# transitively linked"; LPA answers "which docs cluster densely",
+# splitting chains that CC glues). Fixed 3 rounds, smallest-label
+# tie-break — a pure function of the edge list, so the oracle replays
+# the exact rounds as unrolled SQL (the PageRank pattern).
+
+LPA_ITERATIONS = 3
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shared_pair_tier(spark, sf_dir)
+    from ..operators.graph import label_propagation
+
+    return (
+        label_propagation(
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+            iterations=LPA_ITERATIONS,
+        )
+        .select(F.col("vertex").alias("doc_id"), "community")
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT v AS vertex, community FROM (
+    SELECT e.v, l.community,
+           row_number() OVER (PARTITION BY e.v
+                              ORDER BY COUNT(*) DESC, l.community) AS rn
+    FROM eb e JOIN {prev} l ON e.u = l.vertex
+    GROUP BY e.v, l.community
+  ) WHERE rn = 1
+)"""
+
+
+LPA_COMMUNITIES_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+eb AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS vertex, u AS community FROM eb),
+{_lpa_round_sql('l0', 'r1')},
+{_lpa_round_sql('r1', 'r2')},
+{_lpa_round_sql('r2', 'r3')}
+SELECT vertex AS doc_id, community FROM r3 ORDER BY doc_id
 """

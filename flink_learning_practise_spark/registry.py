@@ -184,6 +184,7 @@ def _populate() -> None:
     # round-6 window FIRST.
     register("q_forecast_revenue", tpch.forecast_revenue, tpch.FORECAST_REVENUE_SQL)
     register("q_promo_suppliers", tpch.promo_suppliers, tpch.PROMO_SUPPLIERS_SQL)
+    register("q_lpa_communities", llm.lpa_communities, llm.LPA_COMMUNITIES_SQL)
     register(
         "q_sql_pricing_summary",
         tpch.pricing_summary,

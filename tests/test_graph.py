@@ -209,3 +209,59 @@ def test_triangle_census_empty_graph(spark):
     row = triangle_census(df).collect()[0]
     assert (row.n_triangles, row.n_wedges, row.n_edges) == (0, 0, 0)
     assert row.closure_ratio == 0.0
+
+
+def test_label_propagation_brute_force(spark):
+    """3-round LPA vs a pure-Python replay on a random graph: identical
+    per-round most-frequent-neighbor-label/min-tiebreak updates."""
+    import random
+
+    from flink_learning_practise_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    n = 30
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(60)
+        }
+    )
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(3):
+        nxt = {}
+        for v, ns in nbrs.items():
+            cnt: dict[int, int] = {}
+            for u in ns:
+                cnt[labels[u]] = cnt.get(labels[u], 0) + 1
+            nxt[v] = min(
+                (l for l in cnt), key=lambda l: (-cnt[l], l)
+            )
+        labels = nxt
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert got == labels
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two triangles joined by one bridge edge: LPA keeps them as two
+    communities (each triangle converges to its own min label) where
+    CC would merge them — the chain-splitting property the query row
+    claims."""
+    from flink_learning_practise_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6]
+    assert got[4] != got[1]  # the bridge did NOT merge the cliques
