@@ -458,16 +458,35 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    # symmetrize via ONE explode reference (not a union of selects — the
+    # CC comment's double-evaluation trap), DISTINCT so duplicate or
+    # both-direction input rows can't cast extra votes (neighbor-SET
+    # semantics), self-loops dropped (a vertex is not its own neighbor)
     both = (
-        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
-        .unionAll(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("_u"), F.col("e.v").alias("_v"))
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = both.select(F.col("_u").alias("vertex")).distinct().withColumn(
-        "community", F.col("vertex")
+    # free first round: under identity labels every neighbor offers a
+    # distinct label with count 1, so top-1-by-(count, label) is plain
+    # min over neighbors — one aggregate, no join/window (the CC
+    # free-first-round specialization; review r5)
+    labels = both.groupBy(F.col("_v").alias("vertex")).agg(
+        F.min("_u").alias("community")
     )
     w = Window.partitionBy("_v").orderBy(F.desc("_c"), F.asc("community"))
-    for _ in range(iterations):
+    for _ in range(iterations - 1):
         updated = (
             both.join(labels, both["_u"] == labels["vertex"])
             .groupBy("_v", "community")

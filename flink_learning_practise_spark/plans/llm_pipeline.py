@@ -2240,9 +2240,7 @@ eb AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
 ),
-l0 AS (SELECT DISTINCT u AS vertex, u AS community FROM eb),
-{_lpa_round_sql('l0', 'r1')},
-{_lpa_round_sql('r1', 'r2')},
-{_lpa_round_sql('r2', 'r3')}
-SELECT vertex AS doc_id, community FROM r3 ORDER BY doc_id
+r1 AS (SELECT v AS vertex, MIN(u) AS community FROM eb GROUP BY v),
+{",".join(_lpa_round_sql(f'r{i}', f'r{i + 1}') for i in range(1, LPA_ITERATIONS))}
+SELECT vertex AS doc_id, community FROM r{LPA_ITERATIONS} ORDER BY doc_id
 """

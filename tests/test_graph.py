@@ -265,3 +265,20 @@ def test_label_propagation_two_cliques_bridge(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == got[5] == got[6]
     assert got[4] != got[1]  # the bridge did NOT merge the cliques
+
+
+def test_label_propagation_dedups_votes(spark):
+    """Duplicate rows and both-direction rows of the same edge must not
+    cast extra votes (neighbor-SET semantics, r5 review): with edges
+    {10-5 (x2 + reversed), 10-3}, vertex 10's neighbor labels are the
+    SET {5, 3} -> tie -> smallest (3), not the multiset's 5."""
+    from flink_learning_practise_spark.operators.graph import label_propagation
+
+    edges = [(10, 5), (10, 5), (5, 10), (10, 3), (3, 3)]  # + a self-loop
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, iterations=1).collect()
+    }
+    assert got[10] == 3  # set-tie broken to smallest, not dup-vote 5
+    assert got[5] == 10 and got[3] == 10

@@ -317,3 +317,19 @@ def test_pagerank_round_plan_visible_and_clean(spark):
     assert "BroadcastNestedLoop" not in plan
     # 2 rounds x (links⋈ranks + v left⋈contribs) — joins ARE in the plan
     assert plan.count("Join") >= 4
+
+
+def test_lpa_round_plan_visible_and_clean(spark):
+    """Same blindness compensation as the pagerank test above: LPA's
+    per-round lazy localCheckpoint hides the loop joins from explain;
+    audit the checkpoint_rounds=False variant."""
+    from flink_learning_practise_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "u long, v long"
+    )
+    df = label_propagation(edges, iterations=3, checkpoint_rounds=False)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Join") >= 2  # rounds 2 and 3 (round 1 is join-free)
