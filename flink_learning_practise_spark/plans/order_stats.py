@@ -1075,11 +1075,15 @@ ORDER BY lag
 # ---------------------------------------------------------------------------
 # #144 referential-integrity audit: orphan counts for the three core
 # FK edges (lineitem→orders, orders→customer, customer→nation) — the
-# dq_report (#90) checks columns, this checks EDGES. Each edge is one
-# LEFT ANTI join on its key (AQE picks broadcast when the parent's
-# key set fits, shuffled-hash otherwise — no forced hints per
-# BROADCAST_POLICY); child/parent scans project only the key column,
-# so the audit reads megabytes per edge, not the tables.
+# dq_report (#90) checks columns, this checks EDGES. Each edge is ONE
+# key-only LEFT OUTER join + ONE aggregate computing total and orphan
+# counts together (a separate anti-join + child count would scan the
+# child twice per edge — at 100 TB the extra fact scan is the cost);
+# no forced hints per BROADCAST_POLICY (AQE broadcasts a parent key
+# set that fits). Assumes parent keys unique (they are PKs — the
+# dq_report uniqueness check is the guard); a duplicated parent key
+# would inflate the fused counts where the anti-join form tolerates
+# it — the documented tradeoff for one scan per edge.
 
 
 def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,16 +1095,19 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for name, child, ckey, parent, pkey in edges:
         c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = load(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
-        n_children = c.agg(F.count(F.lit(1)).alias("n"))
-        orphans = c.join(p, "k", "left_anti").agg(F.count(F.lit(1)).alias("n"))
+        p = load(spark, sf_dir, parent).select(
+            F.col(pkey).alias("k"), F.lit(1).alias("_hit")
+        )
         outs.append(
-            n_children.crossJoin(
-                orphans.withColumnRenamed("n", "n_orphans")
-            ).select(
-                F.lit(name).alias("fk"),
-                F.col("n").alias("n_child_rows"),
-                "n_orphans",
+            c.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(
+                    F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("fk"), "n_child_rows", "n_orphans"
             )
         )
     out = outs[0]
