@@ -394,13 +394,14 @@ def unigram_logprob(
     could never hash-match a single-node oracle.
 
     Scale shape: one vocabulary-sized aggregate (Heaps'-law sublinear,
-    not corpus-proportional), total-token count piggybacked on it via
-    an unpartitioned window (vocab-sized input), then a token join the
-    optimizer sizes (vocab vs corpus — AQE broadcasts the frequency
-    table when it fits) and one per-document aggregate.
+    not corpus-proportional); the total-token count is a SINGLE-ROW
+    partial+final aggregate broadcast-crossed back onto the vocab tier
+    (an unpartitioned window here would funnel the whole vocabulary —
+    10⁸–10⁹ rows at 100 TB — through one task; review r5's budget bans
+    that shape), then a token join the optimizer sizes (vocab vs
+    corpus — AQE broadcasts the frequency table when it fits) and one
+    per-document aggregate.
     """
-    from pyspark.sql import Window
-
     from .dedup import widen
 
     toks = (
@@ -411,13 +412,10 @@ def unigram_logprob(
         )
         .filter(F.col("token") != "")
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_total"))  # one finished row
     freq = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_total", F.sum("_cnt").over(w_all))
+        counts.crossJoin(F.broadcast(total))
         .withColumn(
             "_lp",
             F.round(F.log(F.col("_cnt") / F.col("_total")), 9).cast(
@@ -453,11 +451,15 @@ def source_kl_divergence(
     :func:`unigram_logprob`).
 
     Scale shape: two aggregates bounded by |vocab|·|sources| and
-    |vocab| — never corpus-proportional — joined on the token.
+    |vocab| — never corpus-proportional — joined on the token. The
+    corpus total is a single-row aggregate broadcast-crossed back; the
+    per-source totals re-aggregate the per-(source, token) tier to a
+    sources-bounded frame and broadcast-join back on source (the
+    previous per-source WINDOW clustered each source's whole vocabulary
+    slice into one task — with a handful of sources that is the
+    single-partition funnel in disguise; review r5's budget).
     Output: (source, n_tokens, kl_divergence), ordered by source.
     """
-    from pyspark.sql import Window
-
     from .dedup import widen
 
     toks = (
@@ -468,20 +470,15 @@ def source_kl_divergence(
         )
         .filter(F.col("token") != "")
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    c_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c_cnt"))
+    c_tot = c_counts.agg(F.sum("_c_cnt").alias("_c_tot"))  # one finished row
+    corpus = c_counts.crossJoin(F.broadcast(c_tot))
+    s_counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("_s_cnt")
     )
-    corpus = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("_c_cnt"))
-        .withColumn("_c_tot", F.sum("_c_cnt").over(w_all))
-    )
-    w_src = Window.partitionBy("source")
-    per_src = (
-        toks.groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("_s_cnt"))
-        .withColumn("_s_tot", F.sum("_s_cnt").over(w_src))
-    )
+    # sources-bounded (one row per source) — broadcast is policy-safe
+    s_tot = s_counts.groupBy("source").agg(F.sum("_s_cnt").alias("_s_tot"))
+    per_src = s_counts.join(F.broadcast(s_tot), "source")
     p_s = F.col("_s_cnt") / F.col("_s_tot")
     p_c = F.col("_c_cnt") / F.col("_c_tot")
     term = F.round(p_s * F.log(p_s / p_c), 9).cast("decimal(18,9)")

@@ -1831,19 +1831,24 @@ FROM agg
 # vocabulary — the corpus-health diagnostic (natural text sits near
 # slope −1; template/boilerplate corpora flatten, codey corpora
 # steepen). The regression inputs are rounded-ln values decimal-summed
-# (partition-order-exact), the window runs over the VOCAB frame
-# (Heaps-sublinear), and the fit is closed-form double math over five
-# finished scalars.
+# (partition-order-exact), the vocabulary rank comes from the
+# DISTRIBUTED global-rank pattern (range exchange + per-partition
+# row_number + driver prefix-sum offsets — transforms.global_rank), and
+# the fit is closed-form double math over five finished scalars.
+# Review r5 fix: the previous unpartitioned Window.orderBy funneled the
+# ENTIRE vocabulary (10⁸–10⁹ distinct tokens at 100 TB, Heaps-sublinear
+# but unbounded-growth) through one task; the range-partitioned rank
+# keeps every stage parallel.
 
 ZIPF_TOP_K = 1000
 
 
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load(spark, sf_dir, "documents")
     from ..operators.dedup import widen
     from ..operators.text import normalize
+    from ..operators.transforms import global_rank
+
+    docs = load(spark, sf_dir, "documents")
 
     toks = (
         widen(docs)
@@ -1851,11 +1856,16 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    # vocab-sized unpartitioned window (same bounded-frame justification
-    # as the unigram tier); rank ties broken on the token for a total order
-    w = Window.orderBy(F.desc("cnt"), "token")
+    # rank = row_number over (cnt DESC, token ASC) — expressed as an
+    # ASCENDING total order on (-cnt, token) so the range exchange's
+    # sampled bounds see a plain sort key; ties broken on the token for
+    # a partition-placement-independent total order
     ranked = (
-        freq.withColumn("rank", F.row_number().over(w))
+        global_rank(
+            freq.withColumn("_neg_cnt", -F.col("cnt")),
+            ["_neg_cnt", "token"],
+            rank_col="rank",
+        )
         .filter(F.col("rank") <= ZIPF_TOP_K)
         .select(
             F.round(F.log("rank"), 9).alias("x"),

@@ -140,6 +140,55 @@ def test_dq_report_exchange_budget(spark, sf_medium):
     assert len(bcast) <= 3
 
 
+# Queries allowed an unpartitioned WindowExec, with the bounded-frame
+# proof. NOTHING else may plan one (q_zipf_fit regressed this way in
+# r5 — an unpartitioned rank over the unbounded-growth vocabulary;
+# review r5 asked for this budget to be pinned in CI).
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # CDF running-sum walk over DISTINCT n_chars — value-domain-bounded
+    # (doc length caps the frame at a few thousand rows regardless of
+    # corpus size), never corpus- or vocab-sized.
+    "q_ks_drift",
+    # grand total over the Misra-Gries candidate tier — CAPPED at
+    # shards·k + 1 rows by the MG bound regardless of corpus size
+    "q_heavy_hitters",
+    # percent-of-parent over the region/nation rollup — ≤ 30 rows
+    "q_regional_share",
+    # row/col/grand marginals over the r×c contingency cells —
+    # event-type × value-bucket, both domain-bounded
+    "q_chi2_independence",
+    # first-digit shares over exactly 9 digit rows
+    "q_benford_digits",
+    # mixture weights over the per-source tier — sources are a
+    # bounded catalog, not data-proportional
+    "q_domain_mix",
+}
+
+
+def test_unpartitioned_window_budget(spark, sf_medium):
+    """No registered query may plan a WindowExec with an empty
+    partition spec (the whole-relation-through-one-task funnel) unless
+    its frame is provably bounded and allowlisted above. Global ranks
+    must use transforms.global_rank (range exchange + per-partition
+    row_number + driver prefix-sum)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import unpartitioned_windows
+
+    offenders = {}
+    for name, q in all_queries().items():
+        if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+            continue
+        lines = unpartitioned_windows(plan_of(q.fn(spark, sf_medium)))
+        if lines:
+            offenders[name] = lines[0]
+    assert not offenders, f"unpartitioned WindowExec outside allowlist: {offenders}"
+
+
 def test_no_cartesian_product_anywhere(spark, sf_medium):
     """No registered query may plan a CartesianProduct: every join must
     have usable keys (the only nested-loop join allowed is the
