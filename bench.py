@@ -46,6 +46,7 @@ import time
 
 from flink_learning_practise_spark.plans.llm_pipeline import (
     PAIR_TIER_CONSUMERS,
+    _shared_pair_tier,
     reset_shared_caches,
 )
 from flink_learning_practise_spark.registry import all_queries
@@ -60,16 +61,19 @@ STDOUT_LINE_MAX = 1800
 
 
 def compact_line(timings: dict[str, float], sf: float | None,
-                 n_errors: int = 0) -> dict:
+                 n_errors: int = 0, extra_sec: float = 0.0) -> dict:
     """The ONLY payload bench prints to stdout.
 
     Deliberately excludes the per-query dict — that is what overflowed
     the driver's tail capture in rounds 3 and 4 (``parsed: null``).
-    Everything per-query lives in BENCH_EVIDENCE.json.
+    Everything per-query lives in BENCH_EVIDENCE.json. ``extra_sec``
+    charges suite-level costs that belong to no single query (the
+    shared pair-tier checkpoint build) into the total so the headline
+    number stays honest while per-query mins stay warm-memo.
     """
     return {
         "metric": "query_wall_time_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()) + extra_sec, 4),
         "unit": "sec",
         "n_queries": len(timings),
         "n_errors": n_errors,
@@ -124,11 +128,24 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
+    tier_build_samples: list[float] = []
     for p in range(PASSES + 1):  # pass 0 = compile warm-up, discarded
-        # re-pay the shared pair-tier build each pass so its cost is
-        # visible in the timings (charged to the first consumer in
-        # registry order — see evidence["shared_tiers"])
+        # re-pay the shared pair-tier build each pass, timed as its OWN
+        # line (r5 verdict ask): before the reset-per-pass + explicit
+        # build, the checkpoint cost landed on whichever consumer ran
+        # first in registry order, misattributing the suite's single
+        # most expensive stage. Now every consumer measures against a
+        # warm memo and the build cost is explicit in the evidence
+        # sidecar AND included in the stdout total.
         reset_shared_caches()
+        tb0 = time.perf_counter()
+        try:
+            _shared_pair_tier(spark, sf_dir)  # eager localCheckpoint
+            if p > 0:
+                tier_build_samples.append(time.perf_counter() - tb0)
+        except Exception as e:  # noqa: BLE001
+            errors.setdefault("_build:ppjoin_pair_tier",
+                              f"{type(e).__name__}: {e}"[:300])
         t0 = time.perf_counter()
         for n in names:
             if n in errors:
@@ -154,9 +171,13 @@ def main() -> None:
             # keeping its timing would break the "errors are excluded
             # from timings" contract.
             if n in PAIR_TIER_CONSUMERS:
-                # never sample a consumer against a warm memo — the min
-                # would exclude the tier build the passes charged
-                reset_shared_caches()
+                # per-query samples are warm-memo by contract now (the
+                # build is its own timed line) — make sure the memo IS
+                # warm so the extra sample matches the pass samples
+                try:
+                    _shared_pair_tier(spark, sf_dir)
+                except Exception:  # noqa: BLE001
+                    continue
             try:
                 s.append(run_once(n))
             except Exception:  # noqa: BLE001
@@ -172,7 +193,11 @@ def main() -> None:
         n: round((max(s) - min(s)) / max(min(s), 1e-9), 2)
         for n, s in samples.items()
     }
-    out = compact_line(timings, sf, n_errors=len(errors))
+    tier_build_sec = (
+        round(min(tier_build_samples), 4) if tier_build_samples else None
+    )
+    out = compact_line(timings, sf, n_errors=len(errors),
+                       extra_sec=tier_build_sec or 0.0)
     evidence = {
         **out,
         "queries": timings,
@@ -185,9 +210,16 @@ def main() -> None:
         "cpu_busy_frac": busy_frac,  # whole-box busy share during the run
         "errors": errors,  # queries that threw (excluded from timings)
         # shared-tier accounting: these queries reuse one checkpointed
-        # pair tier; its build is re-paid once per pass (reset above)
-        # and lands on whichever consumer runs first in registry order
-        "shared_tiers": {"ppjoin_pair_tier": list(PAIR_TIER_CONSUMERS)},
+        # pair tier; its build is re-paid + TIMED once per pass (before
+        # any consumer runs), so per-query mins are warm-memo and the
+        # build cost is explicit here and included in the stdout total
+        "shared_tiers": {
+            "ppjoin_pair_tier": {
+                "consumers": list(PAIR_TIER_CONSUMERS),
+                "build_sec": tier_build_sec,
+                "build_samples": [round(x, 3) for x in tier_build_samples],
+            }
+        },
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_EVIDENCE.json")

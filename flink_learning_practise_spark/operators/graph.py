@@ -367,36 +367,63 @@ def pagerank(
 
 
 def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
-    """Triangle/wedge/edge counts over an id-ORIENTED edge list
-    (``src < dst`` required — each triangle then appears exactly once
-    as a<b<c). Classic two-join census: wedges a-b-c from edge pairs
-    sharing the middle vertex, closed by an (a,c) edge probe.
+    """Triangle/wedge/edge counts over a deduplicated undirected edge
+    list (each {u,v} exactly once, u ≠ v). DEGREE-oriented census
+    (Cohen 2009 / Suri-Vassilvitskii 2011): every edge is re-directed
+    from its lower-(degree, id) endpoint to its higher one, so each
+    triangle appears exactly once as the wedge at its LOWEST-rank
+    vertex. Wedges then fan out as Σ_v C(out-deg(v), 2) with
+    out-deg ≤ O(√m) — a boilerplate-template hub in the dup graph
+    contributes only in-edges and cannot square. Same two joins as the
+    id-oriented census, different comparator (the r5 weak flag).
 
-    Scale: the oriented-wedge frame is Σ over middle vertices of
-    out-deg·in-deg; with raw id orientation a hub id that sorts low
-    fans out quadratically — at 100 TB orient by (degree, id) first
-    (same joins, different comparator; standard Cohen's trick). Output
-    is ONE row: n_triangles, n_wedges (= Σ_v C(deg v, 2), ALL
+    Output is ONE row: n_triangles, n_wedges (= Σ_v C(deg v, 2), ALL
     unordered length-2 paths), n_edges, closure_ratio =
     3·tri/wedges — the global clustering coefficient, in [0, 1].
     """
     pairs = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-    e1 = pairs.select(F.col("_a").alias("a"), F.col("_b").alias("b"))
-    e2 = pairs.select(F.col("_a").alias("b"), F.col("_b").alias("c"))
-    oriented = e1.join(e2, "b").select("a", "b", "c")
-    e3 = pairs.select(F.col("_a").alias("a"), F.col("_b").alias("c"))
-    tris = oriented.join(e3, ["a", "c"])
-    n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    # wedge count = ALL unordered length-2 paths = Σ_v C(deg(v), 2) —
-    # NOT the a<b<c-oriented join above (which holds exactly ONE wedge
-    # per triangle and would let the "ratio" exceed 1; review r5). The
-    # oriented join exists only to find triangles once each.
     deg = (
         pairs.select(F.col("_a").alias("id"))
         .unionAll(pairs.select(F.col("_b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Rank every vertex by (degree, id) — a total order, so each edge
+    # gets exactly one direction. Attaching both endpoint degrees is
+    # two vertex-keyed shuffle joins (deg is vertex-cardinality).
+    da = deg.select(F.col("id").alias("_a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("id").alias("_b"), F.col("d").alias("_db"))
+    a_lower = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oriented_e = (
+        pairs.join(da, "_a")
+        .join(db, "_b")
+        .select(
+            F.when(a_lower, F.col("_a")).otherwise(F.col("_b")).alias("x"),
+            F.when(a_lower, F.col("_b")).otherwise(F.col("_a")).alias("y"),
+            F.when(a_lower, F.col("_db")).otherwise(F.col("_da")).alias("dy"),
+        )
+    )
+    # Wedge at x: two out-edges (x→b), (x→c) with rank(b) < rank(c);
+    # the closing edge, if present, is oriented (b→c) by transitivity.
+    e1 = oriented_e.select(F.col("x"), F.col("y").alias("b"), F.col("dy").alias("_dbr"))
+    e2 = oriented_e.select(F.col("x"), F.col("y").alias("c"), F.col("dy").alias("_dcr"))
+    wedges = (
+        e1.join(e2, "x")
+        .where(
+            (F.col("_dbr") < F.col("_dcr"))
+            | ((F.col("_dbr") == F.col("_dcr")) & (F.col("b") < F.col("c")))
+        )
+        .select("b", "c")
+    )
+    e3 = oriented_e.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    tris = wedges.join(e3, ["b", "c"])
+    n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # wedge count = ALL unordered length-2 paths = Σ_v C(deg(v), 2) —
+    # NOT the rank-oriented join above (which holds exactly ONE wedge
+    # per triangle and would let the "ratio" exceed 1; review r5). The
+    # oriented join exists only to find triangles once each.
     # d·(d−1) summed in decimal (hub degrees square past 2^53 at scale,
     # where a double sum would silently lose wedges), halved exactly
     wedge_edge = deg.agg(

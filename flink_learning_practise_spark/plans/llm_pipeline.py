@@ -1770,14 +1770,15 @@ LIMIT {BM25_TOP_N}
 
 def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges come from the shared checkpointed PPJoin pair tier
-    (id_a < id_b already — the orientation that makes each triangle
-    appear once as a<b<c). Two edge-keyed joins; the wedge frame
-    (a,b,c) is bounded by Σ deg(b)² over the b that close wedges —
-    at 100 TB, orient by (degree, id) instead of raw id to bound the
-    worst hub's wedge fan-out (same joins, different comparator).
-    Output: one row — triangles, wedges (open+closed), edges, and the
-    global closure ratio 3·tri/wedges (operators/graph.triangle_census,
-    brute-force-checked in tests/test_graph.py)."""
+    (deduplicated, id_a < id_b). The census DEGREE-orients every edge
+    (lower (degree, id) endpoint → higher) before the two wedge/probe
+    joins, so the wedge frame is Σ_v C(out-deg v, 2) with
+    out-deg ≤ O(√m) — a boilerplate-template hub contributes only
+    in-edges and cannot square its fan-out (r5 weak flag fixed; same
+    joins, different comparator). Output: one row — triangles, wedges
+    (open+closed), edges, and the global closure ratio 3·tri/wedges
+    (operators/graph.triangle_census, brute-force-checked in
+    tests/test_graph.py)."""
     from ..operators import graph
 
     pairs = _shared_pair_tier(spark, sf_dir).select("id_a", "id_b")

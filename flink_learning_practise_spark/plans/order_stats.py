@@ -1095,8 +1095,17 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for name, child, ckey, parent, pkey in edges:
         c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = load(spark, sf_dir, parent).select(
-            F.col(pkey).alias("k"), F.lit(1).alias("_hit")
+        # dropDuplicates on the parent key: free for a true PK (one
+        # map-side combine over an already-unique column), and it keeps
+        # the left-join COUNT(*) formulation honest if a parent key
+        # ever duplicates — without it every child row matching a
+        # doubled parent would count twice, silently inflating
+        # n_child_rows (r5 verdict ask; property test in
+        # tests/test_analytics_extras.py).
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"), F.lit(1).alias("_hit"))
+            .dropDuplicates(["k"])
         )
         outs.append(
             c.join(p, "k", "left")

@@ -527,3 +527,31 @@ def test_ewma_null_poisons_as_sql_null(spark):
     assert got[(1, 1)] is None  # null in, null out — not NaN
     assert got[(1, 2)] is None  # poisoned forever, like 0.5*x + 0.5*NULL
     assert got[(2, 0)] == 4.0 and got[(2, 1)] == 6.0  # clean key untouched
+
+
+def test_fk_integrity_duplicate_parent_key_does_not_inflate(spark, tmp_path):
+    """The left-join COUNT(*) formulation counts each child row once
+    per matching parent row — so a duplicated parent key would silently
+    inflate n_child_rows. The parent projection dropDuplicates guard
+    (r5 verdict ask) must keep counts exact even when the PK
+    precondition is violated upstream."""
+    from flink_learning_practise_spark.plans.order_stats import fk_integrity
+
+    d = str(tmp_path)
+    # orders: o_orderkey=1 DUPLICATED; lineitem has 3 rows, 1 orphan
+    spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 11)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1,), (1,), (99,)], "l_orderkey long"
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(10, 0), (11, 0)], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame([(0,)], "n_nationkey long").write.parquet(
+        f"{d}/nation.parquet"
+    )
+    got = {r.fk: (r.n_child_rows, r.n_orphans) for r in fk_integrity(spark, d).collect()}
+    assert got["lineitem->orders"] == (3, 1)  # NOT (5, 1): dup parent ignored
+    assert got["orders->customer"] == (3, 0)  # child dup rows still count
+    assert got["customer->nation"] == (2, 0)
