@@ -526,3 +526,51 @@ def label_propagation(
             updated.localCheckpoint(eager=False) if checkpoint_rounds else updated
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Bounded-round k-core peeling over a deduplicated undirected edge
+    list: each round drops every vertex with degree < k and the edges
+    touching it; after ``rounds`` passes the survivors approximate the
+    k-core from above (exact once a round removes nothing — random
+    dup-graphs converge in 2-3 rounds; a fixed round count keeps the
+    result a pure function of the edge list, so a SQL oracle can
+    replay it as unrolled CTEs, the LPA/PageRank pattern).
+
+    Each round is one degree aggregate + two LEFT SEMI joins on the
+    vertex key — all shuffle-partitioned on ids, nothing driver-side,
+    and the edge frame only shrinks. ``checkpoint_rounds=False`` keeps
+    the full Catalyst plan visible for plan audits (lazy checkpoints
+    truncate lineage to a LogicalRDD, blinding the no-cartesian suite
+    guard — the PageRank loop's rule).
+
+    Returns (id, degree): the surviving vertices with their degree in
+    the final peeled edge set.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+
+    def degrees(f: DataFrame) -> DataFrame:
+        return (
+            f.select(F.col("u").alias("id"))
+            .unionAll(f.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(e).where(F.col("d") >= k).select("id")
+        e = (
+            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        if checkpoint_rounds:
+            e = e.localCheckpoint(eager=False)
+    return degrees(e).select("id", F.col("d").alias("degree"))

@@ -492,3 +492,177 @@ def keyed_select_rank(
         .drop("_pid", "_local")
     )
     return pinned.drop("_pid"), selected
+
+
+def keyed_prefix_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cum_w",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-key INCLUSIVE cumulative weight sum for the few-huge-keys
+    regime — the weighted generalization of :func:`keyed_rank_with_totals`
+    (rank = prefix sum of weight ≡ 1). ``Window.partitionBy(key)
+    .orderBy(...)`` would funnel each key's entire series through one
+    task; instead:
+
+    1. ``repartitionByRange`` on (key, order) — each key occupies a run
+       of consecutive globally-ordered partitions;
+    2. per-partition windowed cumsum within (partition, key) — parallel;
+    3. per-(partition, key) DECIMAL weight totals to the driver (≤
+       P + K − 1 rows, bounded by parallelism + key cardinality, never
+       data) → per-key prefix offsets joined back as a broadcast frame.
+
+    Weights ride through ``decimal(28,6)`` so the distributed sum is
+    exact and partition-order-independent (num.py discipline); the
+    output column is decimal — cast at the consumer. With
+    ``key_cols=[]`` this is a GLOBAL distributed prefix sum (the
+    running-total shape, no single-partition window). ``order_cols``
+    need not totally order rows: ties cumulate in arbitrary order
+    within the tie group, so consumers must select on the ORDER value
+    (threshold crossing), not on a specific tied row.
+    """
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in key_cols]
+    pinned = (
+        df.repartitionByRange(p, *keys, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*key_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_w", F.col(weight_col).cast("decimal(28,6)"))
+        .localCheckpoint()
+    )
+    sums = pinned.groupBy("_pid", *key_cols).agg(F.sum("_w").alias("_s")).collect()
+    sums.sort(key=lambda r: r["_pid"])
+    acc: dict[tuple, Decimal] = {}
+    offsets = []
+    zero = Decimal(0)
+    for r in sums:
+        k = tuple(r[c] for c in key_cols)
+        offsets.append((r["_pid"], *k, acc.get(k, zero)))
+        acc[k] = acc.get(k, zero) + (r["_s"] if r["_s"] is not None else zero)
+    spark = df.sparkSession
+    off_schema = ", ".join(
+        ["_pid int"]
+        + [f"{c} {t}" for c, t in df.select(*key_cols).dtypes]
+        + ["_off decimal(28,6)"]
+    )
+    off = spark.createDataFrame(offsets, off_schema)
+    w = (
+        Window.partitionBy("_pid", *key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        # bounded P+K-row frame, never data-proportional
+        pinned.join(F.broadcast(off), ["_pid", *key_cols])  # broadcast-policy-exempt
+        .withColumn(out_col, F.sum("_w").over(w) + F.col("_off"))
+        .drop("_pid", "_off", "_w")
+    )
+
+
+def mann_kendall_s(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+) -> DataFrame:
+    """Per-key Mann-Kendall trend statistic
+    ``S = Σ_{i<j} sign(x_j − x_i)`` (pairs ordered by ``order_cols``),
+    one output row per key: (keys..., n, s_stat).
+
+    The textbook computation is the O(n²) pairwise sweep (the oracle
+    replays exactly that); at scale this streams each key's series
+    ONCE in time order through a Fenwick tree over rank-compressed
+    values — O(n log n) per key, the same asymptotics as the sort the
+    exchange already pays. Same execution shape as :func:`ewma`
+    (repartition on key + sortWithinPartitions + mapInPandas with the
+    generator carrying per-key state across Arrow batches — per-task
+    memory is one key's value buffer, not the partition); rows with a
+    NULL value are dropped first (a pair against NULL has no sign, the
+    SQL convention).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    keys = list(key_cols)
+    key_fields = [
+        f for f in df.schema.fields if f.name in keys
+    ]
+    out_schema = StructType(
+        key_fields
+        + [StructField("n", LongType(), False),
+           StructField("s_stat", LongType(), False)]
+    )
+
+    def _s_of(vals: list) -> tuple[int, int]:
+        v = np.asarray(vals, dtype="float64")
+        n = len(v)
+        # rank-compress to 1..m for the Fenwick tree
+        uniq = np.unique(v)
+        pos = np.searchsorted(uniq, v) + 1
+        m = len(uniq)
+        tree = [0] * (m + 1)
+        s = 0
+        seen = 0
+        for x in pos.tolist():
+            # prefix count of earlier values STRICTLY below x
+            i, less = x - 1, 0
+            while i > 0:
+                less += tree[i]
+                i -= i & -i
+            # earlier values ≤ x
+            i, le = x, 0
+            while i > 0:
+                le += tree[i]
+                i -= i & -i
+            s += less - (seen - le)
+            seen += 1
+            while x <= m:
+                tree[x] += 1
+                x += x & -x
+        return n, s
+
+    def _fold(batches):
+        cur_key = None
+        buf: list = []
+
+        def flush():
+            if cur_key is None or not buf:
+                return None
+            n, s = _s_of(buf)
+            return (*cur_key, n, s)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            key_rows = list(zip(*(pdf[k] for k in keys)))
+            xs = pdf[val_col].to_numpy(dtype="float64", na_value=float("nan"))
+            out_rows = []
+            for i, x in enumerate(map(float, xs)):
+                k = key_rows[i]
+                if k != cur_key:
+                    r = flush()
+                    if r is not None:
+                        out_rows.append(r)
+                    cur_key, buf = k, []
+                if x == x:  # skip NULL/NaN values
+                    buf.append(x)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[*keys, "n", "s_stat"])
+        r = flush()
+        if r is not None:
+            yield pd.DataFrame([r], columns=[*keys, "n", "s_stat"])
+
+    sort_by = keys + list(order_cols)
+    return (
+        df.repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*sort_by)
+        .mapInPandas(_fold, schema=out_schema)
+    )

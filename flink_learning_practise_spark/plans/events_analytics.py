@@ -10,7 +10,7 @@ Python) and deterministic numeric aggregation (see ``num.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datasets import load
@@ -2842,4 +2842,227 @@ WHERE dur IS NOT NULL
 GROUP BY user_id, day
 HAVING SUM(dur) > 0
 ORDER BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# #151 Mann-Kendall trend test per user: the nonparametric "is this
+# series monotonically drifting" screen (S = Σ_{i<j} sign(x_j − x_i),
+# τ_a = 2S / n(n−1)) — robust to outliers where the OLS trend (#109)
+# is not. The oracle replays the textbook O(n²) pairwise sweep; the
+# Spark path streams each user's series once through a Fenwick tree
+# (operators/transforms.mann_kendall_s, O(n log n) per key — a power
+# user's million-event series costs a sort, not a billion pairs).
+# τ is quantized floor(x·10⁹+0.5)/10⁹ — pure IEEE ops, engine-identical
+# (round() half-up vs scaled-binary disagrees; num.py discipline).
+
+MANN_KENDALL_MIN_N = 5
+
+
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    s = transforms.mann_kendall_s(ev, ["user_id"], ["ts", "event_id"], "value")
+    return (
+        s.where(F.col("n") >= MANN_KENDALL_MIN_N)
+        .select(
+            "user_id",
+            "n",
+            "s_stat",
+            (
+                F.floor(
+                    (2.0 * F.col("s_stat"))
+                    / (F.col("n") * (F.col("n") - 1))
+                    * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("tau"),
+        )
+        .orderBy("user_id")
+    )
+
+
+MANN_KENDALL_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT a.user_id,
+         CAST(SUM(CASE WHEN b.value > a.value THEN 1
+                       WHEN b.value < a.value THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+  GROUP BY a.user_id
+),
+n AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1)
+SELECT n.user_id, n.n, COALESCE(s.s_stat, 0) AS s_stat,
+       floor((2.0 * COALESCE(s.s_stat, 0)) / (n.n * (n.n - 1)) * 1e9 + 0.5)
+         / 1e9 AS tau
+FROM n LEFT JOIN s ON n.user_id = s.user_id
+WHERE n.n >= {MANN_KENDALL_MIN_N}
+ORDER BY n.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #152 inter-event gap profile: seconds between consecutive events per
+# user (a per-USER lag window — millions of small keys, the regime
+# where a keyed window is exactly right), then distribution stats per
+# event TYPE of the latter event. The type key is FEW-HUGE (≈5 values
+# over the whole stream), so the median selection goes through
+# transforms.keyed_select_rank (range-partitioned per-key order
+# statistic, ≤ P+K driver scalars) instead of a 5-task
+# Window.partitionBy(type) rank. Gap seconds are whole-second ints in
+# both engines (unix_timestamp ↔ floor(epoch()) — DuckDB keeps micros).
+
+def interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("_prev")).alias(
+                "gap_sec"
+            ),
+        )
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (
+            F.floor(
+                (F.sum(F.col("gap_sec").cast(DEC)).cast("double") / F.count(F.lit(1)))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_gap_sec"),
+    )
+    _, med = transforms.keyed_select_rank(
+        gaps, ["event_type"], ["gap_sec"], lambda n: (n + 1) // 2
+    )
+    return (
+        stats.join(
+            med.select("event_type", F.col("gap_sec").alias("p50_gap_sec")),
+            "event_type",
+        )
+        .select("event_type", "n_gaps", "mean_gap_sec", "p50_gap_sec")
+        .orderBy("event_type")
+    )
+
+
+INTEREVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_sec
+  FROM events
+),
+g2 AS (SELECT event_type, gap_sec FROM g WHERE gap_sec IS NOT NULL),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         floor(CAST(SUM(CAST(gap_sec AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_gap_sec
+  FROM g2 GROUP BY 1
+),
+med AS (
+  SELECT event_type, gap_sec AS p50_gap_sec FROM (
+    SELECT event_type, gap_sec,
+           row_number() OVER (PARTITION BY event_type ORDER BY gap_sec) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM g2
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT s.event_type, s.n_gaps, s.mean_gap_sec, m.p50_gap_sec
+FROM stats s JOIN med m ON s.event_type = m.event_type
+ORDER BY s.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# #153 ROC-AUC of "event value predicts purchase": the Mann-Whitney
+# rank-sum AUC with average-rank tie handling — the model-evaluation
+# primitive a scoring pipeline runs at every release. Integer-exact to
+# the last step: per distinct score the tier holds (n, n_pos); the
+# EXCLUSIVE rank prefix comes from the distributed global prefix sum
+# (transforms.keyed_prefix_sum, NO key — no unpartitioned window over
+# the score domain); 2·Σ(ranks of positives) = Σ n_pos·(2·cum_excl +
+# n + 1) sums in decimal(38,0); doubles appear only in the final
+# closed form AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻), then floor-trick 9.
+
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("_pos"),
+        )
+    )
+    tier = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_pos").alias("_np")
+    )
+    cum = transforms.keyed_prefix_sum(tier, [], ["value"], "_n", out_col="_cw")
+    contrib = cum.select(
+        F.col("_np").cast("decimal(38,0)").alias("np"),
+        F.col("_n").cast("decimal(38,0)").alias("n"),
+        (F.col("_cw").cast("decimal(38,0)") - F.col("_n")).alias("cum_excl"),
+    ).agg(
+        F.sum(
+            F.col("np") * (2 * F.col("cum_excl") + F.col("n") + 1)
+        ).alias("_r2"),
+        F.sum("np").alias("_npos"),
+        F.sum(F.col("n") - F.col("np")).alias("_nneg"),
+    )
+    return contrib.select(
+        F.col("_npos").cast("long").alias("n_pos"),
+        F.col("_nneg").cast("long").alias("n_neg"),
+        (
+            F.floor(
+                (
+                    (F.col("_r2") - F.col("_npos") * (F.col("_npos") + 1))
+                    .cast("double")
+                    / (2 * F.col("_npos") * F.col("_nneg")).cast("double")
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("auc"),
+    )
+
+
+ROC_AUC_SQL = """
+WITH e AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+tier AS (
+  SELECT value, COUNT(*) AS n, SUM(pos) AS np FROM e GROUP BY 1
+),
+cum AS (
+  SELECT np, n,
+         SUM(n) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_excl
+  FROM tier
+),
+agg AS (
+  SELECT SUM(np * (2 * cum_excl + n + 1)) AS r2,
+         SUM(np) AS npos, SUM(n - np) AS nneg
+  FROM cum
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       floor(CAST(r2 - npos * (npos + 1) AS DOUBLE)
+             / CAST(2 * npos * nneg AS DOUBLE) * 1e9 + 0.5) / 1e9 AS auc
+FROM agg
 """

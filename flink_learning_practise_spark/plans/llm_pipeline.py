@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datasets import load
-from ..num import DEC
+from ..num import DEC, davg
 from ..operators import dedup, similarity, text, transforms
 
 NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -2254,4 +2254,458 @@ eb AS (
 r1 AS (SELECT v AS vertex, MIN(u) AS community FROM eb GROUP BY v),
 {",".join(_lpa_round_sql(f'r{i}', f'r{i + 1}') for i in range(1, LPA_ITERATIONS))}
 SELECT vertex AS doc_id, community FROM r{LPA_ITERATIONS} ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #154 k-core of the dup graph: bounded-round peeling (drop deg < k
+# vertices, repeat) — the "dense boilerplate nucleus" extractor that
+# complements CC (#63, reachability) and LPA (#145, density): a
+# template cluster survives the 2-core, an incidental one-off match
+# does not. Fixed KCORE_ROUNDS rounds keep the result a pure function
+# of the edge list, so the oracle replays them as unrolled CTEs (the
+# LPA pattern). Each round: one degree aggregate + two LEFT SEMI
+# joins, all vertex-keyed shuffles over a shrinking edge frame.
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    pairs = _shared_pair_tier(spark, sf_dir)
+    return (
+        k_core(
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+            k=KCORE_K,
+            rounds=KCORE_ROUNDS,
+        )
+        .select(F.col("id").alias("doc_id"), "degree")
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_round_sql(prev_e: str, d: str, kset: str, out_e: str) -> str:
+    return f"""{d} AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT u AS id FROM {prev_e} UNION ALL SELECT v FROM {prev_e}
+  ) GROUP BY 1
+),
+{kset} AS (SELECT id FROM {d} WHERE d >= {KCORE_K}),
+{out_e} AS (
+  SELECT u, v FROM {prev_e}
+  WHERE u IN (SELECT id FROM {kset}) AND v IN (SELECT id FROM {kset})
+)"""
+
+
+KCORE_DUPGRAPH_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+e0 AS (SELECT id_a AS u, id_b AS v FROM pairs),
+{",".join(_kcore_round_sql(f"e{i}", f"d{i + 1}", f"k{i + 1}", f"e{i + 1}")
+          for i in range(KCORE_ROUNDS))}
+SELECT id AS doc_id, CAST(d AS BIGINT) AS degree FROM (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT u AS id FROM e{KCORE_ROUNDS} UNION ALL SELECT v FROM e{KCORE_ROUNDS}
+  ) GROUP BY 1
+)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #155 degree assortativity of the dup graph: Pearson correlation of
+# endpoint degrees over (both orientations of) the edge list — the
+# one-number "do hubs link to hubs" diagnostic (positive: template
+# families interlink; negative: star-shaped boilerplate around single
+# templates — determines whether CC components are chains or stars,
+# i.e. which CC formulation to run at 100 TB). Two vertex-keyed joins
+# to attach degrees, then one aggregate with ALL moments in
+# decimal(38,0) (hub degrees square past 2^53); doubles enter only in
+# the final closed form; sqrt is IEEE-exact, engine-identical.
+
+def dupgraph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shared_pair_tier(spark, sf_dir).select("id_a", "id_b")
+    eb = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = (
+        eb.select(F.col("u").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("_dv"))
+    m = (
+        eb.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("_du").cast("decimal(38,0)").alias("x"),
+            F.col("_dv").cast("decimal(38,0)").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(
+            den > 0,
+            F.floor(num / den * 1e9 + F.lit(0.5)) / 1e9,
+        ).alias("assortativity"),
+    )
+
+
+DUPGRAPH_ASSORTATIVITY_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+eb AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT u AS id, COUNT(*) AS d FROM eb GROUP BY 1),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(du.d AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(du.d AS DECIMAL(38,0)) * CAST(du.d AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(du.d AS DECIMAL(38,0)) * CAST(dv.d AS DECIMAL(38,0))) AS sxy
+  FROM eb JOIN deg du ON eb.u = du.id JOIN deg dv ON eb.v = dv.id
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+            THEN floor(CAST(n * sxy - sx * sx AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * 1e9 + 0.5) / 1e9
+            END AS assortativity
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# #156 readability screen (Flesch reading ease): words, sentences and
+# a vowel-group syllable proxy per document, bucketed to the standard
+# 10-point bands — the curation gate between "too simple" boilerplate
+# and unreadable codey text (pairs with the Gopher gates #70 and
+# quality score #45). Map-only regex counting (JVM, codegen), one
+# bounded aggregate; the Flesch arithmetic is pure IEEE +·/ with the
+# SAME operation order in both engines — bit-identical, so the bucket
+# floor cannot straddle engines.
+
+def flesch_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    feats = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("_w"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+            F.lit(1),
+        ).alias("_s"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+            ),
+            F.lit(1),
+        ).alias("_y"),
+    )
+    scored = feats.select(
+        "_w",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("_w").cast("double") / F.col("_s"))
+            - F.lit(84.6) * (F.col("_y").cast("double") / F.col("_w"))
+        ).alias("_f"),
+    )
+    return (
+        scored.groupBy(
+            (F.floor(F.col("_f") / 10) * 10).cast("long").alias("flesch_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("_w", "avg_words"),
+        )
+        .orderBy("flesch_band")
+    )
+
+
+FLESCH_READING_SQL = r"""
+WITH feats AS (
+  SELECT len(string_split_regex(trim(text), '\s+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
+  FROM documents WHERE length(trim(text)) > 0
+),
+scored AS (
+  SELECT w,
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(y AS DOUBLE) / w) AS f
+  FROM feats
+)
+SELECT CAST(floor(f / 10) * 10 AS BIGINT) AS flesch_band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(w) AS avg_words
+FROM scored
+GROUP BY 1
+ORDER BY flesch_band
+"""
+
+
+# ---------------------------------------------------------------------------
+# #157 normalization-insensitive exact dedup: case-folded,
+# punctuation-stripped, whitespace-collapsed canonical form, hashed
+# and grouped — catches the "same doc, different casing/punctuation"
+# tier that byte-exact dedup (#37) misses and MinHash doesn't need.
+# Map-only canonicalization (JVM regex) + one hash-keyed aggregate;
+# the md5 fingerprint is the join/shuffle key at 100 TB (16 bytes, no
+# long-text shuffles — the dedup_exact digest discipline).
+
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ).alias("_canon"),
+    )
+    return (
+        canon.select("doc_id", F.md5("_canon").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+NORMALIZED_DEDUP_SQL = """
+WITH canon AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM canon
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY fingerprint
+"""
+
+
+# ---------------------------------------------------------------------------
+# #158 batch PSI drift screen: population stability index of the
+# document-length distribution between the even- and odd-numbered
+# source groups — the batch twin of the streaming drift monitor
+# (#145s), oracle-checked where the streaming one is pytest-proven.
+# Two integer histograms (one aggregate), totals as single-row
+# broadcast scalars (NO sum() OVER () — the r5 scalar-broadcast rule),
+# PSI terms only where both sides have mass; one-sided buckets carry
+# their share with a NULL term (appeared/disappeared mass is reported,
+# not silently dropped — the streaming monitor's rule).
+
+PSI_BUCKET_WIDTH = 500
+
+
+def psi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("_grp"),
+        # integer division in BOTH engines: a double divide + CAST would
+        # truncate in Spark but ROUND in DuckDB
+        F.expr(f"n_chars div {PSI_BUCKET_WIDTH}").alias("bucket"),
+    )
+    hist = docs.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_grp") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = hist.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    j = hist.crossJoin(F.broadcast(tot))  # single-row scalars; policy-exempt
+    p = F.col("n_a").cast("double") / F.col("_ta")
+    q = F.col("n_b").cast("double") / F.col("_tb")
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        (F.floor(p * 1e9 + F.lit(0.5)) / 1e9).alias("p_a"),
+        (F.floor(q * 1e9 + F.lit(0.5)) / 1e9).alias("p_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor((p - q) * F.log(p / q) * 1e9 + F.lit(0.5)) / 1e9,
+        ).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+PSI_BATCH_SQL = f"""
+WITH d AS (
+  SELECT CAST(substring(source, 4) AS INTEGER) % 2 AS grp,
+         n_chars // {PSI_BUCKET_WIDTH} AS bucket
+  FROM documents
+),
+hist AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM hist)
+SELECT bucket, n_a, n_b,
+       floor(CAST(n_a AS DOUBLE) / ta * 1e9 + 0.5) / 1e9 AS p_a,
+       floor(CAST(n_b AS DOUBLE) / tb * 1e9 + 0.5) / 1e9 AS p_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN floor((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                       * ln((CAST(n_a AS DOUBLE) / ta)
+                            / (CAST(n_b AS DOUBLE) / tb)) * 1e9 + 0.5) / 1e9
+            END AS psi_term
+FROM hist, tot
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# #159 simplified silhouette: per-cluster cohesion score over the
+# deterministic IVF quantizer — a(i) = cosine distance to own
+# centroid, b(i) = distance to the nearest OTHER centroid,
+# s = (b−a)/max(a,b) — the centroid-based silhouette (O(n·k), the form
+# that scales; the O(n²) pairwise silhouette is exactly what it
+# replaces). Map-only against inlined centroids (zero shuffle until
+# the final k-row aggregate): best/second-best come from one score
+# array per row — same fold, same tie rule as the IVF/SemDeDup
+# assignment (similarity.assign_to_centroids' argmax), value-checked
+# by the oracle's rn=1/rn=2 window.
+
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import widen
+    from ..operators.similarity import (
+        COSINE_NDIGITS,
+        _ivf_scores_expr,
+        ivf_centroids,
+        with_norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs, norms = ivf_centroids(emb, SEMDEDUP_NLIST)
+    scores = _ivf_scores_expr("embedding", vecs, norms)
+    scored = (
+        with_norm(widen(emb), "embedding", EMB_DIM)
+        .withColumn("_s", F.expr(scores))
+        .select(
+            "vec_id",
+            F.expr("CAST(array_position(_s, array_max(_s)) AS INT)").alias(
+                "list_id"
+            ),
+            F.round(F.expr("array_max(_s)") / F.col("norm"), COSINE_NDIGITS)
+            .alias("_a_cos"),
+            F.round(
+                F.expr(
+                    "array_max(filter(_s, (x, i) -> "
+                    "i + 1 != CAST(array_position(_s, array_max(_s)) AS INT)))"
+                )
+                / F.col("norm"),
+                COSINE_NDIGITS,
+            ).alias("_b_cos"),
+        )
+    )
+    sil = scored.select(
+        "list_id",
+        F.when(
+            F.greatest(1 - F.col("_a_cos"), 1 - F.col("_b_cos")) > 0,
+            F.floor(
+                (F.col("_a_cos") - F.col("_b_cos"))
+                / F.greatest(1 - F.col("_a_cos"), 1 - F.col("_b_cos"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_sil"),
+    )
+    return (
+        sil.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (
+                F.floor(
+                    F.sum(F.col("_sil").cast(DEC)).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("list_id")
+    )
+
+
+CLUSTER_SILHOUETTE_SQL = f"""
+WITH {NORM_CTE},
+cent AS (
+  SELECT embedding, nrm, c FROM (
+    SELECT embedding, nrm,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS c
+    FROM norms
+  ) WHERE c <= {SEMDEDUP_NLIST}
+),
+scores AS (
+  SELECT n.vec_id, n.nrm, c.c,
+         (SELECT SUM(CAST(n.embedding[i] AS DOUBLE)
+                     * (CAST(c.embedding[i] AS DOUBLE) / c.nrm))
+          FROM unnest(generate_series(1, {EMB_DIM})) t(i)) AS s
+  FROM norms n, cent c
+),
+ranked AS (
+  SELECT vec_id, c, round(s / nrm, 6) AS cosr,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+  FROM scores
+),
+per_point AS (
+  SELECT a.vec_id, a.c AS list_id,
+         CASE WHEN greatest(1 - a.cosr, 1 - b.cosr) > 0
+              THEN floor((a.cosr - b.cosr)
+                         / greatest(1 - a.cosr, 1 - b.cosr) * 1e9 + 0.5) / 1e9
+              ELSE 0.0 END AS sil
+  FROM ranked a JOIN ranked b
+    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+)
+SELECT list_id, COUNT(*) AS n_points,
+       floor(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_silhouette
+FROM per_point
+GROUP BY 1
+ORDER BY list_id
 """

@@ -1142,3 +1142,364 @@ SELECT 'customer->nation',
           (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey))
 ORDER BY fk
 """
+
+
+# ---------------------------------------------------------------------------
+# #146 weighted percentiles: quantity-weighted price quantiles per
+# return flag — "what price level covers half the shipped units", the
+# weighted generalization of the exact-percentile family. The flag key
+# is FEW-HUGE (3 values over the whole fact table), so a
+# Window.partitionBy(flag) running sum would funnel each flag through
+# one task; transforms.keyed_prefix_sum instead range-partitions
+# (flag, price), cumulates per partition, and stitches with ≤ P+K
+# driver scalars. Weights ride decimals end-to-end: the threshold
+# crossing (cum ≥ q·W ∧ cum−w < q·W) is exact integer-ish arithmetic,
+# engine-identical, and selects the crossing PRICE (unique even when
+# tie order within equal prices is partition-dependent).
+
+def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import keyed_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    cum = keyed_prefix_sum(
+        li, ["l_returnflag"], ["l_extendedprice"], "l_quantity", out_col="_cw"
+    ).withColumn("_rw", F.col("l_quantity").cast("decimal(28,6)"))
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_W")
+    )
+    j = cum.join(tot, "l_returnflag")
+
+    def crossing(q: str, alias: str) -> DataFrame:
+        t = F.expr(f"_W * CAST({q} AS DECIMAL(3,2))")
+        return (
+            j.where((F.col("_cw") >= t) & (F.col("_cw") - F.col("_rw") < t))
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias(alias))
+        )
+
+    return (
+        tot.select(
+            "l_returnflag", F.col("_W").cast("long").alias("total_qty")
+        )
+        .join(crossing("0.5", "p50_price"), "l_returnflag")
+        .join(crossing("0.9", "p90_price"), "l_returnflag")
+        .select("l_returnflag", "total_qty", "p50_price", "p90_price")
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_PERCENTILES_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(l_quantity AS DECIMAL(28,6)) AS w,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM lineitem
+),
+tot AS (
+  SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(28,6))) AS W
+  FROM lineitem GROUP BY 1
+)
+SELECT t.l_returnflag, CAST(t.W AS BIGINT) AS total_qty,
+  (SELECT MIN(l_extendedprice) FROM cum c
+    WHERE c.l_returnflag = t.l_returnflag
+      AND c.cw >= t.W * CAST(0.5 AS DECIMAL(3,2))
+      AND c.cw - c.w < t.W * CAST(0.5 AS DECIMAL(3,2))) AS p50_price,
+  (SELECT MIN(l_extendedprice) FROM cum c
+    WHERE c.l_returnflag = t.l_returnflag
+      AND c.cw >= t.W * CAST(0.9 AS DECIMAL(3,2))
+      AND c.cw - c.w < t.W * CAST(0.9 AS DECIMAL(3,2))) AS p90_price
+FROM tot t ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# #147 skyline (Pareto frontier): parts minimizing retail price while
+# maximizing size — no other part is cheaper-and-at-least-as-big or
+# same-price-and-strictly-bigger. The naive formulation is an O(n²)
+# dominance anti-join; the scale plan collapses to the price tier
+# (max size per distinct price), computes the EXCLUSIVE prefix max of
+# size over ascending price with the distributed-prefix pattern
+# (range partition → per-partition running max → ≤ P driver scalars
+# stitched as a CASE literal — global_rank's shape with MAX for SUM),
+# then one price-keyed join back to parts decides dominance:
+# dominated ⟺ prefix_max_below ≥ size ∨ max_at_same_price > size.
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    tier = part.groupBy("p_retailprice").agg(F.max("p_size").alias("_mx_at"))
+    p = spark.sparkContext.defaultParallelism
+    pinned = (
+        tier.repartitionByRange(p, "p_retailprice")
+        .sortWithinPartitions("p_retailprice")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # ≤ P scalars: per-partition max size, prefix-maxed on the driver
+    pmaxes = sorted(
+        (r["_pid"], r["m"])
+        for r in pinned.groupBy("_pid").agg(F.max("_mx_at").alias("m")).collect()
+    )
+    NEG = -(1 << 31)
+    offset = F.lit(NEG)
+    run = NEG
+    for pid, m in pmaxes:
+        offset = F.when(F.col("_pid") == pid, F.lit(run)).otherwise(offset)
+        run = max(run, m if m is not None else NEG)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tier2 = pinned.withColumn(
+        "_mx_below",
+        F.greatest(
+            F.coalesce(F.max("_mx_at").over(w), F.lit(NEG)), offset
+        ),
+    ).select("p_retailprice", "_mx_at", "_mx_below")
+    return (
+        part.join(tier2, "p_retailprice")
+        .where(
+            ~((F.col("_mx_below") >= F.col("p_size"))
+              | (F.col("_mx_at") > F.col("p_size")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+SKYLINE_PARTS_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# #148 duplicate-payment screen: order pairs from the same customer in
+# the SAME amount band (floor(price / BAND) — pure IEEE divide+floor,
+# bit-identical in both engines) within a year. The join key is the
+# COMPOSITE (custkey, band) — a full-fact self-join that shuffles once
+# on a key whose cardinality grows with the data (no celebrity-customer
+# skew: the amount component spreads any single customer's orders),
+# then the date-window predicate prunes pairs post-join. An exact
+# equality key would be the production setting; the band keeps the
+# screen non-empty on synthetic continuous amounts.
+
+DUP_PAYMENT_BAND = 5000
+DUP_PAYMENT_DAYS = 365
+
+
+def duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / DUP_PAYMENT_BAND).alias("_band"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("_band"),
+        F.col("o_orderkey").alias("okey1"),
+        F.col("o_orderdate").alias("d1"),
+        F.col("o_totalprice").alias("amount1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("_band"),
+        F.col("o_orderkey").alias("okey2"),
+        F.col("o_orderdate").alias("d2"),
+        F.col("o_totalprice").alias("amount2"),
+    )
+    return (
+        a.join(b, ["custkey", "_band"])
+        .where(
+            (F.col("okey1") < F.col("okey2"))
+            & (
+                F.abs(F.datediff(F.col("d2"), F.col("d1")))
+                <= DUP_PAYMENT_DAYS
+            )
+        )
+        .select(
+            "custkey",
+            "okey1",
+            "okey2",
+            F.datediff(F.col("d2"), F.col("d1")).alias("day_gap"),
+            "amount1",
+            "amount2",
+        )
+        .orderBy("okey1", "okey2")
+    )
+
+
+DUPLICATE_PAYMENTS_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CAST(floor(o_totalprice / {DUP_PAYMENT_BAND}) AS BIGINT) AS band
+  FROM orders
+)
+SELECT a.o_custkey AS custkey, a.o_orderkey AS okey1, b.o_orderkey AS okey2,
+       datediff('day', a.o_orderdate, b.o_orderdate) AS day_gap,
+       a.o_totalprice AS amount1, b.o_totalprice AS amount2
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= {DUP_PAYMENT_DAYS}
+ORDER BY okey1, okey2
+"""
+
+
+# ---------------------------------------------------------------------------
+# #149 Kaplan-Meier life table: time from order placement to LAST
+# shipment, with open/pending orders (status ≠ 'F') treated as
+# right-censored at their last observed ship date — the survival-
+# analysis staple for "how long until an order fully ships". All
+# quantities are exact integers: d (events) and c (censored) per
+# distinct day-delta, n_risk via N_total − exclusive prefix count
+# (transforms.keyed_prefix_sum with NO key — the distributed global
+# running sum, not an unpartitioned window), and the per-step hazard
+# as integer parts-per-million (d·10⁶ div n — integer division in both
+# engines; a double divide could round across the floor boundary).
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import keyed_prefix_sum
+
+    orders = load(spark, sf_dir, "orders")
+    last_ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_last_ship"))
+    )
+    t = (
+        orders.join(
+            last_ship, orders["o_orderkey"] == last_ship["l_orderkey"]
+        )
+        .select(
+            F.datediff(F.col("_last_ship"), F.col("o_orderdate")).alias("t_days"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("_ev"),
+        )
+    )
+    tier = t.groupBy("t_days").agg(
+        F.sum("_ev").alias("d_events"),
+        F.sum(1 - F.col("_ev")).alias("c_censored"),
+        F.count(F.lit(1)).alias("_n_at"),
+    )
+    total = tier.agg(F.sum("_n_at").alias("_N"))
+    cum = keyed_prefix_sum(tier, [], ["t_days"], "_n_at", out_col="_cum")
+    return (
+        cum.crossJoin(F.broadcast(total))  # single-row scalar; policy-exempt
+        .select(
+            "t_days",
+            "d_events",
+            "c_censored",
+            (F.col("_N") - F.col("_cum").cast("long") + F.col("_n_at"))
+            .alias("n_risk"),
+        )
+        .withColumn(
+            "hazard_ppm",
+            F.expr("(d_events * 1000000L) div n_risk"),
+        )
+        .orderBy("t_days")
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH t AS (
+  SELECT datediff('day', o.o_orderdate, ls.last_ship) AS t_days,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY 1) ls
+    ON o.o_orderkey = ls.l_orderkey
+),
+tier AS (
+  SELECT t_days, CAST(SUM(ev) AS BIGINT) AS d_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_censored,
+         COUNT(*) AS n_at
+  FROM t GROUP BY 1
+)
+SELECT t_days, d_events, c_censored,
+       CAST(SUM(n_at) OVER (ORDER BY t_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_risk,
+       (d_events * 1000000) // CAST(SUM(n_at) OVER (ORDER BY t_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS hazard_ppm
+FROM tier
+ORDER BY t_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# #150 cohort LTV: customers grouped by first-order month, revenue
+# accumulated by months-since-acquisition — the lifetime-value curve
+# every growth dashboard draws next to retention (#83, which counts
+# users; this sums money). Month arithmetic stays integer
+# (year·12 + month — months_between() returns fractional doubles),
+# revenue stays integer cents, and the cumulative sum runs over the
+# (cohort, age) tier — calendar-bounded, so the per-cohort window is
+# a bounded frame, not a data-proportional funnel.
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("_first")
+    )
+    j = orders.join(first, "o_custkey").select(
+        F.date_format("_first", "yyyy-MM").alias("cohort"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("_first") * 12 + F.month("_first"))
+        ).alias("age_months"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("_cents"),
+    )
+    tier = j.groupBy("cohort", "age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("_cents").cast("decimal(38,0)")).alias("_rev"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tier.select(
+        "cohort",
+        "age_months",
+        "n_orders",
+        F.col("_rev").cast("long").alias("revenue_cents"),
+        F.sum("_rev").over(w).cast("long").alias("cum_revenue_cents"),
+    ).orderBy("cohort", "age_months")
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT o_custkey, MIN(o_orderdate) AS f FROM orders GROUP BY 1
+),
+j AS (
+  SELECT strftime(f.f, '%Y-%m') AS cohort,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.f) * 12 + month(f.f)) AS age_months,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+),
+tier AS (
+  SELECT cohort, age_months, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM j GROUP BY 1, 2
+)
+SELECT cohort, age_months, n_orders, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY age_months
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents
+FROM tier
+ORDER BY cohort, age_months
+"""

@@ -59,16 +59,17 @@ def _populate() -> None:
     REGISTRATION ORDER IS A CONTRACT: the driver's correctness gate
     checks the FIRST 50 registry entries each round.  Queries that have
     never received a driver row register first (round-3's registrations
-    51+ were silently skipped), new queries next, and queries already
-    driver-green in a previous round fill the tail.
+    51+ were silently skipped), new queries next, and the OLDEST
+    driver-green rows rotate in behind them so no green row ages more
+    than ~two rounds.
 
-    Round-5 window (positions 1-50): 30 NEW queries, then the 20
-    queries whose only driver-green row dated to round 2 (rotated in so
-    their rows refresh against current code) — the window is exactly
-    full; the r3-dated TPC-H classics + relational core sit at 51+.
-    Round-6 note: rotate the NEXT-oldest green rows (the r3-dated
-    TPC-H/relational block at 51+, then windows/joins/LLM blocks)
-    behind any new queries.
+    Round-6 window (positions 1-50): the 3 round-5 registrations the
+    full window never reached (positions 1-3, per the r5 verdict),
+    14 NEW queries, then the 33 next-oldest greens (r3-dated TPC-H
+    classics + relational core + windows + joins + the first dedup
+    block).  Round-7 note: rotate the REMAINING r3-dated LLM block
+    (registered at 51+ here, oldest rows after this round) behind any
+    new queries, then the r4-dated tiers.
     """
     global _POPULATED
     if _POPULATED:
@@ -83,108 +84,46 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- Tier N: NEW in round 5 (30 queries) ----
-    register(
-        "q_min_cost_supplier",
-        tpch.min_cost_supplier,
-        tpch.MIN_COST_SUPPLIER_SQL,
-        headline=True,
-    )
-    register("q_important_stock", tpch.important_stock, tpch.IMPORTANT_STOCK_SQL)
-    register("q_basket_pairs", os_.basket_pairs, os_.BASKET_PAIRS_SQL, headline=True)
-    register("q_rfm_segments", os_.rfm_segments, os_.RFM_SEGMENTS_SQL)
-    register(
-        "q_shipping_delay_percentiles",
-        os_.shipping_delay_percentiles,
-        os_.SHIPPING_DELAY_PCTS_SQL,
-    )
-    register("q_fuzzy_part_match", os_.fuzzy_part_match, os_.FUZZY_PART_MATCH_SQL)
-    register("q_mad_outliers", ea.mad_outliers, ea.MAD_OUTLIERS_SQL, headline=True)
-    register("q_max_concurrency", ea.max_concurrency, ea.MAX_CONCURRENCY_SQL)
-    register("q_hourly_seasonality", ea.hourly_seasonality, ea.HOURLY_SEASONALITY_SQL)
-    register("q_event_cooccurrence", ea.event_cooccurrence, ea.EVENT_COOCCURRENCE_SQL)
-    register("q_activity_streaks", ea.activity_streaks, ea.ACTIVITY_STREAKS_SQL)
-    register("q_bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL)
-    register("q_bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL, headline=True)
-    register("q_triangle_census", llm.triangle_census, llm.TRIANGLE_CENSUS_SQL)
-    register(
-        "q_customer_churn_segments",
-        os_.customer_churn_segments,
-        os_.CUSTOMER_CHURN_SEGMENTS_SQL,
-    )
-    register("q_regional_share", os_.regional_share, os_.REGIONAL_SHARE_SQL)
-    register(
-        "q_sales_grouping_sets",
-        os_.sales_grouping_sets,
-        os_.SALES_GROUPING_SETS_SQL,
-    )
-    register("q_zipf_fit", llm.zipf_fit, llm.ZIPF_FIT_SQL)
-    register(
-        "q_cumulate_window",
-        ea.cumulate_window_daily,
-        ea.CUMULATE_WINDOW_SQL,
-        headline=True,
-    )
-    register("q_chi2_independence", ea.chi2_independence, ea.CHI2_INDEPENDENCE_SQL)
-    register("q_ks_drift", llm.ks_drift, llm.KS_DRIFT_SQL)
-    register(
-        "q_duplicated_spans",
-        llm.duplicated_spans,
-        llm.DUPLICATED_SPANS_SQL,
-        headline=True,
-    )
-    register("q_revenue_gini", os_.revenue_gini, os_.REVENUE_GINI_SQL)
-    register("q_benford_digits", os_.benford_digits, os_.BENFORD_DIGITS_SQL)
-    register("q_autocorr_daily", os_.autocorr_daily, os_.AUTOCORR_DAILY_SQL)
-    register("q_weighted_sample", llm.weighted_sample, llm.WEIGHTED_SAMPLE_SQL)
-    register("q_dupgraph_degrees", llm.dupgraph_degrees, llm.DUPGRAPH_DEGREES_SQL)
-    register("q_ohlc_bars", ea.ohlc_bars, ea.OHLC_BARS_SQL)
-    register("q_time_weighted_avg", ea.time_weighted_avg, ea.TIME_WEIGHTED_AVG_SQL)
-    register("q_fk_integrity", os_.fk_integrity, os_.FK_INTEGRITY_SQL)
-
-    # ---- Tier R: r2-dated rotation (20 queries whose only driver-green
-    # row dated to round 2 — refreshed against current code this round) ----
-    register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
-    register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
-    register("q_doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL)
-    register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
-    register("q_dedup_survivors", llm.dedup_survivors, llm.DEDUP_SURVIVORS_SQL)
-    register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
-    register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
-    register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
-    register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
-    register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
-    register("q_status_distribution", os_.status_distribution, os_.STATUS_DISTRIBUTION_SQL)
-    register("q_top_parts_per_segment", os_.top_parts_per_segment, os_.TOP_PARTS_PER_SEGMENT_SQL)
-    register("q_dedup_clusters", llm.dedup_clusters, llm.DEDUP_CLUSTERS_SQL)
-    register("q_stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL)
-    register(
-        "q_event_funnel", ea.event_funnel, ea.EVENT_FUNNEL_SQL, headline=True
-    )
-    register(
-        "q_funnel_abandonment", ea.funnel_abandonment, ea.FUNNEL_ABANDONMENT_SQL
-    )
-    register(
-        "q_order_json_roundtrip",
-        oe.order_json_roundtrip,
-        oe.ORDER_JSON_ROUNDTRIP_SQL,
-    )
-    register("q_union_activity", comp.union_activity, comp.UNION_ACTIVITY_SQL)
-    register(
-        "q_cogroup_user_activity",
-        comp.cogroup_user_activity,
-        comp.COGROUP_USER_ACTIVITY_SQL,
-    )
-    register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
-
-    # ---- Tier O: r3-dated greens (TPC-H classics first — next-oldest rows) ----
-    # The two queries below are NEW in round 5 but land at 51+ because
-    # the window is exactly full (30 new + the 20 r2-rotations the r4
-    # verdict required); locally oracle-proven, rotate them into the
-    # round-6 window FIRST.
+    # ---- positions 1-3: registered in r5 but never driver-checked ----
     register("q_forecast_revenue", tpch.forecast_revenue, tpch.FORECAST_REVENUE_SQL)
     register("q_promo_suppliers", tpch.promo_suppliers, tpch.PROMO_SUPPLIERS_SQL)
     register("q_lpa_communities", llm.lpa_communities, llm.LPA_COMMUNITIES_SQL)
+
+    # ---- Tier N: NEW in round 6 (14 queries) ----
+    register(
+        "q_weighted_percentiles",
+        os_.weighted_percentiles,
+        os_.WEIGHTED_PERCENTILES_SQL,
+        headline=True,
+    )
+    register("q_skyline_parts", os_.skyline_parts, os_.SKYLINE_PARTS_SQL)
+    register(
+        "q_duplicate_payments",
+        os_.duplicate_payments,
+        os_.DUPLICATE_PAYMENTS_SQL,
+    )
+    register("q_kaplan_meier", os_.kaplan_meier, os_.KAPLAN_MEIER_SQL)
+    register("q_cohort_ltv", os_.cohort_ltv, os_.COHORT_LTV_SQL, headline=True)
+    register("q_mann_kendall", ea.mann_kendall, ea.MANN_KENDALL_SQL)
+    register("q_interevent_gaps", ea.interevent_gaps, ea.INTEREVENT_GAPS_SQL)
+    register("q_roc_auc", ea.roc_auc, ea.ROC_AUC_SQL, headline=True)
+    register("q_kcore_dupgraph", llm.kcore_dupgraph, llm.KCORE_DUPGRAPH_SQL)
+    register(
+        "q_dupgraph_assortativity",
+        llm.dupgraph_assortativity,
+        llm.DUPGRAPH_ASSORTATIVITY_SQL,
+    )
+    register("q_flesch_reading", llm.flesch_reading, llm.FLESCH_READING_SQL)
+    register("q_normalized_dedup", llm.normalized_dedup, llm.NORMALIZED_DEDUP_SQL)
+    register("q_psi_batch", llm.psi_batch, llm.PSI_BATCH_SQL)
+    register(
+        "q_cluster_silhouette",
+        llm.cluster_silhouette,
+        llm.CLUSTER_SILHOUETTE_SQL,
+    )
+
+    # ---- Tier R: r3-dated rotation (33 queries — oldest green rows,
+    # refreshed against current code this round) ----
     register(
         "q_sql_pricing_summary",
         tpch.pricing_summary,
@@ -271,10 +210,13 @@ def _populate() -> None:
     register("q_interval_join", ea.interval_join, ea.INTERVAL_JOIN_SQL, headline=True)
     register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
 
-    # LLM-data-pipeline ops (#37-47)
+    # first dedup block (#37-38b) — fills the window to exactly 50
     register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
     register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
     register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
+
+    # ---- 51+: r3-dated LLM remainder (next-oldest greens — rotate
+    # these into the round-7 window first) ----
     register(
         "q_dedup_minhash_lsh",
         llm.dedup_minhash_lsh,
@@ -296,15 +238,9 @@ def _populate() -> None:
     register("q_vocab_topk", llm.vocab_topk, llm.VOCAB_TOPK_SQL)
     register("q_lang_id", llm.lang_id, llm.LANG_ID_SQL)
     register("q_quality_score", llm.quality_score, llm.QUALITY_SCORE_SQL, headline=True)
-
-    # order statistics (#9, #21-24)
-    # multidim aggregation + profiling (#49-50)
     register("q_event_profile_sketch", ea.event_profile_sketch, None)
 
-
-    # multi-stream composition (#60-62: union/connect, cogroup, running reduce)
-
-    # ---- Tier F: driver-green r4 (freshest rows — tail of the window) ----
+    # ---- Tier F: driver-green r4 ----
     register("q_dedup_clusters_star", llm.dedup_clusters_star, llm.DEDUP_CLUSTERS_STAR_SQL)
     register("q_pii_scrub", cur.pii_scrub, cur.PII_SCRUB_SQL)
     register("q_gopher_quality", cur.gopher_quality, cur.GOPHER_QUALITY_SQL, headline=True)
@@ -344,9 +280,6 @@ def _populate() -> None:
     register("q_value_histogram", ea.value_histogram, ea.VALUE_HISTOGRAM_SQL)
     register("q_scd2_intervals", ea.scd2_intervals, ea.SCD2_INTERVALS_SQL)
     register("q_cascaded_reagg", ea.cascaded_reaggregate, ea.CASCADED_REAGG_SQL)
-
-    # ---- Tier 2: new in round 4 (registered here so the 50-entry
-    # driver window reaches them this round) ----
     register("q_heavy_hitters", llm.heavy_hitters, llm.HEAVY_HITTERS_SQL)
     register(
         "q_returned_item_revenue",
@@ -420,3 +353,94 @@ def _populate() -> None:
         "q_event_transitions", ea.event_transitions, ea.EVENT_TRANSITIONS_SQL
     )
     register("q_user_outliers", ea.user_outliers, ea.USER_OUTLIERS_SQL)
+
+    # ---- Tier 5: driver-green r5 (freshest rows — tail) ----
+    register(
+        "q_min_cost_supplier",
+        tpch.min_cost_supplier,
+        tpch.MIN_COST_SUPPLIER_SQL,
+        headline=True,
+    )
+    register("q_important_stock", tpch.important_stock, tpch.IMPORTANT_STOCK_SQL)
+    register("q_basket_pairs", os_.basket_pairs, os_.BASKET_PAIRS_SQL, headline=True)
+    register("q_rfm_segments", os_.rfm_segments, os_.RFM_SEGMENTS_SQL)
+    register(
+        "q_shipping_delay_percentiles",
+        os_.shipping_delay_percentiles,
+        os_.SHIPPING_DELAY_PCTS_SQL,
+    )
+    register("q_fuzzy_part_match", os_.fuzzy_part_match, os_.FUZZY_PART_MATCH_SQL)
+    register("q_mad_outliers", ea.mad_outliers, ea.MAD_OUTLIERS_SQL, headline=True)
+    register("q_max_concurrency", ea.max_concurrency, ea.MAX_CONCURRENCY_SQL)
+    register("q_hourly_seasonality", ea.hourly_seasonality, ea.HOURLY_SEASONALITY_SQL)
+    register("q_event_cooccurrence", ea.event_cooccurrence, ea.EVENT_COOCCURRENCE_SQL)
+    register("q_activity_streaks", ea.activity_streaks, ea.ACTIVITY_STREAKS_SQL)
+    register("q_bigram_logprob", llm.bigram_logprob, llm.BIGRAM_LOGPROB_SQL)
+    register("q_bm25_search", llm.bm25_search, llm.BM25_SEARCH_SQL, headline=True)
+    register("q_triangle_census", llm.triangle_census, llm.TRIANGLE_CENSUS_SQL)
+    register(
+        "q_customer_churn_segments",
+        os_.customer_churn_segments,
+        os_.CUSTOMER_CHURN_SEGMENTS_SQL,
+    )
+    register("q_regional_share", os_.regional_share, os_.REGIONAL_SHARE_SQL)
+    register(
+        "q_sales_grouping_sets",
+        os_.sales_grouping_sets,
+        os_.SALES_GROUPING_SETS_SQL,
+    )
+    register("q_zipf_fit", llm.zipf_fit, llm.ZIPF_FIT_SQL)
+    register(
+        "q_cumulate_window",
+        ea.cumulate_window_daily,
+        ea.CUMULATE_WINDOW_SQL,
+        headline=True,
+    )
+    register("q_chi2_independence", ea.chi2_independence, ea.CHI2_INDEPENDENCE_SQL)
+    register("q_ks_drift", llm.ks_drift, llm.KS_DRIFT_SQL)
+    register(
+        "q_duplicated_spans",
+        llm.duplicated_spans,
+        llm.DUPLICATED_SPANS_SQL,
+        headline=True,
+    )
+    register("q_revenue_gini", os_.revenue_gini, os_.REVENUE_GINI_SQL)
+    register("q_benford_digits", os_.benford_digits, os_.BENFORD_DIGITS_SQL)
+    register("q_autocorr_daily", os_.autocorr_daily, os_.AUTOCORR_DAILY_SQL)
+    register("q_weighted_sample", llm.weighted_sample, llm.WEIGHTED_SAMPLE_SQL)
+    register("q_dupgraph_degrees", llm.dupgraph_degrees, llm.DUPGRAPH_DEGREES_SQL)
+    register("q_ohlc_bars", ea.ohlc_bars, ea.OHLC_BARS_SQL)
+    register("q_time_weighted_avg", ea.time_weighted_avg, ea.TIME_WEIGHTED_AVG_SQL)
+    register("q_fk_integrity", os_.fk_integrity, os_.FK_INTEGRITY_SQL)
+    register("q_token_count", llm.token_count, llm.TOKEN_COUNT_SQL)
+    register("q_doc_fingerprint", llm.doc_fingerprint, llm.DOC_FINGERPRINT_SQL)
+    register("q_doc_chunking", llm.doc_chunking, llm.DOC_CHUNKING_SQL)
+    register("q_train_val_split", llm.train_val_split, llm.TRAIN_VAL_SPLIT_SQL)
+    register("q_dedup_survivors", llm.dedup_survivors, llm.DEDUP_SURVIVORS_SQL)
+    register("q_sales_rollup", os_.sales_rollup, os_.SALES_ROLLUP_SQL)
+    register("q_event_profile", ea.event_profile, ea.EVENT_PROFILE_SQL)
+    register("q_order_stats_daily", os_.order_stats_daily, os_.ORDER_STATS_DAILY_SQL)
+    register("q_user_order_stats", os_.user_order_stats, os_.USER_ORDER_STATS_SQL)
+    register("q_item_sales_stats", os_.item_sales_stats, os_.ITEM_SALES_STATS_SQL)
+    register("q_status_distribution", os_.status_distribution, os_.STATUS_DISTRIBUTION_SQL)
+    register("q_top_parts_per_segment", os_.top_parts_per_segment, os_.TOP_PARTS_PER_SEGMENT_SQL)
+    register("q_dedup_clusters", llm.dedup_clusters, llm.DEDUP_CLUSTERS_SQL)
+    register("q_stratified_sample", llm.stratified_sample, llm.STRATIFIED_SAMPLE_SQL)
+    register(
+        "q_event_funnel", ea.event_funnel, ea.EVENT_FUNNEL_SQL, headline=True
+    )
+    register(
+        "q_funnel_abandonment", ea.funnel_abandonment, ea.FUNNEL_ABANDONMENT_SQL
+    )
+    register(
+        "q_order_json_roundtrip",
+        oe.order_json_roundtrip,
+        oe.ORDER_JSON_ROUNDTRIP_SQL,
+    )
+    register("q_union_activity", comp.union_activity, comp.UNION_ACTIVITY_SQL)
+    register(
+        "q_cogroup_user_activity",
+        comp.cogroup_user_activity,
+        comp.COGROUP_USER_ACTIVITY_SQL,
+    )
+    register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)

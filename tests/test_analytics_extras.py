@@ -555,3 +555,69 @@ def test_fk_integrity_duplicate_parent_key_does_not_inflate(spark, tmp_path):
     assert got["lineitem->orders"] == (3, 1)  # NOT (5, 1): dup parent ignored
     assert got["orders->customer"] == (3, 0)  # child dup rows still count
     assert got["customer->nation"] == (2, 0)
+
+
+def test_keyed_prefix_sum_matches_window(spark):
+    """Distributed per-key cumulative weight sum must equal the single-
+    node window cumsum on the key/order VALUE level (tie order within
+    equal order values is partition-dependent, so compare the cum at
+    each distinct (key, order) group's end — the consumer contract)."""
+    import random
+
+    from flink_learning_practise_spark.operators.transforms import keyed_prefix_sum
+
+    rng = random.Random(7)
+    rows = [
+        (k, rng.randint(0, 5), rng.randint(1, 9))
+        for k in ("a", "b", "c")
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, w long")
+    got = keyed_prefix_sum(df, ["k"], ["x"], "w", out_col="cw", partitions=7)
+    # end-of-group cum = sum of weights with (k, x') <= (k, x)
+    end = {
+        (r.k, r.x): float(r.m)
+        for r in got.groupBy("k", "x").agg(F.max("cw").alias("m")).collect()
+    }
+    exp: dict = {}
+    for k, x, w in rows:
+        exp[(k, x)] = exp.get((k, x), 0) + w
+    for (k, x), _ in end.items():
+        want = sum(v for (k2, x2), v in exp.items() if k2 == k and x2 <= x)
+        assert end[(k, x)] == want, (k, x)
+
+
+def test_keyed_prefix_sum_global_mode(spark):
+    from flink_learning_practise_spark.operators.transforms import keyed_prefix_sum
+
+    df = spark.createDataFrame([(i, 2) for i in range(100)], "x long, w long")
+    got = keyed_prefix_sum(df, [], ["x"], "w", out_col="cw", partitions=5)
+    vals = {r.x: float(r.cw) for r in got.collect()}
+    assert vals[0] == 2 and vals[50] == 102 and vals[99] == 200
+
+
+def test_mann_kendall_s_brute_force(spark):
+    import random
+
+    from flink_learning_practise_spark.operators.transforms import mann_kendall_s
+
+    rng = random.Random(3)
+    rows = []
+    series: dict = {}
+    for k in range(6):
+        n = rng.randint(2, 40)
+        vs = [rng.choice([None, *range(8)]) for _ in range(n)]
+        series[k] = [v for v in vs if v is not None]
+        rows += [(k, i, float(v) if v is not None else None) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = {r.k: (r.n, r.s_stat) for r in mann_kendall_s(df, ["k"], ["i"], "v").collect()}
+    for k, vs in series.items():
+        if not vs:
+            assert k not in got
+            continue
+        s = sum(
+            (vs[j] > vs[i]) - (vs[j] < vs[i])
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        )
+        assert got[k] == (len(vs), s), k

@@ -282,3 +282,52 @@ def test_label_propagation_dedups_votes(spark):
     }
     assert got[10] == 3  # set-tie broken to smallest, not dup-vote 5
     assert got[5] == 10 and got[3] == 10
+
+
+def test_k_core_brute_force(spark):
+    """Fixed-round peeling must match a reference peeling loop on a
+    random graph (rounds chosen past convergence, so this is the TRUE
+    2-core)."""
+    import random
+
+    from flink_learning_practise_spark.operators.graph import k_core
+
+    rng = random.Random(11)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randint(0, 29), rng.randint(0, 29)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {(r.id, r.degree) for r in k_core(df, k=2, rounds=10).collect()}
+
+    ref = set(edges)
+    while True:
+        deg: dict = {}
+        for u, v in ref:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {x for x, d in deg.items() if d >= 2}
+        nxt = {(u, v) for u, v in ref if u in keep and v in keep}
+        if nxt == ref:
+            break
+        ref = nxt
+    deg = {}
+    for u, v in ref:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert got == set(deg.items())
+
+
+def test_k_core_empty_and_tree(spark):
+    from flink_learning_practise_spark.operators.graph import k_core
+
+    # a tree has no 2-core: everything peels away
+    tree = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4)], "u long, v long"
+    )
+    assert k_core(tree, k=2, rounds=6).count() == 0
+    # a triangle IS its own 2-core
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
+    got = {(r.id, r.degree) for r in k_core(tri, k=2, rounds=3).collect()}
+    assert got == {(0, 2), (1, 2), (2, 2)}

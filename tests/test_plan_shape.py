@@ -93,6 +93,10 @@ ARROW_VECTORIZED = {
     # recursive per-key fold: linear applyInPandas loop replaced the
     # O(n²) JVM array fold in r5 (r4 verdict weak #3)
     "q_user_value_ewma",
+    # Fenwick-tree inversion count: O(n log n) mapInPandas streaming
+    # fold per user replaces the O(n²) pairwise SQL sweep the oracle
+    # runs (operators/transforms.mann_kendall_s)
+    "q_mann_kendall",
 }
 
 
