@@ -666,3 +666,60 @@ def mann_kendall_s(
         .sortWithinPartitions(*sort_by)
         .mapInPandas(_fold, schema=out_schema)
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows minimizing ``x_col`` while
+    maximizing ``y_col`` — no other row has (x ≤, y ≥) with one strict.
+    The naive formulation is an O(n²) dominance anti-join; this plan
+    collapses to the x tier (max y per distinct x), computes the
+    EXCLUSIVE prefix max of y over ascending x with the distributed
+    prefix pattern (range partition → per-partition running max →
+    ≤ P driver scalars stitched as a CASE literal — global_rank's
+    shape with MAX for SUM), then one x-keyed join back decides
+    dominance: dominated ⟺ prefix_max_below ≥ y ∨ max_at_same_x > y.
+    ``y_col`` must be integral and fit in 32 bits below the sentinel
+    (the driver prefix max starts at −2³¹)."""
+    from pyspark.sql import Window
+
+    tier = df.groupBy(x_col).agg(F.max(y_col).alias("_mx_at"))
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    pinned = (
+        tier.repartitionByRange(p, x_col)
+        .sortWithinPartitions(x_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # ≤ P scalars: per-partition max y, prefix-maxed on the driver
+    pmaxes = sorted(
+        (r["_pid"], r["m"])
+        for r in pinned.groupBy("_pid").agg(F.max("_mx_at").alias("m")).collect()
+    )
+    neg = -(1 << 31)
+    offset = F.lit(neg)
+    run = neg
+    for pid, m in pmaxes:
+        offset = F.when(F.col("_pid") == pid, F.lit(run)).otherwise(offset)
+        run = max(run, m if m is not None else neg)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tier2 = pinned.withColumn(
+        "_mx_below",
+        F.greatest(F.coalesce(F.max("_mx_at").over(w), F.lit(neg)), offset),
+    ).select(x_col, "_mx_at", "_mx_below")
+    return (
+        df.join(tier2, x_col)
+        .where(
+            ~((F.col("_mx_below") >= F.col(y_col))
+              | (F.col("_mx_at") > F.col(y_col)))
+        )
+        .drop("_mx_at", "_mx_below")
+    )

@@ -601,11 +601,13 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this in BENCH_EVIDENCE.json so a reader knows the tier build cost
 # lands on whichever of these runs FIRST in each timing pass
 PAIR_TIER_CONSUMERS = (
+    "q_lpa_communities",  # registry order — first consumer warms the memo
+    "q_kcore_dupgraph",
+    "q_dupgraph_assortativity",
     "q_triangle_census",
     "q_dupgraph_degrees",
     "q_dedup_survivors",
     "q_dedup_clusters",
-    "q_lpa_communities",
     "q_dedup_clusters_star",
     "q_pagerank_dupgraph",
     "q_dedup_cluster_stats",

@@ -1166,9 +1166,9 @@ def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = keyed_prefix_sum(
         li, ["l_returnflag"], ["l_extendedprice"], "l_quantity", out_col="_cw"
     ).withColumn("_rw", F.col("l_quantity").cast("decimal(28,6)"))
-    tot = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_W")
-    )
+    # per-key total = MAX of the inclusive cumsum — one aggregate over
+    # the prefix pass's CHECKPOINT instead of a second fact-table scan
+    tot = cum.groupBy("l_returnflag").agg(F.max("_cw").alias("_W"))
     j = cum.join(tot, "l_returnflag")
 
     def crossing(q: str, alias: str) -> DataFrame:
@@ -1229,43 +1229,11 @@ FROM tot t ORDER BY l_returnflag
 # dominated ⟺ prefix_max_below ≥ size ∨ max_at_same_price > size.
 
 def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import skyline_2d
+
     part = load(spark, sf_dir, "part")
-    tier = part.groupBy("p_retailprice").agg(F.max("p_size").alias("_mx_at"))
-    p = spark.sparkContext.defaultParallelism
-    pinned = (
-        tier.repartitionByRange(p, "p_retailprice")
-        .sortWithinPartitions("p_retailprice")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # ≤ P scalars: per-partition max size, prefix-maxed on the driver
-    pmaxes = sorted(
-        (r["_pid"], r["m"])
-        for r in pinned.groupBy("_pid").agg(F.max("_mx_at").alias("m")).collect()
-    )
-    NEG = -(1 << 31)
-    offset = F.lit(NEG)
-    run = NEG
-    for pid, m in pmaxes:
-        offset = F.when(F.col("_pid") == pid, F.lit(run)).otherwise(offset)
-        run = max(run, m if m is not None else NEG)
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    tier2 = pinned.withColumn(
-        "_mx_below",
-        F.greatest(
-            F.coalesce(F.max("_mx_at").over(w), F.lit(NEG)), offset
-        ),
-    ).select("p_retailprice", "_mx_at", "_mx_below")
     return (
-        part.join(tier2, "p_retailprice")
-        .where(
-            ~((F.col("_mx_below") >= F.col("p_size"))
-              | (F.col("_mx_at") > F.col("p_size")))
-        )
+        skyline_2d(part, "p_retailprice", "p_size")
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     )
@@ -1393,8 +1361,10 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("_ev")).alias("c_censored"),
         F.count(F.lit(1)).alias("_n_at"),
     )
-    total = tier.agg(F.sum("_n_at").alias("_N"))
     cum = keyed_prefix_sum(tier, [], ["t_days"], "_n_at", out_col="_cum")
+    # N = MAX of the inclusive prefix — read from the prefix pass's
+    # checkpoint; a tier.agg() here would re-run the fact join+aggregate
+    total = cum.agg(F.max("_cum").cast("long").alias("_N"))
     return (
         cum.crossJoin(F.broadcast(total))  # single-row scalar; policy-exempt
         .select(

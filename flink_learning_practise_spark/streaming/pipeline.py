@@ -535,3 +535,101 @@ def psi_batch(
         .agg(F.round(F.sum(term), 9).alias("psi"))
         .select("window_start", "window_end", "n_events", "psi")
     )
+
+
+def stream_ann_probe(
+    stream: DataFrame,
+    index: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    centroids=None,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Continuous ANN serving: each incoming query vector probes the
+    ``nprobe`` nearest IVF lists of the STATIC index and emits scored
+    candidates — the streaming half of ``similarity.knn_ivf`` (the
+    batch operator builds the same quantizer; an online feature store
+    runs exactly this shape: queries stream in, the index is a
+    snapshot).
+
+    Fully STATELESS: list selection is a map-only expression against
+    inlined centroids (sort the per-row score array by (−score, list)
+    and slice nprobe — same argmax/tie rule as the batch assignment),
+    candidates come from a stream-static equi-join keyed on the list
+    id (per-task candidates bounded by list size, never the index).
+    Top-k per query is a per-micro-batch RANK, not stream state — run
+    :func:`ann_topk_batch` inside ``foreachBatch`` (the
+    trending_tokens / rank_topk_batch pattern).
+
+    INDEX SIZE BOUND: ``broadcast_index=True`` ships the assigned
+    index to every executor each micro-batch — fine for serving tiers
+    that fit in executor memory; at corpus scale pass ``False`` to pin
+    a SHUFFLED stream-static hash join on the list id (per-task memory
+    = one list, the IVF bound).
+
+    Output: all original stream columns plus ``match_id``, ``list_id``
+    and ``cosine`` (rounded to the module's 6 digits), one row per
+    probed candidate."""
+    from ..operators.dedup import widen
+    from ..operators.similarity import (
+        _ivf_scores_expr,
+        assign_to_centroids,
+        dot_expr,
+        ivf_centroids,
+        with_norm,
+    )
+
+    vecs, norms = centroids or ivf_centroids(index, nlist, id_col, emb_col)
+    idx = assign_to_centroids(
+        index, vecs, norms, emb_col=emb_col, dim=dim, keep_norm=True
+    ).select(
+        F.col(id_col).alias("match_id"),
+        F.col(emb_col).alias("_iemb"),
+        F.col("list_id").alias("_ilist"),
+        F.col("norm").alias("_inorm"),
+    )
+    scores = _ivf_scores_expr(emb_col, vecs, norms)
+    in_cols = stream.columns
+    strm = (
+        with_norm(widen(stream), emb_col, dim)
+        .withColumn("_s", F.expr(scores))
+        # (−score, list) struct sort ≡ score DESC, list ASC — the batch
+        # assignment's first-max tie rule, extended to nprobe lists
+        .withColumn(
+            "_probe",
+            F.expr(
+                f"transform(slice(array_sort(transform(_s, "
+                f"(x, i) -> struct(-x AS s, i AS i))), 1, {nprobe}), "
+                f"p -> p.i + 1)"
+            ),
+        )
+        .withColumn("list_id", F.explode("_probe"))
+        .drop("_s", "_probe")
+    )
+    side = F.broadcast(idx) if broadcast_index else idx.hint("shuffle_hash")
+    cos = F.round(
+        F.expr(dot_expr(emb_col, "_iemb")) / (F.col("norm") * F.col("_inorm")),
+        6,
+    )
+    return (
+        strm.join(side, F.col("list_id") == F.col("_ilist"))
+        .select(*in_cols, "match_id", "list_id", cos.alias("cosine"))
+    )
+
+
+def ann_topk_batch(batch: DataFrame, k: int = 5, query_id: str = "vec_id") -> DataFrame:
+    """foreachBatch companion of :func:`stream_ann_probe`: keep each
+    query's top-k candidates by (cosine DESC, match_id ASC) — the
+    deterministic tie rule the batch KNN tiers share."""
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(query_id).orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        batch.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

@@ -621,3 +621,25 @@ def test_mann_kendall_s_brute_force(spark):
             for j in range(i + 1, len(vs))
         )
         assert got[k] == (len(vs), s), k
+
+
+def test_skyline_2d_brute_force(spark):
+    """Distributed prefix-max skyline must equal the O(n²) dominance
+    definition on random data with heavy x/y ties."""
+    import random
+
+    from flink_learning_practise_spark.operators.transforms import skyline_2d
+
+    rng = random.Random(13)
+    rows = [(i, float(rng.randint(0, 12)), rng.randint(0, 12)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double, y int")
+    got = {r.id for r in skyline_2d(df, "x", "y", partitions=7).collect()}
+    exp = {
+        i
+        for i, x, y in rows
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for _, x2, y2 in rows
+        )
+    }
+    assert got == exp

@@ -1863,3 +1863,104 @@ def test_psi_batch_sees_appeared_mass(spark):
     assert r.n_events == 10
     assert abs(r.psi - want) < 1e-12
     assert r.psi > 0.25  # this IS a major shift — must not read stable
+
+
+def test_stream_ann_probe_full_probe_matches_brute_force(spark, tmp_path):
+    """With nprobe = nlist every list is probed, so the per-batch
+    top-k must equal the brute-force cosine top-k exactly (same
+    (cosine DESC, id ASC) tie rule)."""
+    import json as _json
+    import math
+    import os
+    import random
+
+    dim = 8
+    rng = random.Random(5)
+
+    def rvec():
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        return v
+
+    idx_rows = [(i, rvec()) for i in range(40)]
+    index = spark.createDataFrame(idx_rows, "vec_id long, embedding array<double>")
+
+    q_rows = [{"vec_id": 1000 + i, "embedding": rvec()} for i in range(5)]
+    src_dir = str(tmp_path / "ann_in")
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "p0.jsonl"), "w") as f:
+        for r in q_rows:
+            f.write(_json.dumps(r) + "\n")
+    src = spark.readStream.schema("vec_id long, embedding array<double>").json(src_dir)
+
+    out = sp.stream_ann_probe(src, index, nlist=4, nprobe=4, dim=dim)
+    assert out.isStreaming
+
+    got: dict = {}
+
+    def sink(batch, _bid):
+        for r in sp.ann_topk_batch(batch, k=3).collect():
+            got.setdefault(r.vec_id, []).append((r.rank, r.match_id, r.cosine))
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ann_ck"))
+         .start())
+    sp.run_until_drained(q)
+
+    def cosine(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    for qr in q_rows:
+        brute = sorted(
+            ((cosine(qr["embedding"], e), mid) for mid, e in idx_rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        want = [(i + 1, mid, c) for i, (c, mid) in enumerate(brute)]
+        assert sorted(got[qr["vec_id"]]) == want, qr["vec_id"]
+
+
+def test_stream_ann_probe_partial_probe_subset_and_shuffled_variant(spark, tmp_path):
+    """nprobe < nlist: candidates must be a subset of the full probe's
+    (the IVF contract), and the shuffled-index scale path must emit
+    exactly the broadcast path's rows with no broadcast of the index."""
+    import json as _json
+    import os
+    import random
+
+    dim = 8
+    rng = random.Random(9)
+    idx_rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
+    index = spark.createDataFrame(idx_rows, "vec_id long, embedding array<double>")
+    q_rows = [{"vec_id": 2000 + i,
+               "embedding": [rng.uniform(-1, 1) for _ in range(dim)]}
+              for i in range(4)]
+    src_dir = str(tmp_path / "ann2_in")
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "p0.jsonl"), "w") as f:
+        for r in q_rows:
+            f.write(_json.dumps(r) + "\n")
+
+    def run(nprobe, broadcast):
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<double>").json(src_dir)
+        out = sp.stream_ann_probe(
+            src, index, nlist=4, nprobe=nprobe, dim=dim,
+            broadcast_index=broadcast,
+        )
+        rows = []
+        q = (out.writeStream
+             .foreachBatch(lambda b, _i: rows.extend(
+                 (r.vec_id, r.match_id, r.cosine) for r in b.collect()))
+             .option("checkpointLocation",
+                     str(tmp_path / f"ck_{nprobe}_{broadcast}"))
+             .start())
+        sp.run_until_drained(q)
+        return set(rows)
+
+    full = run(4, True)
+    partial = run(2, True)
+    assert partial and partial < full
+    shuffled = run(2, False)
+    assert shuffled == partial
