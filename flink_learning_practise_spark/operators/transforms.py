@@ -723,3 +723,85 @@ def skyline_2d(
         )
         .drop("_mx_at", "_mx_below")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    alpha: float,
+    beta: float,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend), one
+    output row per input row:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    seeded l_1 = x_1, b_1 = 0 — the forecasting upgrade of
+    :func:`ewma` (which cannot track a trending series; Holt's trend
+    term closes the lag). Identical execution shape and numeric
+    discipline as ewma: ONE repartition on the key +
+    sortWithinPartitions + mapInPandas carrying (key, level, trend)
+    across Arrow batches — O(n) per key; every step quantizes BOTH
+    state variables to 9 digits via floor(x·1e9 + 0.5)/1e9 (plain IEEE
+    ops, engine-identical — round() is not), so the recursion is a
+    pure function of the inputs and a DuckDB recursive CTE replays it
+    bit-for-bit. Null values poison the rest of the key (SQL NULL out,
+    not NaN), exactly like ewma.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a, b = float(alpha), float(beta)
+    cols = list(df.columns)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_col, DoubleType(), True),
+           StructField(trend_col, DoubleType(), True)]
+    )
+    keys = list(key_cols)
+    floor = math.floor
+
+    def _q9(x: float) -> float:
+        return floor(x * 1e9 + 0.5) / 1e9
+
+    def _fold(batches):
+        cur_key = object()
+        lvl = trd = None
+        for pdf in batches:
+            key_rows = list(zip(*(pdf[k] for k in keys)))
+            xs = pdf[val_col].to_numpy(dtype="float64", na_value=float("nan"))
+            out_l: list = [None] * len(xs)
+            out_b: list = [None] * len(xs)
+            for i, x in enumerate(map(float, xs)):
+                k = key_rows[i]
+                if k != cur_key:
+                    cur_key, lvl, trd = k, None, None
+                if x != x or (lvl is not None and lvl != lvl):
+                    lvl = trd = float("nan")  # poison rest of key
+                elif lvl is None:
+                    lvl, trd = _q9(x), 0.0
+                    out_l[i], out_b[i] = lvl, trd
+                else:
+                    nl = _q9(a * x + (1.0 - a) * (lvl + trd))
+                    trd = _q9(b * (nl - lvl) + (1.0 - b) * trd)
+                    lvl = nl
+                    out_l[i], out_b[i] = lvl, trd
+            pdf[level_col] = pd.array(out_l, dtype="Float64")
+            pdf[trend_col] = pd.array(out_b, dtype="Float64")
+            yield pdf[cols + [level_col, trend_col]]
+
+    sort_by = keys + list(order_cols) + (
+        [val_col] if val_col not in order_cols else []
+    )
+    return (
+        df.repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*sort_by)
+        .mapInPandas(_fold, schema=out_schema)
+    )

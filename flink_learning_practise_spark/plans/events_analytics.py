@@ -3066,3 +3066,173 @@ SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
              / CAST(2 * npos * nneg AS DOUBLE) * 1e9 + 0.5) / 1e9 AS auc
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# #160 Holt double-exponential smoothing per user: level + trend — the
+# forecasting upgrade of EWMA #104 (EWMA lags a trending series; the
+# trend term closes the lag, and level+trend is the one-step-ahead
+# forecast every capacity dashboard draws). Same recursion discipline
+# as EWMA: linear mapInPandas fold, both state variables quantized
+# floor(x·1e9+0.5)/1e9 per step so the DuckDB recursive CTE replays it
+# bit-for-bit (operators/transforms.holt_linear).
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return transforms.holt_linear(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        alpha=HOLT_ALPHA, beta=HOLT_BETA,
+    ).select("user_id", "ts", "event_id", "value", "level", "trend")
+
+
+HOLT_SMOOTHING_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, ts, value, rn,
+         floor(value * 1e9 + 0.5) / 1e9 AS level,
+         CAST(0.0 AS DOUBLE) AS trend
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+         floor(({HOLT_ALPHA} * b.value
+                + (1.0 - {HOLT_ALPHA}) * (r.level + r.trend)) * 1e9 + 0.5) / 1e9,
+         floor(({HOLT_BETA} * (floor(({HOLT_ALPHA} * b.value
+                + (1.0 - {HOLT_ALPHA}) * (r.level + r.trend)) * 1e9 + 0.5) / 1e9
+                - r.level)
+                + (1.0 - {HOLT_BETA}) * r.trend) * 1e9 + 0.5) / 1e9
+  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, ts, event_id, value, level, trend FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# #161 funnel latency: seconds from a user's FIRST view to the first
+# purchase at-or-after it — the "how long does conversion take"
+# companion of the funnel rate queries (#92 counts conversions, this
+# measures their delay). Two tiny per-user aggregates (min-ts view,
+# then conditional min over purchases ≥ that ts — one keyed join, no
+# window), then ONE summary row: count, mean (decimal-routed), median
+# via the distributed order statistic (keyed_select_rank with NO key —
+# range-partitioned selection, ≤ P driver scalars, no single-task
+# sort).
+
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_vts"))
+    )
+    lat = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("ts") >= F.col("_vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_pts"), F.first("_vts").alias("_vts2"))
+        .select(
+            "user_id",
+            (F.unix_timestamp("_pts") - F.unix_timestamp("_vts2")).alias(
+                "latency_sec"
+            ),
+        )
+    )
+    stats = lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (
+            F.floor(
+                (F.sum(F.col("latency_sec").cast(DEC)).cast("double")
+                 / F.count(F.lit(1))) * 1e6 + F.lit(0.5)
+            ) / 1e6
+        ).alias("mean_sec"),
+    )
+    _, med = transforms.keyed_select_rank(
+        lat, [], ["latency_sec", "user_id"], lambda n: (n + 1) // 2
+    )
+    return stats.crossJoin(
+        F.broadcast(med.select(F.col("latency_sec").alias("p50_sec")))
+    )  # single-row frames; policy-exempt
+
+
+FUNNEL_LATENCY_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS vts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+lat AS (
+  SELECT e.user_id,
+         CAST(floor(epoch(MIN(e.ts))) - floor(epoch(MIN(fv.vts))) AS BIGINT)
+           AS latency_sec
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.vts
+  GROUP BY e.user_id
+),
+med AS (
+  SELECT latency_sec AS p50_sec FROM (
+    SELECT latency_sec,
+           row_number() OVER (ORDER BY latency_sec, user_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM lat
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT COUNT(*) AS n_converted,
+       floor(CAST(SUM(CAST(latency_sec AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_sec,
+       (SELECT p50_sec FROM med) AS p50_sec
+FROM lat
+"""
+
+
+# ---------------------------------------------------------------------------
+# #162 sequential trigram mining: the most frequent length-3 event-type
+# sequences per user stream — one step past the transition matrix
+# (#115 counts bigrams; trigrams expose detours like
+# view→error→purchase that bigrams conflate). Per-USER lead window
+# (millions of small keys — the right regime), one global count, top-K
+# via TakeOrdered (K-row heap merge, no global sort).
+
+EVENT_TRIGRAMS_TOP_K = 20
+
+
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("_t2", F.lead("event_type", 1).over(w))
+        .withColumn("_t3", F.lead("event_type", 2).over(w))
+        .where(F.col("_t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "_t2", "_t3").alias("trigram")
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(EVENT_TRIGRAMS_TOP_K)
+    )
+
+
+EVENT_TRIGRAMS_SQL = f"""
+WITH s AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS trigram, COUNT(*) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, trigram
+LIMIT {EVENT_TRIGRAMS_TOP_K}
+"""

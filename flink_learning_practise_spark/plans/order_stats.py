@@ -1163,9 +1163,17 @@ def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
+    # collapse to the (flag, price) tier FIRST — one map-side-combined
+    # aggregate shrinks the frame the prefix pass must range-pin and
+    # checkpoint (the crossing selects an x VALUE, so summing tied-x
+    # weights up front changes nothing; measured 3.6 s → fact-tier
+    # checkpoint was the whole cost at sf0.1)
+    tier = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_tw")
+    )
     cum = keyed_prefix_sum(
-        li, ["l_returnflag"], ["l_extendedprice"], "l_quantity", out_col="_cw"
-    ).withColumn("_rw", F.col("l_quantity").cast("decimal(28,6)"))
+        tier, ["l_returnflag"], ["l_extendedprice"], "_tw", out_col="_cw"
+    ).withColumn("_rw", F.col("_tw").cast("decimal(28,6)"))
     # per-key total = MAX of the inclusive cumsum — one aggregate over
     # the prefix pass's CHECKPOINT instead of a second fact-table scan
     tot = cum.groupBy("l_returnflag").agg(F.max("_cw").alias("_W"))
@@ -1472,4 +1480,230 @@ SELECT cohort, age_months, n_orders, revenue_cents,
          AS cum_revenue_cents
 FROM tier
 ORDER BY cohort, age_months
+"""
+
+
+# ---------------------------------------------------------------------------
+# #163 discount elasticity: OLS of ln(quantity) on ln(1 − discount)
+# over the fact table — "does discounting move volume" in one number
+# (the slope IS the price elasticity under a log-log demand model).
+# The zipf_fit numeric discipline: both regressors quantized
+# floor(ln·10⁹ + 0.5)/10⁹ FIRST, every moment then summed in
+# decimal(38,12) (exact, partition-order-independent — a raw double
+# Σxy would drift run-to-run), doubles only in the closed form.
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.floor(F.log(1 - F.col("l_discount")) * 1e9 + F.lit(0.5)) / 1e9).alias("x"),
+        (F.floor(F.log(F.col("l_quantity")) * 1e9 + F.lit(0.5)) / 1e9).alias("y"),
+    )
+    D = "decimal(38,12)"
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D)).alias("sx"),
+        F.sum(F.col("y").cast(D)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(D)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(D)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
+    return m.select(
+        "n",
+        F.when(den != 0, F.floor(slope * 1e9 + F.lit(0.5)) / 1e9).alias("elasticity"),
+        F.when(den != 0, F.floor(intercept * 1e9 + F.lit(0.5)) / 1e9).alias("intercept"),
+    )
+
+
+DISCOUNT_ELASTICITY_SQL = """
+WITH pts AS (
+  SELECT floor(ln(1 - l_discount) * 1e9 + 0.5) / 1e9 AS x,
+         floor(ln(l_quantity) * 1e9 + 0.5) / 1e9 AS y
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM pts
+)
+SELECT n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) != 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * 1e9 + 0.5) / 1e9
+            END AS elasticity,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) != 0
+            THEN floor((CAST(sy AS DOUBLE)
+                        - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE)) / n * 1e9 + 0.5) / 1e9
+            END AS intercept
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# #164 CUSUM changepoint screen on daily revenue: the one-sided
+# cumulative-sum control chart S_t = max(0, S_{t−1} + (x_t − μ)) that
+# flags sustained upward shifts a z-score misses. ALL-INTEGER
+# recurrence: multiplying through by n gives
+# T_t = max(0, T_{t−1} + n·cents_t − total_cents) — exact in BIGINT,
+# bit-identical in any engine (the r5 "exact integers beat rounded
+# doubles" lesson applied to a recursion). The daily tier is
+# calendar-bounded, so the single-partition fold is a bounded frame
+# (ks_drift's justification), done in one Arrow batch.
+
+def cusum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("revenue_cents").cast("decimal(38,0)")).cast("long").alias("_tot"),
+    )
+    j = daily.crossJoin(F.broadcast(tot))  # single-row scalars; policy-exempt
+
+    def fold(batches):
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        if not rows:
+            return
+        pdf = pd.concat(rows).sort_values("d")
+        t = 0
+        out = []
+        for cents, n, total in zip(pdf["revenue_cents"], pdf["_n"], pdf["_tot"]):
+            t = max(0, t + int(n) * int(cents) - int(total))
+            out.append(t)
+        pdf["cusum_n"] = out
+        yield pdf[["d", "revenue_cents", "cusum_n"]]
+
+    return (
+        j.repartition(1)  # calendar-bounded tier: one task holds ≤ years×365 rows
+        .mapInPandas(fold, "d date, revenue_cents long, cusum_n long")
+        .orderBy("d")
+    )
+
+
+CUSUM_REVENUE_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT d, revenue_cents,
+         row_number() OVER (ORDER BY d) AS rn,
+         (SELECT COUNT(*) FROM daily) AS n,
+         (SELECT CAST(SUM(revenue_cents) AS BIGINT) FROM daily) AS total
+  FROM daily
+),
+r AS (
+  SELECT d, revenue_cents, rn, n, total,
+         CAST(greatest(0, n * revenue_cents - total) AS BIGINT) AS cusum_n
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.d, b.revenue_cents, b.rn, b.n, b.total,
+         CAST(greatest(0, r.cusum_n + b.n * b.revenue_cents - b.total) AS BIGINT)
+  FROM r JOIN base b ON b.rn = r.rn + 1
+)
+SELECT d, revenue_cents, cusum_n FROM r ORDER BY d
+"""
+
+
+# ---------------------------------------------------------------------------
+# #165 market concentration (HHI) per nation: Herfindahl–Hirschman
+# index of supplier revenue shares — the antitrust-style "is this
+# market a monopoly" number beside Gini's inequality view (#137).
+# Shares are double ratios of exact integer cents (both < 2⁵³, so the
+# decimal→double cast is exact in every engine); each share² is
+# quantized floor(x·10¹²+0.5)/10¹² THEN decimal-summed — never a raw
+# double Σ (partition-order drift), never a >2⁵³ integer Σrev²
+# (DuckDB's hugeint→double cast isn't correctly rounded).
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("_cents")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum(F.col("_cents").cast("decimal(38,0)")).cast("long").alias("_tot")
+    )
+    terms = rev.join(tot, "s_nationkey").select(
+        "s_nationkey",
+        (
+            F.floor(
+                (F.col("_cents").cast("double") / F.col("_tot"))
+                * (F.col("_cents").cast("double") / F.col("_tot"))
+                * 1e12
+                + F.lit(0.5)
+            )
+            / 1e12
+        ).alias("_s2"),
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        terms.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("_s2").cast("decimal(28,13)"))
+            .cast("double")
+            .alias("hhi"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_suppliers", "hhi")
+        .orderBy("n_name")
+    )
+
+
+HHI_CONCENTRATION_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT s_nationkey, CAST(SUM(cents) AS BIGINT) AS tot FROM rev GROUP BY 1
+),
+terms AS (
+  SELECT r.s_nationkey,
+         floor((CAST(r.cents AS DOUBLE) / t.tot) * (CAST(r.cents AS DOUBLE) / t.tot) * 1e12 + 0.5) / 1e12 AS s2
+  FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+)
+SELECT n.n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s2 AS DECIMAL(28,13))) AS DOUBLE) AS hhi
+FROM terms tm JOIN nation n ON tm.s_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY n_name
 """

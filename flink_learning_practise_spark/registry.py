@@ -215,8 +215,25 @@ def _populate() -> None:
     register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
     register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
 
-    # ---- 51+: r3-dated LLM remainder (next-oldest greens — rotate
-    # these into the round-7 window first) ----
+    # ---- 51+: NEW round 6, past the full window (locally
+    # oracle-proven; round-7 window positions 1-6, the r5/r6 rule) ----
+    register("q_holt_smoothing", ea.holt_smoothing, ea.HOLT_SMOOTHING_SQL)
+    register("q_funnel_latency", ea.funnel_latency, ea.FUNNEL_LATENCY_SQL)
+    register("q_event_trigrams", ea.event_trigrams, ea.EVENT_TRIGRAMS_SQL)
+    register(
+        "q_discount_elasticity",
+        os_.discount_elasticity,
+        os_.DISCOUNT_ELASTICITY_SQL,
+    )
+    register("q_cusum_revenue", os_.cusum_revenue, os_.CUSUM_REVENUE_SQL)
+    register(
+        "q_hhi_concentration",
+        os_.hhi_concentration,
+        os_.HHI_CONCENTRATION_SQL,
+    )
+
+    # ---- r3-dated LLM remainder (next-oldest greens — rotate
+    # these into the round-7 window after the six above) ----
     register(
         "q_dedup_minhash_lsh",
         llm.dedup_minhash_lsh,

@@ -643,3 +643,36 @@ def test_skyline_2d_brute_force(spark):
         )
     }
     assert got == exp
+
+
+def test_holt_linear_matches_reference_and_poisons_nulls(spark):
+    """Two-state Holt recursion vs a Python replay (same quantization);
+    a null value must poison that row and the rest of its key as SQL
+    NULL, like ewma."""
+    import math
+
+    from flink_learning_practise_spark.operators.transforms import holt_linear
+
+    rows = [
+        (1, 0, 10.0), (1, 1, 14.0), (1, 2, 18.0), (1, 3, 26.0),
+        (2, 0, 5.0), (2, 1, None), (2, 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = {
+        (r.k, r.i): (r.level, r.trend)
+        for r in holt_linear(df, ["k"], ["i"], "v", alpha=0.5, beta=0.3).collect()
+    }
+
+    def q9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    lvl, trd = q9(10.0), 0.0
+    for i, x in [(1, 14.0), (2, 18.0), (3, 26.0)]:
+        nl = q9(0.5 * x + 0.5 * (lvl + trd))
+        trd = q9(0.3 * (nl - lvl) + 0.7 * trd)
+        lvl = nl
+        assert got[(1, i)] == (lvl, trd), i
+    assert got[(1, 0)] == (10.0, 0.0)
+    assert got[(2, 0)] == (5.0, 0.0)
+    assert got[(2, 1)] == (None, None)
+    assert got[(2, 2)] == (None, None)  # poisoned forever

@@ -97,6 +97,11 @@ ARROW_VECTORIZED = {
     # fold per user replaces the O(n²) pairwise SQL sweep the oracle
     # runs (operators/transforms.mann_kendall_s)
     "q_mann_kendall",
+    # two-state recursive fold (level+trend), ewma's linear-loop rule
+    "q_holt_smoothing",
+    # max(0, ...) recursion over the calendar-bounded daily tier —
+    # single Arrow batch by design (ks_drift's bounded-frame rule)
+    "q_cusum_revenue",
 }
 
 
