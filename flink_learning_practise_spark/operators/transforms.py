@@ -523,7 +523,31 @@ def keyed_prefix_sum(
     need not totally order rows: ties cumulate in arbitrary order
     within the tie group, so consumers must select on the ORDER value
     (threshold crossing), not on a specific tied row.
+
+    NOTE: the returned frame's cumsum window re-evaluates on EVERY
+    action that consumes it (only the range-pinned input is
+    checkpointed) — consume it in ONE pass, and take per-key totals
+    from :func:`keyed_prefix_sum_with_totals` (free — they are the
+    driver prefix sums the offset pass already computed) instead of
+    aggregating the output.
     """
+    return keyed_prefix_sum_with_totals(
+        df, key_cols, order_cols, weight_col, out_col, partitions
+    )[0]
+
+
+def keyed_prefix_sum_with_totals(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cum_w",
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`keyed_prefix_sum` plus a per-key TOTALS frame
+    ``(keys..., total)`` — the final driver prefix sums, so callers
+    needing W (threshold crossings, at-risk counts) pay no extra job
+    and no extra pass over the cumsum window."""
     from decimal import Decimal
 
     from pyspark.sql import Window
@@ -547,23 +571,25 @@ def keyed_prefix_sum(
         offsets.append((r["_pid"], *k, acc.get(k, zero)))
         acc[k] = acc.get(k, zero) + (r["_s"] if r["_s"] is not None else zero)
     spark = df.sparkSession
-    off_schema = ", ".join(
-        ["_pid int"]
-        + [f"{c} {t}" for c, t in df.select(*key_cols).dtypes]
-        + ["_off decimal(28,6)"]
-    )
+    key_schema = [f"{c} {t}" for c, t in df.select(*key_cols).dtypes]
+    off_schema = ", ".join(["_pid int"] + key_schema + ["_off decimal(28,6)"])
     off = spark.createDataFrame(offsets, off_schema)
+    totals = spark.createDataFrame(
+        [(*k, v) for k, v in acc.items()],
+        ", ".join(key_schema + ["total decimal(28,6)"]),
+    )
     w = (
         Window.partitionBy("_pid", *key_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    cum = (
         # bounded P+K-row frame, never data-proportional
         pinned.join(F.broadcast(off), ["_pid", *key_cols])  # broadcast-policy-exempt
         .withColumn(out_col, F.sum("_w").over(w) + F.col("_off"))
         .drop("_pid", "_off", "_w")
     )
+    return cum, totals
 
 
 def mann_kendall_s(
@@ -592,9 +618,10 @@ def mann_kendall_s(
     from pyspark.sql.types import LongType, StructField, StructType
 
     keys = list(key_cols)
-    key_fields = [
-        f for f in df.schema.fields if f.name in keys
-    ]
+    # key fields in key_cols ORDER (the yielded frames put keys first in
+    # that order — schema built from df.schema order would silently
+    # mislabel columns for multi-key callers whose key order differs)
+    key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(
         key_fields
         + [StructField("n", LongType(), False),

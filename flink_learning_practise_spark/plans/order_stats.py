@@ -1158,7 +1158,7 @@ ORDER BY fk
 # tie order within equal prices is partition-dependent).
 
 def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.transforms import keyed_prefix_sum
+    from ..operators.transforms import keyed_prefix_sum_with_totals
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
@@ -1171,28 +1171,30 @@ def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_tw")
     )
-    cum = keyed_prefix_sum(
+    # totals come FREE from the prefix pass's driver sums, and both
+    # crossings collapse into ONE conditional aggregate — the cumsum
+    # window (which re-evaluates per consuming action; see
+    # keyed_prefix_sum's note) is computed exactly once
+    cum, tot = keyed_prefix_sum_with_totals(
         tier, ["l_returnflag"], ["l_extendedprice"], "_tw", out_col="_cw"
-    ).withColumn("_rw", F.col("_tw").cast("decimal(28,6)"))
-    # per-key total = MAX of the inclusive cumsum — one aggregate over
-    # the prefix pass's CHECKPOINT instead of a second fact-table scan
-    tot = cum.groupBy("l_returnflag").agg(F.max("_cw").alias("_W"))
-    j = cum.join(tot, "l_returnflag")
+    )
+    # K-row totals frame (bounded flag domain) — policy-exempt
+    j = cum.join(F.broadcast(tot), "l_returnflag")
 
-    def crossing(q: str, alias: str) -> DataFrame:
-        t = F.expr(f"_W * CAST({q} AS DECIMAL(3,2))")
-        return (
-            j.where((F.col("_cw") >= t) & (F.col("_cw") - F.col("_rw") < t))
-            .groupBy("l_returnflag")
-            .agg(F.min("l_extendedprice").alias(alias))
-        )
+    def crossing(q: str) -> F.Column:
+        t = F.expr(f"total * CAST({q} AS DECIMAL(3,2))")
+        hit = (F.col("_cw") >= t) & (F.col("_cw") - F.col("_tw") < t)
+        return F.min(F.when(hit, F.col("l_extendedprice")))
 
+    res = j.groupBy("l_returnflag").agg(
+        crossing("0.5").alias("p50_price"),
+        crossing("0.9").alias("p90_price"),
+    )
     return (
         tot.select(
-            "l_returnflag", F.col("_W").cast("long").alias("total_qty")
+            "l_returnflag", F.col("total").cast("long").alias("total_qty")
         )
-        .join(crossing("0.5", "p50_price"), "l_returnflag")
-        .join(crossing("0.9", "p90_price"), "l_returnflag")
+        .join(res, "l_returnflag")
         .select("l_returnflag", "total_qty", "p50_price", "p90_price")
         .orderBy("l_returnflag")
     )
@@ -1347,7 +1349,7 @@ ORDER BY okey1, okey2
 # engines; a double divide could round across the floor boundary).
 
 def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.transforms import keyed_prefix_sum
+    from ..operators.transforms import keyed_prefix_sum_with_totals
 
     orders = load(spark, sf_dir, "orders")
     last_ship = (
@@ -1369,10 +1371,13 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("_ev")).alias("c_censored"),
         F.count(F.lit(1)).alias("_n_at"),
     )
-    cum = keyed_prefix_sum(tier, [], ["t_days"], "_n_at", out_col="_cum")
-    # N = MAX of the inclusive prefix — read from the prefix pass's
-    # checkpoint; a tier.agg() here would re-run the fact join+aggregate
-    total = cum.agg(F.max("_cum").cast("long").alias("_N"))
+    # N comes FREE from the prefix pass's driver sums (single-row
+    # totals frame) — no second pass over the cumsum window, no re-run
+    # of the fact join+aggregate
+    cum, tot = keyed_prefix_sum_with_totals(
+        tier, [], ["t_days"], "_n_at", out_col="_cum"
+    )
+    total = tot.select(F.col("total").cast("long").alias("_N"))
     return (
         cum.crossJoin(F.broadcast(total))  # single-row scalar; policy-exempt
         .select(
