@@ -676,3 +676,19 @@ def test_holt_linear_matches_reference_and_poisons_nulls(spark):
     assert got[(2, 0)] == (5.0, 0.0)
     assert got[(2, 1)] == (None, None)
     assert got[(2, 2)] == (None, None)  # poisoned forever
+
+
+def test_keyed_prefix_sum_totals_are_free_and_exact(spark):
+    from flink_learning_practise_spark.operators.transforms import (
+        keyed_prefix_sum_with_totals,
+    )
+
+    rows = [("a", i, i % 3 + 1) for i in range(50)] + [("b", i, 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, x long, w long")
+    cum, tot = keyed_prefix_sum_with_totals(df, ["k"], ["x"], "w", partitions=5)
+    got = {r.k: float(r.total) for r in tot.collect()}
+    assert got == {"a": sum(i % 3 + 1 for i in range(50)), "b": 40.0}
+    # totals equal the cumsum's per-key max (consistency of the two views)
+    from pyspark.sql import functions as FF
+    mx = {r.k: float(r.m) for r in cum.groupBy("k").agg(FF.max("cum_w").alias("m")).collect()}
+    assert mx == got
