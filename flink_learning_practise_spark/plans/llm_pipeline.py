@@ -2711,3 +2711,104 @@ FROM per_point
 GROUP BY 1
 ORDER BY list_id
 """
+
+
+# ---------------------------------------------------------------------------
+# #169 n-gram novelty score: per document, the share of its distinct
+# 3-shingles that appear in NO other document — the self-containment
+# metric a curation pipeline reads next to the dup tiers (a low-novelty
+# doc is assembled from corpus boilerplate even when no single pair
+# crosses the Jaccard threshold). Shingles are computed JVM-side
+# (dedup.shingle_array, distinct per doc), document frequency is one
+# shingle-keyed aggregate, and the novelty share is exact integer
+# counts divided once at the end.
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.shingle_array(normalize(F.col("text")), 3)).alias(
+            "shingle"
+        ),
+    )
+    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(df_t, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            (
+                F.floor(
+                    F.col("_novel") / F.col("n_shingles") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+df_t AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT s.doc_id, COUNT(*) AS n_shingles,
+       floor(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS novelty
+FROM sh s JOIN df_t d ON s.shingle = d.shingle
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #170 lexical diversity (type-token ratio bands): distinct-token /
+# total-token ratio per document, banded by integer division
+# (d·10 div t — a double ratio ×10 under floor() mis-bands exact
+# boundaries like 3/10 in BOTH engines; integer division doesn't) —
+# the vocabulary-richness screen beside the quality score (#45) and
+# Gopher gates (#70). Map-only array math (split / array_distinct,
+# all JVM), one bounded aggregate.
+
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = F.split(normalize(F.col("text")), " ")
+    feats = docs.select(
+        F.size(w).alias("_n"),
+        F.size(F.array_distinct(w)).alias("_d"),
+    )
+    return (
+        feats.groupBy(
+            F.expr("(_d * 10) div _n").cast("int").alias("ttr_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("_n", "avg_tokens"),
+        )
+        .orderBy("ttr_band")
+    )
+
+
+LEXICAL_DIVERSITY_SQL = f"""
+WITH feats AS (
+  SELECT len(string_split({NORM_SQL}, ' ')) AS n,
+         len(list_distinct(string_split({NORM_SQL}, ' '))) AS d
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT CAST((d * 10) // n AS INTEGER) AS ttr_band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n AS DECIMAL(18,6))) AS DOUBLE) / COUNT(n) AS avg_tokens
+FROM feats
+GROUP BY 1
+ORDER BY ttr_band
+"""

@@ -1712,3 +1712,252 @@ FROM terms tm JOIN nation n ON tm.s_nationkey = n.n_nationkey
 GROUP BY 1
 ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# #166 ABC inventory classification: parts ranked by discounted
+# revenue descending, classed A/B/C at the 80%/95% cumulative-share
+# marks — the warehouse-ops staple. One keyed revenue aggregate, then
+# the distributed prefix sum over (−revenue, partkey) — a TOTAL order,
+# so the cumulative is deterministic — with totals free from the
+# driver pass; class boundaries compare DECIMAL cum against
+# total·0.80/0.95 exactly (no double share rounding at the boundary).
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import keyed_prefix_sum_with_totals
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("_cents")
+    ).withColumn("_negrev", -F.col("_cents"))
+    cum, tot = keyed_prefix_sum_with_totals(
+        rev, [], ["_negrev", "l_partkey"], "_cents", out_col="_cum"
+    )
+    j = cum.crossJoin(F.broadcast(tot))  # single-row total; policy-exempt
+    cls = (
+        F.when(F.col("_cum") <= F.expr("total * CAST(0.80 AS DECIMAL(3,2))"), "A")
+        .when(F.col("_cum") <= F.expr("total * CAST(0.95 AS DECIMAL(3,2))"), "B")
+        .otherwise("C")
+    )
+    return (
+        j.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("_cents").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.first(F.col("total").cast("long")).alias("_t"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            (
+                F.floor(
+                    F.col("revenue_cents").cast("double") / F.col("_t") * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_CLASSIFICATION_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT l_partkey, cents,
+         SUM(CAST(cents AS DECIMAL(28,6))) OVER (
+           ORDER BY cents DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         (SELECT SUM(CAST(cents AS DECIMAL(28,6))) FROM rev) AS t
+  FROM rev
+),
+classed AS (
+  SELECT CASE WHEN c <= t * CAST(0.80 AS DECIMAL(3,2)) THEN 'A'
+              WHEN c <= t * CAST(0.95 AS DECIMAL(3,2)) THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents, CAST(t AS BIGINT) AS t
+  FROM cum
+)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       floor(CAST(SUM(cents) AS DOUBLE) / MIN(t) * 1e9 + 0.5) / 1e9
+         AS revenue_share
+FROM classed
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# #167 spend-quartile migration matrix: customers quartiled by spend in
+# the first vs second half of the calendar (pivot 1998-01-01 — the data
+# midpoint), counted by (from, to) cell — the cohort-movement view a
+# CRM draws next to churn segments (#129 says who left; this says who
+# moved up or down). Two global_ntile passes (distributed rank — no
+# single-task ntile window), one customer-keyed join, one 16-cell
+# aggregate.
+
+SEG_PIVOT = "1998-01-01"
+
+
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import global_ntile
+
+    orders = load(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy(
+            "o_custkey",
+            (F.col("o_orderdate") < F.lit(SEG_PIVOT).cast("timestamp")).alias(
+                "_h1"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("_cents")
+        )
+    )
+    q1 = global_ntile(
+        spend.where(F.col("_h1")).select("o_custkey", "_cents"),
+        4,
+        ["_cents", "o_custkey"],
+        bucket_col="q_from",
+    ).select("o_custkey", "q_from")
+    q2 = global_ntile(
+        spend.where(~F.col("_h1")).select("o_custkey", "_cents"),
+        4,
+        ["_cents", "o_custkey"],
+        bucket_col="q_to",
+    ).select("o_custkey", "q_to")
+    return (
+        q1.join(q2, "o_custkey")
+        .groupBy("q_from", "q_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("q_from", "q_to")
+    )
+
+
+SEGMENT_MIGRATION_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         o_orderdate < TIMESTAMP '{SEG_PIVOT} 00:00:00' AS h1,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+q1 AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY cents, o_custkey) AS q_from
+  FROM spend WHERE h1
+),
+q2 AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY cents, o_custkey) AS q_to
+  FROM spend WHERE NOT h1
+)
+SELECT q1.q_from, q2.q_to, COUNT(*) AS n_customers
+FROM q1 JOIN q2 ON q1.o_custkey = q2.o_custkey
+GROUP BY 1, 2
+ORDER BY q_from, q_to
+"""
+
+
+# ---------------------------------------------------------------------------
+# #168 Lorenz curve (customer revenue deciles): the curve behind the
+# Gini number (#137) — cumulative revenue share by spend decile. One
+# customer aggregate, a distributed global_ntile (no single-task
+# window), a 10-row decile tier; the cumulative share comes from a
+# triangular self-join of that BOUNDED tier (≤ 10×10 rows) instead of
+# an unpartitioned window, so the plan stays inside the window budget.
+
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import global_ntile
+
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("_cents")
+    )
+    dec = global_ntile(spend, 10, ["_cents", "o_custkey"], bucket_col="decile")
+    tier = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("_cents").cast("decimal(38,0)")).cast("long").alias(
+            "revenue_cents"
+        ),
+    )
+    t2 = tier.select(
+        F.col("decile").alias("_d2"), F.col("revenue_cents").alias("_r2")
+    )
+    tot = tier.agg(
+        F.sum(F.col("revenue_cents").cast("decimal(38,0)")).cast("long").alias("_t")
+    )
+    return (
+        tier.join(t2, F.col("_d2") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "revenue_cents")
+        .agg(
+            F.sum(F.col("_r2").cast("decimal(38,0)")).cast("long").alias("_cumrev")
+        )
+        .crossJoin(F.broadcast(tot))  # single-row total; policy-exempt
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            (
+                F.floor(
+                    F.col("_cumrev").cast("double") / F.col("_t") * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+LORENZ_CURVE_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+dec AS (
+  SELECT o_custkey, cents,
+         ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM spend
+),
+tier AS (
+  SELECT decile, COUNT(*) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM dec GROUP BY 1
+)
+SELECT t.decile, t.n_customers, t.revenue_cents,
+       floor(CAST((SELECT SUM(t2.revenue_cents) FROM tier t2
+                   WHERE t2.decile <= t.decile) AS DOUBLE)
+             / (SELECT SUM(revenue_cents) FROM tier) * 1e9 + 0.5) / 1e9
+         AS cum_revenue_share
+FROM tier t
+ORDER BY decile
+"""

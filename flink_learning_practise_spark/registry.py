@@ -231,6 +231,23 @@ def _populate() -> None:
         os_.hhi_concentration,
         os_.HHI_CONCENTRATION_SQL,
     )
+    register(
+        "q_abc_classification",
+        os_.abc_classification,
+        os_.ABC_CLASSIFICATION_SQL,
+    )
+    register(
+        "q_segment_migration",
+        os_.segment_migration,
+        os_.SEGMENT_MIGRATION_SQL,
+    )
+    register("q_lorenz_curve", os_.lorenz_curve, os_.LORENZ_CURVE_SQL)
+    register("q_ngram_novelty", llm.ngram_novelty, llm.NGRAM_NOVELTY_SQL)
+    register(
+        "q_lexical_diversity",
+        llm.lexical_diversity,
+        llm.LEXICAL_DIVERSITY_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the six above) ----
