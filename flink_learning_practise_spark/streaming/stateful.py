@@ -695,3 +695,92 @@ def streaming_cumulate_window(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt smoothing (the unbounded twin of #160
+# plans/events_analytics.holt_smoothing): per-user state is the
+# (level, trend) pair plus the (ts, id) high-water mark — EWMA's
+# footprint plus one double. Same contracts as streaming EWMA:
+# NoTimeout-style permanent state (evicting would reset the
+# smoothing), watermark-late rows engine-dropped, inside-watermark
+# out-of-order rows dropped at the high-water mark (a recursion cannot
+# absorb them; the batch op is the reprocessing authority), per-step
+# floor-quantization identical to the batch fold so in-order streams
+# reproduce it exactly.
+
+HOLT_OUTPUT_SCHEMA = (
+    "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE, "
+    "level DOUBLE, trend DOUBLE"
+)
+HOLT_STATE_SCHEMA = "lvl DOUBLE, trd DOUBLE, last_ts BIGINT, last_id BIGINT"
+
+
+def _holt_fn(alpha: float, beta: float):
+    import math
+
+    def q9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        lvl, trd, last_ts, last_id = (
+            state.get if state.exists else (None, None, -1, -1)
+        )
+        out = {"ts": [], "event_id": [], "value": [], "level": [], "trend": []}
+        for t, eid, v in _sorted_rows(pdfs, ("event_id", "value")):
+            if lvl is not None and (t, eid) <= (last_ts, last_id):
+                continue  # behind the carried state: drop (EWMA's rule)
+            if v != v or (lvl is not None and lvl != lvl):
+                lvl = trd = float("nan")  # poison, like the batch fold
+            elif lvl is None:
+                lvl, trd = q9(v), 0.0
+            else:
+                nl = q9(alpha * v + (1.0 - alpha) * (lvl + trd))
+                trd = q9(beta * (nl - lvl) + (1.0 - beta) * trd)
+                lvl = nl
+            last_ts, last_id = t, eid
+            out["ts"].append(pd.Timestamp(t, unit="us"))
+            out["event_id"].append(eid)
+            out["value"].append(v)
+            out["level"].append(None if lvl != lvl else lvl)
+            out["trend"].append(None if trd != trd else trd)
+        if lvl is not None or state.exists:
+            state.update((lvl, trd, last_ts, last_id))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out["ts"]),
+                    **out,
+                    # poisoned steps reach the sink as SQL NULL, not NaN
+                    "level": pd.array(out["level"], dtype="Float64"),
+                    "trend": pd.array(out["trend"], dtype="Float64"),
+                }
+            )
+
+    return fn
+
+
+def streaming_holt(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Per-user Holt double-exponential smoothing over an unbounded
+    stream — level + trend carried as state. Expects columns
+    (user_id, ts, event_id, value); see the module comment above
+    :data:`HOLT_OUTPUT_SCHEMA` for the contracts."""
+    return (
+        df.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_fn(alpha, beta),
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

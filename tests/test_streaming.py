@@ -1964,3 +1964,61 @@ def test_stream_ann_probe_partial_probe_subset_and_shuffled_variant(spark, tmp_p
     assert partial and partial < full
     shuffled = run(2, False)
     assert shuffled == partial
+
+
+def test_streaming_holt_matches_batch_fold(spark, tmp_path):
+    """In-order streaming Holt across two micro-batches must equal the
+    batch two-state fold on the union; a behind-state event drops; a
+    null value poisons the key's remaining steps as SQL NULL."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.operators.transforms import holt_linear
+    from flink_learning_practise_spark.streaming.stateful import streaming_holt
+
+    src = str(tmp_path / "holt_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:01", "event_id": 1, "value": 10.0},
+        {"user_id": 1, "ts": "2024-01-01 00:00:02", "event_id": 2, "value": 14.0},
+        {"user_id": 2, "ts": "2024-01-01 00:00:01", "event_id": 3, "value": 5.0},
+        {"user_id": 3, "ts": "2024-01-01 00:00:01", "event_id": 6, "value": 4.0},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, value double"
+    ).json(src)
+    out = streaming_holt(stream, alpha=0.5, beta=0.3)
+    q = (out.writeStream.format("memory").queryName("holt_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    b2 = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:03", "event_id": 4, "value": 18.0},
+        # behind user 1's high-water mark: dropped
+        {"user_id": 1, "ts": "2024-01-01 00:00:01", "event_id": 0, "value": 99.0},
+        # null poisons user 3 from here on
+        {"user_id": 3, "ts": "2024-01-01 00:00:02", "event_id": 7, "value": None},
+        {"user_id": 3, "ts": "2024-01-01 00:00:03", "event_id": 8, "value": 6.0},
+    ]
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.event_id): (r.level, r.trend)
+        for r in spark.table("holt_out").collect()
+    }
+    batch_rows = [r for r in b1 + b2 if r["event_id"] != 0]
+    df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_id"], r["value"]) for r in batch_rows],
+        "user_id long, ts string, event_id long, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "value")
+    want = {
+        (r.user_id, r.event_id): (r.level, r.trend)
+        for r in holt_linear(
+            df, ["user_id"], ["ts", "event_id"], "value", alpha=0.5, beta=0.3
+        ).collect()
+    }
+    assert got == want and (1, 0) not in got
+    assert got[(3, 7)] == (None, None) and got[(3, 8)] == (None, None)
