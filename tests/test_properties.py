@@ -308,3 +308,137 @@ def test_merge_snapshot_matches_bruteforce_replay(spark, snap, chg):
         if not d:
             want[(k, i)] = v
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 primitives: distributed prefix sum, 2-D skyline, Mann-Kendall
+# and k-core — each checked against a brute-force single-node replay on
+# random inputs (ties and degenerate shapes included by construction).
+
+weighted_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),    # key
+        st.integers(0, 8),    # order value (heavy ties)
+        st.integers(1, 9),    # weight
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(rows=weighted_rows, parts=st.integers(2, 6))
+def test_keyed_prefix_sum_crossing_invariant(spark, rows, parts):
+    """For ANY threshold t ∈ (0, W], exactly one order-value group
+    crosses it, and it is the smallest x with cumulative weight ≥ t —
+    the consumer contract of every crossing-based percentile."""
+    from flink_learning_practise_spark.operators.transforms import (
+        keyed_prefix_sum_with_totals,
+    )
+
+    df = spark.createDataFrame(rows, "k int, x int, w int")
+    cum, tot = keyed_prefix_sum_with_totals(
+        df, ["k"], ["x"], "w", out_col="cw", partitions=parts
+    )
+    data = [(r.k, r.x, r.w, float(r.cw)) for r in cum.collect()]
+    totals = {r.k: float(r.total) for r in tot.collect()}
+    for k in {r[0] for r in rows}:
+        W = sum(w for kk, _, w in rows if kk == k)
+        assert totals[k] == W
+        t = W / 2 + 0.25  # strictly inside a weight step
+        crossing = sorted(
+            x for kk, x, w, cw in data if kk == k and cw >= t and cw - w < t
+        )
+        want = min(
+            x
+            for x in {xx for kk, xx, _ in rows if kk == k}
+            if sum(w for kk2, x2, w in rows if kk2 == k and x2 <= x) >= t
+        )
+        assert crossing and crossing[0] == want
+
+
+skyline_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(pts=skyline_rows, parts=st.integers(2, 5))
+def test_skyline_2d_dominance_property(spark, pts, parts):
+    from flink_learning_practise_spark.operators.transforms import skyline_2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y int")
+    got = {r.id for r in skyline_2d(df, "x", "y", partitions=parts).collect()}
+    exp = {
+        i
+        for i, x, y in rows
+        if not any(
+            x2 <= x and y2 >= y and (x2 < x or y2 > y) for _, x2, y2 in rows
+        )
+    }
+    assert got == exp
+
+
+mk_series = st.lists(
+    st.one_of(st.none(), st.integers(0, 5)), min_size=1, max_size=25
+)
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(vals=mk_series)
+def test_mann_kendall_pairwise_property(spark, vals):
+    from flink_learning_practise_spark.operators.transforms import mann_kendall_s
+
+    rows = [
+        (1, i, float(v) if v is not None else None) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    out = mann_kendall_s(df, ["k"], ["i"], "v").collect()
+    clean = [v for v in vals if v is not None]
+    if not clean:
+        assert not out
+        return
+    s = sum(
+        (clean[j] > clean[i]) - (clean[j] < clean[i])
+        for i in range(len(clean))
+        for j in range(i + 1, len(clean))
+    )
+    assert [(r.n, r.s_stat) for r in out] == [(len(clean), s)]
+
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(deadline=None, max_examples=8, derandomize=True)
+@given(raw=graph_edges, k=st.integers(2, 3))
+def test_k_core_peeling_property(spark, raw, k):
+    from flink_learning_practise_spark.operators.graph import k_core
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.id, r.degree) for r in k_core(df, k=k, rounds=13).collect()}
+    ref = set(edges)
+    while True:
+        deg: dict = {}
+        for u, v in ref:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {x for x, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in ref if u in keep and v in keep}
+        if nxt == ref:
+            break
+        ref = nxt
+    deg = {}
+    for u, v in ref:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert got == set(deg.items())
