@@ -220,6 +220,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT join: directional pairs (a, b) with
+    |A ∩ B| / |A| >= tau — catches subset duplication (a quoted doc, a
+    wrapper page embedding another) that symmetric Jaccard misses when
+    the container is much larger than the contained doc.
+
+    Scale shape (SSJoin ProbeCount family, Chaudhuri et al. ICDE'06):
+    only the PROBE side's prefix enters the join. |A∩B| >= ceil(tau·n_a)
+    means A's first n_a − ceil(tau·n_a) + 1 shingles under the global
+    md5 order must intersect B's postings — if the intersection missed
+    the whole prefix it would fit inside A's suffix of ceil(tau·n_a)−1
+    shingles, a contradiction — so candidate generation is EXACT while
+    the probe stream stays ~(1−tau) of the full explode. The index side
+    carries FULL postings (the price of asymmetry: a container doc may
+    share only A's prefix shingles from anywhere in B), but only
+    (id, n) scalars ride the postings — the shingle ARRAYS join back
+    once per VERIFIED candidate, unhinted per BROADCAST_POLICY. The
+    same df_cap skew guard as :func:`ngram_jaccard_pairs` bounds
+    hot-shingle buckets (inert on this corpus — max DF 25).
+    """
+    ceil_tau = f"CAST(ceil({threshold} * _n) AS INT)"
+    base = (
+        widen(df)
+        .select(
+            F.col(id_col),
+            shingle_array(normalize(F.col(text_col)), k).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+        .localCheckpoint(eager=False)
+    )
+    probe = (
+        base.withColumn(
+            "_pref",
+            F.expr(
+                f"slice(transform(array_sort(transform(_sh, s -> "
+                f"struct(md5(s) AS h, s AS s))), x -> x.s), 1, "
+                f"greatest(_n - {ceil_tau} + 1, 1))"
+            ),
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("_n").alias("n_a"),
+            F.explode_outer("_pref").alias("shingle"),
+        )
+        .repartition("shingle")
+    )
+    index = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("n_b"),
+        F.explode_outer("_sh").alias("shingle"),
+    ).repartition("shingle")
+    hot = (
+        index.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("shingle")
+    )
+    cand = (
+        probe.join(F.broadcast(hot), "shingle", "left_anti")
+        .join(index.join(F.broadcast(hot), "shingle", "left_anti"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # length filter: containment >= tau needs n_b >= ceil(tau·n_a)
+        .filter(F.col("n_b") >= F.expr(f"CAST(ceil({threshold} * n_a) AS INT)"))
+        .select("id_a", "n_a", "id_b")
+        .distinct()
+    )
+    av = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    bv = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    verified = (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "containment", F.col("_common").cast("double") / F.col("n_a")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "containment")
+
+
 def near_dedup_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

@@ -3236,3 +3236,397 @@ GROUP BY 1
 ORDER BY n DESC, trigram
 LIMIT {EVENT_TRIGRAMS_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# #171 winsorized mean per event type: values clamped to the exact
+# [p5, p95] order statistics before averaging — the robust location
+# estimate between the raw mean (outlier-hostage) and the median
+# (throws information away); pairs with MAD outliers (#117). The type
+# key is FEW-HUGE, so ranks come from ONE keyed_rank_with_totals pass
+# (range-partitioned per-key rank, ≤ P+K driver scalars); the p5/p95
+# rows join back as a K-row broadcast and the clamped mean runs over
+# the SAME ranked checkpoint — one range exchange total.
+
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    ranked, totals = transforms.keyed_rank_with_totals(
+        ev, ["event_type"], ["value", "event_id"], rank_col="_r"
+    )
+    j = ranked.join(F.broadcast(totals), "event_type")
+    lo_r = F.ceil(F.col("n") * 0.05).cast("long")
+    hi_r = F.ceil(F.col("n") * 0.95).cast("long")
+    bounds = (
+        j.where((F.col("_r") == lo_r) | (F.col("_r") == hi_r))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    )
+    clamped = j.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("value"))).alias(
+            "_cv"
+        ),
+    )
+    return (
+        clamped.groupBy("event_type", "n")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("_cv").cast(DEC)).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("winsorized_mean")
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZED_MEAN_SQL = """
+WITH e AS (
+  SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+bounds AS (
+  SELECT event_type,
+         MIN(value) AS lo, MAX(value) AS hi
+  FROM ranked
+  WHERE r = CAST(ceil(n * 0.05) AS BIGINT) OR r = CAST(ceil(n * 0.95) AS BIGINT)
+  GROUP BY 1
+)
+SELECT r.event_type, r.n,
+       floor(CAST(SUM(CAST(greatest(b.lo, least(b.hi, r.value))
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS winsorized_mean
+FROM ranked r JOIN bounds b ON r.event_type = b.event_type
+GROUP BY r.event_type, r.n
+ORDER BY r.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# #172 seasonal anomaly screen: per (event_type, hour-of-day) baseline
+# mean/σ, events beyond μ+3σ counted per cell — the calendar-aware
+# outlier view that a flat z-score (#88b) mis-fires on (a value normal
+# at noon is anomalous at 4am). Baseline tier is BOUNDED (types × 24);
+# moments ride decimals below 2⁵³ so the μ/σ doubles are bit-identical
+# across engines, and the 3σ comparison happens on those exact doubles.
+
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type", F.hour("ts").alias("hour"), "value"
+        )
+    )
+    base = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("_sx"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).alias("_sxx"),
+    )
+    mu = F.col("_sx").cast("double") / F.col("n")
+    var = F.col("_sxx").cast("double") / F.col("n") - mu * mu
+    tier = base.select(
+        "event_type",
+        "hour",
+        "n",
+        mu.alias("_mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+    )
+    flagged = (
+        ev.join(F.broadcast(tier), ["event_type", "hour"])  # bounded tier
+        .groupBy("event_type", "hour", "n")
+        .agg(
+            F.first("_mu").alias("_mu2"),
+            F.first("_sd").alias("_sd2"),
+            F.sum(
+                F.when(
+                    F.col("value") > F.col("_mu") + 3 * F.col("_sd"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "hour",
+        "n",
+        (F.floor(F.col("_mu2") * 1e6 + F.lit(0.5)) / 1e6).alias("mean_value"),
+        (F.floor(F.col("_sd2") * 1e6 + F.lit(0.5)) / 1e6).alias("sd_value"),
+        "n_anomalies",
+    ).orderBy("event_type", "hour")
+
+
+SEASONAL_ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hour, value
+  FROM events WHERE value IS NOT NULL
+),
+base AS (
+  SELECT event_type, hour, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(greatest(
+           CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)),
+           0.0)) AS sd
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_type, e.hour, b.n,
+       floor(b.mu * 1e6 + 0.5) / 1e6 AS mean_value,
+       floor(b.sd * 1e6 + 0.5) / 1e6 AS sd_value,
+       CAST(SUM(CASE WHEN e.value > b.mu + 3 * b.sd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+FROM e JOIN base b ON e.event_type = b.event_type AND e.hour = b.hour
+GROUP BY e.event_type, e.hour, b.n, b.mu, b.sd
+ORDER BY e.event_type, e.hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# #173 per-user event-type entropy: Shannon entropy of each user's
+# event-type mix — the "is this account a bot" diversity signal (a
+# scraper fires one type; a human spreads mass). H = ln(n) − Σc·ln(c)/n
+# over exact integer counts; each ln is round@9 → DECIMAL so the Σc·lp
+# sum is term-order-independent (the bigram-logprob discipline), and
+# the closed form runs the SAME IEEE op order in both engines before
+# one floor-quantize@6. Two aggregates, user-keyed — no windows.
+
+def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    term = cell.select(
+        "user_id",
+        "_c",
+        (
+            F.col("_c").cast("decimal(18,0)")
+            * F.round(F.log(F.col("_c").cast("double")), 9).cast(
+                "decimal(18,9)"
+            )
+        ).alias("_clnc"),
+    )
+    agg = term.groupBy("user_id").agg(
+        F.sum("_c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("_clnc").alias("_s"),
+    )
+    h = F.round(F.log(F.col("n_events").cast("double")), 9) - F.col(
+        "_s"
+    ).cast("double") / F.col("n_events")
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (F.floor(h * 1e6 + F.lit(0.5)) / 1e6).alias("entropy"),
+    ).orderBy("user_id")
+
+
+USER_ENTROPY_SQL = """
+WITH cell AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         COUNT(*) AS n_types,
+         CAST(SUM(CAST(c AS DECIMAL(18,0))
+                  * CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)))
+              AS DOUBLE) AS s
+  FROM cell GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       floor((round(ln(CAST(n_events AS DOUBLE)), 9) - s / n_events) * 1e6
+             + 0.5) / 1e6 AS entropy
+FROM agg
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #174 new-vs-returning daily actives: classify each day's active
+# users by whether it's their FIRST active day — the growth-accounting
+# split every DAU chart needs (DAU #106 counts heads; this says which
+# are acquisitions). One distinct, one user-keyed min-aggregate, one
+# user-keyed join back — all AQE-sized, zero windows, zero floats.
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    first_day = daily.groupBy("user_id").agg(F.min("day").alias("_fd"))
+    return (
+        daily.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("_fd") == F.col("day"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+fd AS (
+  SELECT user_id, MIN(day) AS first_day FROM daily GROUP BY 1
+)
+SELECT day, COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       COUNT(*) - CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_returning
+FROM daily JOIN fd USING (user_id)
+GROUP BY day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# #177 session entry→exit paths: top-20 (first event_type, last
+# event_type) pairs across gap-sessionized user sessions — the "where
+# do sessions start and end" navigation summary (session_conversion
+# #100 looks only at entries). Sessionization is the #12 helper (one
+# user-keyed shuffle); entry/exit are min/max over (ts, event_id,
+# type) STRUCTS — lexicographic, event_id-unique, so ties can't pick
+# different types per engine; the pair tier is event-type²-bounded so
+# the final top-K is a TakeOrdered heap, never a global sort.
+
+SESSION_PATHS_TOP_K = 20
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sessions = windows.session_window_batch(
+        ev,
+        "ts",
+        SESSION_GAP,
+        keys=["user_id"],
+        aggs=[
+            F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
+        ],
+        tiebreak=["event_id"],
+    )
+    return (
+        sessions.select(
+            F.col("_first.event_type").alias("entry_type"),
+            F.col("_last.event_type").alias("exit_type"),
+        )
+        .groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "entry_type", "exit_type")
+        .limit(SESSION_PATHS_TOP_K)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), ranked AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, session_id) AS cnt
+  FROM sessioned
+), paths AS (
+  SELECT user_id, session_id,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         MAX(CASE WHEN rn = cnt THEN event_type END) AS exit_type
+  FROM ranked GROUP BY 1, 2
+)
+SELECT entry_type, exit_type, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY 1, 2
+ORDER BY n_sessions DESC, entry_type, exit_type
+LIMIT {SESSION_PATHS_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #183 burst-rate screen: each user's max events inside any sliding
+# 60-second window — the rate-limit / bot-burst view that per-day
+# outliers (#116) are too coarse for. A RANGE frame over whole-second
+# event times per user (millions of small keys — the right window
+# regime; frame peers make the count tie-proof), then one user-keyed
+# max. Whole seconds via unix_timestamp ↔ floor(epoch()) (the
+# portability rule).
+
+BURST_WINDOW_SEC = 60
+
+
+def user_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("_sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-(BURST_WINDOW_SEC - 1), 0)
+    )
+    burst = ev.withColumn("_burst", F.count(F.lit(1)).over(w))
+    return (
+        burst.groupBy("user_id")
+        .agg(
+            F.max("_burst").alias("max_burst"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_BURST_RATE_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+b AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN {BURST_WINDOW_SEC - 1} PRECEDING
+                        AND CURRENT ROW) AS burst
+  FROM e
+)
+SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_burst,
+       COUNT(*) AS n_events
+FROM b
+GROUP BY 1
+ORDER BY 1
+"""

@@ -2812,3 +2812,214 @@ FROM feats
 GROUP BY 1
 ORDER BY ttr_band
 """
+
+
+# ---------------------------------------------------------------------------
+# #180 PMI collocations: top-K adjacent token pairs by pointwise
+# mutual information ln(n12·N / (n1·n2)) with a min-count floor — the
+# classic collocation/multi-word-expression miner (Church & Hanks
+# 1990) that a tokenizer-vocab pipeline runs before merging frequent
+# pairs. All tiers are vocabulary-bounded (bigram counts + the two
+# marginals DERIVED from the bigram tier — one corpus scan total); the
+# PMI ratio is a double division of exact sub-2⁵³ BIGINT products so
+# both engines see identical doubles; floor-quantize@6 before the
+# TakeOrdered heap (never a global sort), ties broken on (w1, w2).
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import widen
+    from ..operators.text import normalize
+
+    w = F.split(normalize(F.col("text")), " ")
+    bigrams = (
+        widen(docs)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    left = bg.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    right = bg.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = bg.agg(F.sum("n12").alias("nn"))
+    scored = (
+        bg.where(F.col("n12") >= PMI_MIN_COUNT)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))  # single-row scalar
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("n12") * F.col("nn")).cast("double")
+                        / (F.col("n1") * F.col("n2")).cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOP_K)
+
+
+PMI_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(w) AS token, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents)
+),
+bigrams AS (
+  SELECT w1, token AS w2
+  FROM (
+    SELECT doc_id, token, pos,
+           lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+    FROM toks
+  )
+  WHERE w1 IS NOT NULL AND w1 <> '' AND token <> ''
+),
+bg AS (SELECT w1, w2, COUNT(*) AS n12 FROM bigrams GROUP BY 1, 2),
+l AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM bg GROUP BY 1),
+r AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM bg GROUP BY 1),
+t AS (SELECT CAST(SUM(n12) AS BIGINT) AS nn FROM bg)
+SELECT bg.w1, bg.w2, n12,
+       floor(ln(CAST(n12 * nn AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1e6
+             + 0.5) / 1e6 AS pmi
+FROM bg JOIN l USING (w1) JOIN r USING (w2), t
+WHERE n12 >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #181 label-centroid similarity matrix: per-label embedding centroid
+# + pairwise cosine between centroids — the cluster-drift /
+# class-confusability map over an embedding corpus (labels play the
+# source/cluster key; k centroids are BOUNDED so the k×k matrix is
+# free). Components quantize to exact integer micro-units BEFORE the
+# sum (float Σ is partition-order-dependent — the all-integer moments
+# rule), centroids divide once in doubles, and the cosine's per-dim
+# products re-quantize to nano-units so the 64-term sums are
+# order-independent too. One posexplode + two bounded aggregates.
+
+def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "_v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.floor(F.col("_v").cast("double") * 1e6 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("_s").cast("double") / F.col("_n") / 1e6).alias("c"),
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("_ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("_cb"))
+    q9 = lambda col: F.floor(col * 1e9 + F.lit(0.5)).cast("long")
+    pairs = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(q9(F.col("_ca") * F.col("_cb"))).alias("_dot"),
+            F.sum(q9(F.col("_ca") * F.col("_ca"))).alias("_na"),
+            F.sum(q9(F.col("_cb") * F.col("_cb"))).alias("_nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.floor(
+                    F.col("_dot").cast("double")
+                    / (
+                        F.sqrt(F.col("_na").cast("double"))
+                        * F.sqrt(F.col("_nb").cast("double"))
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cosine"),
+        )
+    )
+    return pairs.orderBy("label_a", "label_b")
+
+
+LABEL_CENTROID_SIM_SQL = """
+WITH comp AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+              AS DOUBLE) / COUNT(*) / 1e6 AS c
+  FROM comp GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       floor(CAST(SUM(CAST(floor(a.c * b.c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(floor(a.c * a.c * 1e9 + 0.5) AS BIGINT))
+                          AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(floor(b.c * b.c * 1e9 + 0.5) AS BIGINT))
+                            AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS cosine
+FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# #182 containment near-dup (asymmetric): directional pairs where doc
+# A's shingles are >= 90% inside doc B — the subset-duplication screen
+# (quoted docs, wrapper pages) that symmetric Jaccard (#38) misses
+# when the container dwarfs the contained. Probe-prefix + full-postings
+# SSJoin in operators/dedup.py:containment_pairs; the oracle replays
+# the exact full pair intersection.
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_common AS DOUBLE) / sa.n AS containment
+FROM inter JOIN sizes sa ON id_a = sa.doc_id
+WHERE CAST(n_common AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+"""

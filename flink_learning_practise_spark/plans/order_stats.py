@@ -1961,3 +1961,348 @@ SELECT t.decile, t.n_customers, t.revenue_cents,
 FROM tier t
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# #175 repeat-purchase intervals: days between a customer's
+# consecutive orders, histogrammed by week band — the purchase-cadence
+# distribution behind replenishment forecasting and churn cutoffs
+# (RFM #123 uses only the LAST gap; this keeps them all). Per-customer
+# lag window (millions of small keys — the right window regime), then
+# one bounded aggregate; all-integer day math, band by integer
+# division (a double divide under floor() could mis-band exact
+# multiples of 7 — the lexical-diversity rule).
+
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("_d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("_d", "o_orderkey")
+    gaps = (
+        o.withColumn("_prev", F.lag("_d").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(F.datediff(F.col("_d"), F.col("_prev")).cast("long").alias("_gap"))
+    )
+    return (
+        gaps.groupBy(F.expr("CAST(_gap div 7 AS BIGINT)").alias("week_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("_gap").alias("min_days"),
+            F.max("_gap").alias("max_days"),
+            (
+                F.floor(
+                    F.sum("_gap").cast("double") / F.count(F.lit(1)) * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("avg_days"),
+        )
+        .orderBy("week_band")
+    )
+
+
+REPEAT_PURCHASE_SQL = """
+WITH g AS (
+  SELECT (d - prev) AS gap_days FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+    FROM orders)
+  WHERE prev IS NOT NULL
+)
+SELECT CAST(gap_days // 7 AS BIGINT) AS week_band,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days,
+       floor(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) * 1e2 + 0.5) / 1e2
+         AS avg_days
+FROM g
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# #176 revenue/volume cross-correlation: Pearson correlation between
+# daily revenue and daily order COUNT at lags 0/1/7 — "does volume
+# lead revenue" (autocorr #139 correlates revenue with itself; this
+# crosses the two series). Same calendar-bounded daily tier, same
+# decimal(38,0) moment discipline; the tier is localCheckpointed once
+# and reused by all lags.
+
+CROSSCORR_LAGS = (0, 1, 7)
+
+
+def revenue_order_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for lag in CROSSCORR_LAGS:
+        a = daily.select(F.col("day").alias("d"), F.col("cents").alias("x"))
+        b = daily.select(
+            F.date_add(F.col("day"), lag).alias("d"),
+            F.col("n_orders").alias("y"),
+        )
+        m = (
+            a.join(b, "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+                F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+                F.sum((F.col("x").cast("decimal(38,0)") * F.col("y"))).alias("sxy"),
+                F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("sxx"),
+                F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("syy"),
+            )
+            .select(
+                F.lit(lag).alias("lag"),
+                F.col("n").alias("n_pairs"),
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                        "double"
+                    )
+                    / F.sqrt(
+                        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                            "double"
+                        )
+                        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                            "double"
+                        )
+                    ),
+                    6,
+                ).alias("crosscorr"),
+            )
+        )
+        outs.append(m)
+    out = outs[0]
+    for m in outs[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("lag")
+
+
+REVENUE_ORDER_CROSSCORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, a.cents AS x, b.n_orders AS y
+  FROM (SELECT unnest([{", ".join(str(l) for l in CROSSCORR_LAGS)}]) AS lag) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON a.day = b.day + to_days(CAST(l.lag AS INTEGER))
+),
+m AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS crosscorr
+FROM m
+ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# #178 weekday revenue index: each weekday's revenue share vs the flat
+# 1/7 baseline (index > 1 = over-indexed day) — the weekly twin of the
+# hour-of-day seasonality (#119). One fact aggregate to a 7-row tier;
+# the grand total comes from the TIER (7 rows), attached as a
+# single-row broadcast scalar — the fact table is scanned once.
+
+def weekday_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    tier = orders.groupBy(
+        F.dayofweek(F.to_date("o_orderdate")).alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("_cents"),
+    )
+    total = tier.agg(F.sum("_cents").alias("_tot"))
+    return (
+        tier.crossJoin(F.broadcast(total))  # single-row scalar
+        .select(
+            "weekday",
+            "n_orders",
+            (
+                F.floor(
+                    F.col("_cents").cast("double") / F.col("_tot") * 7 * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("rev_index"),
+        )
+        .orderBy("weekday")
+    )
+
+
+WEEKDAY_REVENUE_INDEX_SQL = """
+WITH tier AS (
+  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS weekday,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT weekday, n_orders,
+       floor(CAST(cents AS DOUBLE) / t.tot * 7 * 1e6 + 0.5) / 1e6 AS rev_index
+FROM tier, (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM tier) t
+ORDER BY weekday
+"""
+
+
+# ---------------------------------------------------------------------------
+# #179 part sales momentum: shipped quantity in the trailing 28 days
+# vs the 28 days before that (anchored at the corpus max ship date) —
+# the velocity screen behind stock-out risk and trend-spotting. The
+# anchor is a single-row broadcast scalar (allowed by
+# BROADCAST_POLICY); both windows come from ONE conditional aggregate
+# over one pruned fact scan; quantities sum in exact DECIMAL.
+
+def part_sales_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.to_date("l_shipdate").alias("_d"), "l_quantity"
+    )
+    anchor = li.agg(F.max("_d").alias("_mx"))
+    age = F.datediff(F.col("_mx"), F.col("_d"))
+    base = (
+        li.crossJoin(F.broadcast(anchor))  # single-row scalar
+        .where(age < 56)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(age < 28, F.col("l_quantity").cast("decimal(18,2)"))
+            ).alias("_recent"),
+            F.sum(
+                F.when(age >= 28, F.col("l_quantity").cast("decimal(18,2)"))
+            ).alias("_prior"),
+        )
+    )
+    return (
+        base.where(F.col("_recent").isNotNull() & F.col("_prior").isNotNull())
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_recent").cast("double").alias("qty_recent"),
+            F.col("_prior").cast("double").alias("qty_prior"),
+            (
+                F.floor(
+                    F.col("_recent").cast("double")
+                    / F.col("_prior").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("momentum"),
+        )
+        .orderBy("partkey")
+    )
+
+
+PART_SALES_MOMENTUM_SQL = """
+WITH anchored AS (
+  SELECT l_partkey,
+         datediff('day', CAST(l_shipdate AS DATE),
+                  (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)) AS age,
+         l_quantity
+  FROM lineitem
+),
+base AS (
+  SELECT l_partkey,
+         SUM(CASE WHEN age < 28
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS recent,
+         SUM(CASE WHEN age >= 28
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS prior
+  FROM anchored WHERE age < 56 GROUP BY 1
+)
+SELECT l_partkey AS partkey,
+       CAST(recent AS DOUBLE) AS qty_recent,
+       CAST(prior AS DOUBLE) AS qty_prior,
+       floor(CAST(recent AS DOUBLE) / CAST(prior AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS momentum
+FROM base
+WHERE recent IS NOT NULL AND prior IS NOT NULL
+ORDER BY partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# #184 cross-supplier price spread: per part, the min/max average unit
+# price across its suppliers and the spread ratio — the arbitrage /
+# mispricing screen. Two part-keyed aggregates; unit price is
+# SUM(price)/SUM(qty) per (part, supplier) with both sums in exact
+# DECIMAL (a double Σ is partition-order-dependent), one IEEE division
+# per pair, spread quantized@6.
+
+def part_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_supp = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_p"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"),
+        )
+        .select(
+            "l_partkey",
+            (F.col("_p").cast("double") / F.col("_q").cast("double")).alias(
+                "_unit"
+            ),
+        )
+    )
+    return (
+        per_supp.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("_unit").alias("_lo"),
+            F.max("_unit").alias("_hi"),
+        )
+        .where(F.col("n_suppliers") >= 2)
+        .select(
+            "partkey",
+            "n_suppliers",
+            (F.floor(F.col("_lo") * 1e2 + F.lit(0.5)) / 1e2).alias("min_unit"),
+            (F.floor(F.col("_hi") * 1e2 + F.lit(0.5)) / 1e2).alias("max_unit"),
+            (
+                F.floor(F.col("_hi") / F.col("_lo") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("spread_ratio"),
+        )
+        .orderBy("partkey")
+    )
+
+
+PART_PRICE_SPREAD_SQL = """
+WITH per_supp AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey AS partkey,
+       COUNT(*) AS n_suppliers,
+       floor(MIN(unit) * 1e2 + 0.5) / 1e2 AS min_unit,
+       floor(MAX(unit) * 1e2 + 0.5) / 1e2 AS max_unit,
+       floor(MAX(unit) / MIN(unit) * 1e6 + 0.5) / 1e6 AS spread_ratio
+FROM per_supp
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY 1
+"""

@@ -248,6 +248,48 @@ def _populate() -> None:
         llm.lexical_diversity,
         llm.LEXICAL_DIVERSITY_SQL,
     )
+    register("q_winsorized_mean", ea.winsorized_mean, ea.WINSORIZED_MEAN_SQL)
+    register("q_seasonal_anomaly", ea.seasonal_anomaly, ea.SEASONAL_ANOMALY_SQL)
+    register("q_user_entropy", ea.user_entropy, ea.USER_ENTROPY_SQL)
+    register("q_new_vs_returning", ea.new_vs_returning, ea.NEW_VS_RETURNING_SQL)
+    register(
+        "q_repeat_purchase_intervals",
+        os_.repeat_purchase_intervals,
+        os_.REPEAT_PURCHASE_SQL,
+    )
+    register(
+        "q_revenue_order_crosscorr",
+        os_.revenue_order_crosscorr,
+        os_.REVENUE_ORDER_CROSSCORR_SQL,
+    )
+    register("q_session_paths", ea.session_paths, ea.SESSION_PATHS_SQL)
+    register(
+        "q_weekday_revenue_index",
+        os_.weekday_revenue_index,
+        os_.WEEKDAY_REVENUE_INDEX_SQL,
+    )
+    register(
+        "q_part_sales_momentum",
+        os_.part_sales_momentum,
+        os_.PART_SALES_MOMENTUM_SQL,
+    )
+    register("q_pmi_pairs", llm.pmi_pairs, llm.PMI_PAIRS_SQL)
+    register(
+        "q_label_centroid_sim",
+        llm.label_centroid_sim,
+        llm.LABEL_CENTROID_SIM_SQL,
+    )
+    register(
+        "q_dedup_containment",
+        llm.dedup_containment,
+        llm.DEDUP_CONTAINMENT_SQL,
+    )
+    register("q_user_burst_rate", ea.user_burst_rate, ea.USER_BURST_RATE_SQL)
+    register(
+        "q_part_price_spread",
+        os_.part_price_spread,
+        os_.PART_PRICE_SPREAD_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the six above) ----

@@ -340,3 +340,55 @@ def test_semantic_dedup_keep_rule_handcrafted(spark):
     # the atypical member 2 is kept, the prototypical 1 dropped.
     assert (r.keep_id, r.drop_id) == (2, 1)
     assert r.cosine >= 0.99
+
+
+def test_containment_matches_bruteforce(spark):
+    """containment_pairs (probe-prefix SSJoin) == the brute-force
+    all-pairs containment on a handcrafted corpus with a doc embedded
+    verbatim inside a much larger one (the case symmetric Jaccard
+    misses)."""
+    inner = "the quick brown fox jumps over the lazy dog near the river bank"
+    container = (
+        "intro words here " + inner + " and a very long tail of unrelated "
+        "filler content that keeps the jaccard far below any threshold "
+        "while the small document stays fully contained inside this one"
+    )
+    rows = [
+        (1, inner),
+        (2, container),
+        (3, "completely different text about spark query planning and shuffles"),
+        (4, inner),  # exact dup of 1 → containment 1.0 both directions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", k=3, threshold=0.9
+        ).collect()
+    }
+
+    # brute force: distinct 3-shingles per doc, all directional pairs
+    import itertools
+
+    def shingles(t):
+        w = t.lower().split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.permutations(sh, 2):
+        if not sh[a]:
+            continue
+        c = len(sh[a] & sh[b]) / len(sh[a])
+        if c >= 0.9:
+            want[(a, b)] = c
+    assert set(got) == set(want)
+    for pair, c in want.items():
+        assert got[pair] == pytest.approx(c)
+    # the embedded doc is found in its container; the container is NOT
+    # contained in the small doc
+    assert (1, 2) in got and (2, 1) not in got
+    # exact dup pair appears in both directions at 1.0
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0

@@ -442,3 +442,108 @@ def test_k_core_peeling_property(spark, raw, k):
         deg[u] = deg.get(u, 0) + 1
         deg[v] = deg.get(v, 0) + 1
     assert got == set(deg.items())
+
+
+# ---------------------------------------------------------------------------
+# #183 burst-rate RANGE frame vs a brute-force O(n²) sweep
+
+
+burst_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 200)),  # (user, ts_sec)
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(evs=burst_strategy)
+@settings(max_examples=12, deadline=None)
+def test_burst_rate_matches_bruteforce(spark, evs):
+    """max count inside any trailing 60-s window, per user — the RANGE
+    frame must agree with the quadratic definition max_i |{j : t_i-59
+    <= t_j <= t_i}| (including duplicate timestamps as frame peers)."""
+    import collections
+
+    from flink_learning_practise_spark.plans.events_analytics import (
+        BURST_WINDOW_SEC,
+    )
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(u, s) for u, s in evs], "user_id long, _sec long"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-(BURST_WINDOW_SEC - 1), 0)
+    )
+    got = {
+        r.user_id: r.mb
+        for r in df.withColumn("_b", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("_b").alias("mb"))
+        .collect()
+    }
+    by_user = collections.defaultdict(list)
+    for u, s in evs:
+        by_user[u].append(s)
+    for u, ss in by_user.items():
+        want = max(
+            sum(1 for t in ss if x - (BURST_WINDOW_SEC - 1) <= t <= x)
+            for x in ss
+        )
+        assert got[u] == want
+
+
+# ---------------------------------------------------------------------------
+# #173 entropy closed form vs math.log recomputation
+
+
+entropy_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 4)),  # (user, type)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=entropy_strategy)
+@settings(max_examples=12, deadline=None)
+def test_user_entropy_matches_math(spark, evs):
+    """H = ln(n) − Σc·ln(c)/n with the round@9/decimal discipline must
+    stay within quantization error of the textbook −Σp·ln(p)."""
+    import collections
+    import math
+
+    df = spark.createDataFrame(
+        [(u, str(t)) for u, t in evs], "user_id long, event_type string"
+    )
+    cell = df.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    term = cell.select(
+        "user_id",
+        "_c",
+        (
+            F.col("_c").cast("decimal(18,0)")
+            * F.round(F.log(F.col("_c").cast("double")), 9).cast("decimal(18,9)")
+        ).alias("_clnc"),
+    )
+    agg = term.groupBy("user_id").agg(
+        F.sum("_c").alias("n"), F.sum("_clnc").alias("_s")
+    )
+    h = F.round(F.log(F.col("n").cast("double")), 9) - F.col("_s").cast(
+        "double"
+    ) / F.col("n")
+    got = {
+        r.user_id: r.h
+        for r in agg.select(
+            "user_id", (F.floor(h * 1e6 + F.lit(0.5)) / 1e6).alias("h")
+        ).collect()
+    }
+    counts = collections.defaultdict(collections.Counter)
+    for u, t in evs:
+        counts[u][t] += 1
+    for u, cnt in counts.items():
+        n = sum(cnt.values())
+        want = -sum(c / n * math.log(c / n) for c in cnt.values())
+        assert abs(got[u] - want) < 1e-5
+        assert got[u] >= -1e-9  # entropy is nonnegative
