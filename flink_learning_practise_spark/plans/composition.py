@@ -135,3 +135,82 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# #190 engagement↔revenue correlation: Pearson r between each shared
+# user's event count and order revenue — the cross-DATASET join the
+# reference's connect/CoGroup exercises point at, ending in one global
+# moment aggregate (autocorr's decimal(38,0) discipline). Two fact
+# aggregates collapse to entity cardinality FIRST, the join runs on
+# the collapsed tiers (AQE-sized), and a single row comes back.
+
+def engagement_revenue_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_e"))
+    )
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("_c")
+        )
+    )
+    j = ev.join(rev, ev.user_id == rev.o_custkey).select(
+        F.col("_e").cast("decimal(38,0)").alias("x"),
+        F.col("_c").cast("decimal(38,0)").alias("y"),
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+ENGAGEMENT_REVENUE_CORR_SQL = """
+WITH e AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT CAST(x AS DECIMAL(38,0)) AS x, CAST(y AS DECIMAL(38,0)) AS y
+  FROM e JOIN r ON e.user_id = r.o_custkey
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+FROM m
+"""

@@ -3630,3 +3630,43 @@ FROM b
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #186 behavioral archetype census: users grouped by the SET of event
+# types they've ever fired (sorted, comma-joined) — the coarse
+# behavioral segmentation behind "browsers vs buyers vs lurkers"
+# dashboards. One user-keyed collect_set aggregate (bounded arrays —
+# ≤ |event types| elements) + one bounded archetype rollup.
+
+def behavior_archetypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "archetype"
+        ),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_user.groupBy("archetype")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("_n").alias("n_events"),
+        )
+        .orderBy("archetype")
+    )
+
+
+BEHAVIOR_ARCHETYPES_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         array_to_string(list_sort(list(DISTINCT event_type)), ',')
+           AS archetype,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT archetype, COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events
+FROM per_user
+GROUP BY 1
+ORDER BY 1
+"""

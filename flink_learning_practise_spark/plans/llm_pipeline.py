@@ -3023,3 +3023,96 @@ SELECT id_a, id_b, CAST(n_common AS DOUBLE) / sa.n AS containment
 FROM inter JOIN sizes sa ON id_a = sa.doc_id
 WHERE CAST(n_common AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# #191 Adamic-Adar link prediction on the dup graph: for non-edge
+# pairs at distance 2, AA = Σ_{common neighbor w} 1/ln(deg w) — the
+# classic "which near-dup clusters are about to merge" signal (Adamic
+# & Adar 2003); rare shared neighbors weigh more than boilerplate
+# hubs. Rides the SAME localCheckpointed pair tier as CC/PageRank/
+# triangles; wedges come from one neighbor self-join keyed on the
+# middle vertex (fan-out Σ deg(w)² — the 1/ln(deg) weight itself says
+# super-hubs contribute ~nothing, so at 100 TB a deg-cap prefilter on
+# w drops them with bounded error; exact here, corpus max degree is
+# small). Middle vertices always have deg ≥ 2 so ln never hits 0;
+# per-wedge weights round@9 → DECIMAL sums (order-independent).
+
+AA_TOP_K = 30
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shared_pair_tier(spark, sf_dir).select("id_a", "id_b")
+    nbr = pairs.select(
+        F.col("id_a").alias("w"), F.col("id_b").alias("u")
+    ).unionByName(pairs.select(F.col("id_b").alias("w"), F.col("id_a").alias("u")))
+    deg = nbr.groupBy("w").agg(F.count(F.lit(1)).alias("_deg"))
+    n1 = nbr.select("w", F.col("u").alias("u"))
+    n2 = nbr.select("w", F.col("u").alias("v"))
+    wedges = n1.join(n2, "w").where(F.col("u") < F.col("v"))
+    aa = (
+        wedges.join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.round(
+                    F.lit(1.0) / F.log(F.col("_deg").cast("double")), 9
+                ).cast("decimal(18,9)")
+            ).alias("_aa"),
+        )
+    )
+    existing = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    return (
+        aa.join(existing, ["u", "v"], "left_anti")
+        .select(
+            F.col("u").alias("id_a"),
+            F.col("v").alias("id_b"),
+            "n_common",
+            (F.floor(F.col("_aa").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "adamic_adar"
+            ),
+        )
+        .orderBy(F.desc("adamic_adar"), "id_a", "id_b")
+        .limit(AA_TOP_K)
+    )
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+nbr AS (
+  SELECT id_a AS w, id_b AS u FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT w, COUNT(*) AS d FROM nbr GROUP BY 1),
+aa AS (
+  SELECT n1.u AS u, n2.u AS v, COUNT(*) AS n_common,
+         SUM(CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9) AS DECIMAL(18,9)))
+           AS s
+  FROM nbr n1
+  JOIN nbr n2 ON n1.w = n2.w AND n1.u < n2.u
+  JOIN deg ON deg.w = n1.w
+  GROUP BY 1, 2
+)
+SELECT u AS id_a, v AS id_b, n_common,
+       floor(CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS adamic_adar
+FROM aa
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs p WHERE p.id_a = aa.u AND p.id_b = aa.v
+)
+ORDER BY adamic_adar DESC, id_a, id_b
+LIMIT {AA_TOP_K}
+"""

@@ -2306,3 +2306,324 @@ GROUP BY 1
 HAVING COUNT(*) >= 2
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #185 Theil index decomposition: customer-revenue inequality split
+# into within-nation and between-nation components — the decomposable
+# inequality measure Gini (#137) can't give (Theil 1967; T = within +
+# between exactly). Per-customer terms are x·ln(x·n_g/S_g) with the
+# ln round@6 → DECIMAL so the big sums are term-order-independent and
+# their unscaled values stay below 2⁵³; group scalars ride a bounded
+# (≤25-nation) broadcast tier; the customer-revenue frame
+# materializes ONCE (localCheckpoint) and feeds both the tier and the
+# term pass.
+
+def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("_x")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "_x")
+        .localCheckpoint(eager=True)
+    )
+    tier = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("_x").alias("_sg")
+    )
+    tot = tier.agg(
+        F.sum("n_customers").alias("_n"), F.sum("_sg").alias("_s")
+    )
+    within = (
+        rev.join(F.broadcast(tier), "n_name")  # bounded tier
+        .select(
+            "n_name",
+            (
+                F.col("_x").cast("decimal(18,0)")
+                * F.round(
+                    F.log(
+                        (F.col("_x") * F.col("n_customers")).cast("double")
+                        / F.col("_sg").cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("_t"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("_t").alias("_tw"))
+    )
+    return (
+        tier.join(within, "n_name")
+        .crossJoin(F.broadcast(tot))  # single-row scalars
+        .select(
+            "n_name",
+            "n_customers",
+            (
+                F.floor(
+                    F.col("_sg").cast("double") / F.col("_s") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("revenue_share"),
+            (
+                F.floor(
+                    F.col("_tw").cast("double") / F.col("_sg") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("theil_within"),
+            (
+                F.floor(
+                    F.col("_sg").cast("double")
+                    / F.col("_s")
+                    * F.round(
+                        F.log(
+                            (F.col("_sg") * F.col("_n")).cast("double")
+                            / (F.col("_s") * F.col("n_customers")).cast("double")
+                        ),
+                        6,
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("theil_between_term"),
+        )
+        .orderBy("n_name")
+    )
+
+
+THEIL_INDEX_SQL = """
+WITH rev AS (
+  SELECT n_name,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+),
+tier AS (
+  SELECT n_name, COUNT(*) AS n_customers, CAST(SUM(x) AS BIGINT) AS sg
+  FROM rev GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_customers) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s
+  FROM tier
+),
+within AS (
+  SELECT rev.n_name,
+         SUM(CAST(x AS DECIMAL(18,0))
+             * CAST(round(ln(CAST(x * n_customers AS DOUBLE)
+                            / CAST(sg AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))) AS tw
+  FROM rev JOIN tier ON rev.n_name = tier.n_name
+  GROUP BY 1
+)
+SELECT tier.n_name, n_customers,
+       floor(CAST(sg AS DOUBLE) / s * 1e6 + 0.5) / 1e6 AS revenue_share,
+       floor(CAST(tw AS DOUBLE) / sg * 1e6 + 0.5) / 1e6 AS theil_within,
+       floor(CAST(sg AS DOUBLE) / s
+             * round(ln(CAST(sg * n AS DOUBLE)
+                        / CAST(s * n_customers AS DOUBLE)), 6)
+             * 1e6 + 0.5) / 1e6 AS theil_between_term
+FROM tier JOIN within ON tier.n_name = within.n_name, tot
+ORDER BY tier.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# #187 repeat-revenue share by month: of each month's revenue, the
+# share from customers past their first order date — the
+# acquisition-vs-retention revenue mix (the money twin of
+# new-vs-returning #174). One first-date aggregate + one
+# customer-keyed join + one calendar aggregate; integer cents; ties on
+# the first DATE count as new (all first-day orders are acquisition).
+
+def repeat_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("_d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_d").alias("_fd"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(F.year("_d").alias("year"), F.month("_d").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_cents").alias("_tot"),
+            F.sum(
+                F.when(F.col("_d") > F.col("_fd"), F.col("_cents")).otherwise(0)
+            ).alias("_rep"),
+        )
+        .select(
+            "year",
+            "month",
+            "n_orders",
+            (
+                F.floor(
+                    F.col("_rep").cast("double") / F.col("_tot") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("repeat_share"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+REPEAT_REVENUE_SHARE_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+fd AS (SELECT o_custkey, MIN(d) AS first_d FROM o GROUP BY 1)
+SELECT CAST(year(d) AS INTEGER) AS year,
+       CAST(month(d) AS INTEGER) AS month,
+       COUNT(*) AS n_orders,
+       floor(CAST(SUM(CASE WHEN d > first_d THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS repeat_share
+FROM o JOIN fd USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# #188 price-ending bias: per brand, the share of retail prices whose
+# cents end in .00 or .99 — the psychological-pricing / data-entry
+# screen (a synthetic or hand-keyed price book over-indexes on round
+# endings; Benford #138 checks FIRST digits, this checks LAST). Pure
+# map + one bounded aggregate; cents ride exact integers.
+
+def price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+    e = part.select("p_brand", (cents % 100).alias("_end"))
+    return (
+        e.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.when(F.col("_end") == 0, 1).otherwise(0)).alias("n_00"),
+            F.sum(F.when(F.col("_end") == 99, 1).otherwise(0)).alias("n_99"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_00",
+            "n_99",
+            (
+                F.floor(
+                    (F.col("n_00") + F.col("n_99")).cast("double")
+                    / F.col("n_parts")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("round_price_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PRICE_ENDING_BIAS_SQL = """
+WITH e AS (
+  SELECT p_brand,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100
+           AS ending
+  FROM part
+)
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CASE WHEN ending = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00,
+       CAST(SUM(CASE WHEN ending = 99 THEN 1 ELSE 0 END) AS BIGINT) AS n_99,
+       floor(CAST(SUM(CASE WHEN ending = 0 THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN ending = 99 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS round_price_share
+FROM e
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# #189 fulfillment-stage snapshot: per priority class, mean days from
+# order to FIRST shipment (pick latency) and from first to LAST
+# shipment (ship-out span) — the Kimball accumulating-snapshot fact in
+# one pass: lineitem collapses to per-order milestones (min/max ship
+# date), one order-keyed join attaches the order date, one bounded
+# aggregate summarizes. All-integer day math; means floor-quantized@2.
+
+def fulfillment_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("_od"), "o_orderpriority"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.to_date("l_shipdate")).alias("_first"),
+            F.max(F.to_date("l_shipdate")).alias("_last"),
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("_first"), F.col("_od")).cast("long").alias("_lead"),
+        F.datediff(F.col("_last"), F.col("_first")).cast("long").alias("_span"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.floor(
+                    F.sum("_lead").cast("double") / F.count(F.lit(1)) * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("avg_pick_days"),
+            (
+                F.floor(
+                    F.sum("_span").cast("double") / F.count(F.lit(1)) * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("avg_span_days"),
+            F.max("_span").alias("max_span_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FULFILLMENT_STAGES_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+         MAX(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderpriority,
+         (first_ship - CAST(o_orderdate AS DATE)) AS lead_days,
+         (last_ship - first_ship) AS span_days
+  FROM orders JOIN li ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       floor(CAST(SUM(lead_days) AS DOUBLE) / COUNT(*) * 1e2 + 0.5) / 1e2
+         AS avg_pick_days,
+       floor(CAST(SUM(span_days) AS DOUBLE) / COUNT(*) * 1e2 + 0.5) / 1e2
+         AS avg_span_days,
+       CAST(MAX(span_days) AS BIGINT) AS max_span_days
+FROM j
+GROUP BY 1
+ORDER BY 1
+"""

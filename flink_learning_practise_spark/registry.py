@@ -216,7 +216,10 @@ def _populate() -> None:
     register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
 
     # ---- 51+: NEW round 6, past the full window (locally
-    # oracle-proven; round-7 window positions 1-6, the r5/r6 rule) ----
+    # oracle-proven). ROUND-7 BUILDER: these never-driver-checked
+    # queries — the whole block through q_adamic_adar_links, ~30 of
+    # them — take window positions 1..k first, then fill to 50 with
+    # the oldest driver-green rows (the r5/r6 rotation rule). ----
     register("q_holt_smoothing", ea.holt_smoothing, ea.HOLT_SMOOTHING_SQL)
     register("q_funnel_latency", ea.funnel_latency, ea.FUNNEL_LATENCY_SQL)
     register("q_event_trigrams", ea.event_trigrams, ea.EVENT_TRIGRAMS_SQL)
@@ -290,9 +293,40 @@ def _populate() -> None:
         os_.part_price_spread,
         os_.PART_PRICE_SPREAD_SQL,
     )
+    register("q_theil_index", os_.theil_index, os_.THEIL_INDEX_SQL)
+    register(
+        "q_behavior_archetypes",
+        ea.behavior_archetypes,
+        ea.BEHAVIOR_ARCHETYPES_SQL,
+    )
+    register(
+        "q_repeat_revenue_share",
+        os_.repeat_revenue_share,
+        os_.REPEAT_REVENUE_SHARE_SQL,
+    )
+    register(
+        "q_price_ending_bias",
+        os_.price_ending_bias,
+        os_.PRICE_ENDING_BIAS_SQL,
+    )
+    register(
+        "q_fulfillment_stages",
+        os_.fulfillment_stages,
+        os_.FULFILLMENT_STAGES_SQL,
+    )
+    register(
+        "q_engagement_revenue_corr",
+        comp.engagement_revenue_corr,
+        comp.ENGAGEMENT_REVENUE_CORR_SQL,
+    )
+    register(
+        "q_adamic_adar_links",
+        llm.adamic_adar_links,
+        llm.ADAMIC_ADAR_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
-    # these into the round-7 window after the six above) ----
+    # these into the round-7 window after the new block above) ----
     register(
         "q_dedup_minhash_lsh",
         llm.dedup_minhash_lsh,

@@ -633,3 +633,75 @@ def ann_topk_batch(batch: DataFrame, k: int = 5, query_id: str = "vec_id") -> Da
         batch.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def seasonal_baseline(
+    history: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Per-(event_type, hour-of-day) mean/σ baseline for the seasonal
+    anomaly screen, built from a STATIC history frame — the
+    batch-trains/stream-scores split every production anomaly monitor
+    uses. Same moment discipline as the batch twin (#172,
+    plans/events_analytics.py:seasonal_anomaly): exact DECIMAL sums
+    below 2⁵³, σ from the closed form. Output is BOUNDED
+    (event types × 24) — broadcastable by policy."""
+    ev = history.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select("event_type", F.hour(ts_col).alias("hour"), F.col(value_col))
+    base = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sx"),
+        F.sum((F.col(value_col) * F.col(value_col)).cast("decimal(18,6)")).alias(
+            "_sxx"
+        ),
+    )
+    mu = F.col("_sx").cast("double") / F.col("_n")
+    var = F.col("_sxx").cast("double") / F.col("_n") - mu * mu
+    return base.select(
+        "event_type",
+        "hour",
+        mu.alias("_mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sd"),
+    )
+
+
+def seasonal_anomaly_stream(
+    stream: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of the batch seasonal anomaly screen (#172):
+    score live events against the batch-built per-(type, hour)
+    baseline and count μ+3σ breaches per (window, event_type) —
+    APPEND mode, complete windows only (trending_tokens discipline).
+
+    The baseline joins as a stream-static BROADCAST (bounded tier —
+    types × 24; stream-static joins re-read the static side per
+    micro-batch, so small-and-broadcast is the right shape); an event
+    whose (type, hour) cell never appeared in history scores as
+    non-anomalous by the inner join — unseen cells are a coverage
+    question for the baseline builder, not silent NaN math. NaN/null
+    values drop like the drift monitor's (floor(NaN) fake-mass rule).
+    """
+    enriched = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
+        .withColumn("hour", F.hour(ts_col))
+        .join(F.broadcast(baseline), ["event_type", "hour"])
+    )
+    flagged = enriched.filter(
+        F.col(value_col) > F.col("_mu") + 3 * F.col("_sd")
+    )
+    return (
+        flagged.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_anomalies",
+        )
+    )

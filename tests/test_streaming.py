@@ -2022,3 +2022,71 @@ def test_streaming_holt_matches_batch_fold(spark, tmp_path):
     }
     assert got == want and (1, 0) not in got
     assert got[(3, 7)] == (None, None) and got[(3, 8)] == (None, None)
+
+
+def test_streaming_seasonal_anomaly_matches_batch(spark, tmp_path):
+    """seasonal_anomaly_stream counts exactly the events the batch
+    formula flags: baseline trained on a static history, stream scored
+    against it, windowed counts compared to a hand/batch recomputation
+    (including out-of-order arrivals inside the watermark)."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        seasonal_anomaly_stream,
+        seasonal_baseline,
+    )
+
+    # history: type A at hour 0 has mu=10, sd=tight; hour 1 mu=100
+    hist_rows = (
+        [("2024-01-01 00:%02d:00" % m, "A", 10.0 + (m % 3) - 1) for m in range(30)]
+        + [("2024-01-01 01:%02d:00" % m, "A", 100.0 + (m % 3) - 1) for m in range(30)]
+        + [("2024-01-01 00:%02d:00" % m, "B", 50.0) for m in range(10)]
+    )
+    hist = spark.createDataFrame(hist_rows, "ts string, event_type string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    base = seasonal_baseline(hist)
+    rows = {(r.event_type, r.hour): (r._mu, r._sd) for r in base.collect()}
+    mu_a0, sd_a0 = rows[("A", 0)]
+
+    src = str(tmp_path / "anom_in")
+    os.makedirs(src, exist_ok=True)
+    live = [
+        {"ts": "2024-01-02 00:01:00", "event_type": "A", "value": 10.0},          # normal
+        {"ts": "2024-01-02 00:05:00", "event_type": "A", "value": 999.0},         # anomaly at hour 0
+        {"ts": "2024-01-02 00:03:00", "event_type": "A", "value": mu_a0 + 3 * sd_a0},  # boundary: NOT > mu+3sd
+        {"ts": "2024-01-02 00:04:00", "event_type": "A", "value": 100.0},         # anomalous at hour 0 (normal at hour 1!)
+        {"ts": "2024-01-02 00:02:00", "event_type": "B", "value": 50.0},          # sd=0, not above
+        {"ts": "2024-01-02 00:06:00", "event_type": "B", "value": 50.5},          # sd=0 -> any excess flags
+        {"ts": "2024-01-02 00:07:00", "event_type": "C", "value": 1e9},           # unseen cell: inner join drops
+        {"ts": "2024-01-02 00:08:00", "event_type": "A", "value": None},          # null drops
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in live))
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").json(src)
+    out = seasonal_anomaly_stream(stream, base, window="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seasonal_anom")
+        .start()
+    )
+    q.processAllAvailable()
+    with open(f"{src}/b2.json", "w") as f:
+        f.write(_json.dumps({"ts": "2024-01-02 02:00:00", "event_type": "A", "value": 10.0}))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_type): r.n_anomalies
+        for r in spark.sql(
+            "SELECT * FROM seasonal_anom WHERE window_start = '2024-01-02 00:00:00'"
+        ).collect()
+    }
+    # A: 999.0 and 100.0 flag (calendar-aware: 100 is normal at hour 1,
+    # anomalous at hour 0); the exact mu+3sd boundary does NOT flag
+    assert got.get("A") == 2
+    # B: sd=0 so 50.5 > mu flags
+    assert got.get("B") == 1
+    # C never appears (unseen cell)
+    assert "C" not in got
