@@ -3670,3 +3670,73 @@ FROM per_user
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #194 retry-squash dedup stats: collapse repeats of the same
+# (user, event_type) inside a 5-minute bucket to one logical event —
+# the client-retry / double-fire hygiene pass every event pipeline
+# runs before sessionization — and report suppression per type. Two
+# hash aggregates (bucket math is pure map); whole-second bucketing by
+# INTEGER division (unix_timestamp ↔ floor(epoch()) rule).
+
+RETRY_BUCKET_SEC = 300
+
+
+def event_retry_squash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(f"CAST(unix_timestamp(ts) div {RETRY_BUCKET_SEC} AS BIGINT)").alias(
+            "_bucket"
+        ),
+    )
+    kept = ev.groupBy("user_id", "event_type", "_bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            (F.col("n_events") - F.col("n_kept")).alias("n_suppressed"),
+            (
+                F.floor(
+                    (F.col("n_events") - F.col("n_kept")).cast("double")
+                    / F.col("n_events")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("suppression_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_RETRY_SQUASH_SQL = f"""
+WITH kept AS (
+  SELECT event_type, COUNT(*) AS n
+  FROM (
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // {RETRY_BUCKET_SEC} AS bucket
+    FROM events
+  )
+  GROUP BY user_id, event_type, bucket
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n) AS BIGINT) - COUNT(*) AS n_suppressed,
+       floor(CAST(CAST(SUM(n) AS BIGINT) - COUNT(*) AS DOUBLE)
+             / CAST(SUM(n) AS BIGINT) * 1e6 + 0.5) / 1e6
+         AS suppression_rate
+FROM kept
+GROUP BY 1
+ORDER BY 1
+"""

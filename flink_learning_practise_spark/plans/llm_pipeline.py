@@ -3116,3 +3116,85 @@ WHERE NOT EXISTS (
 ORDER BY adamic_adar DESC, id_a, id_b
 LIMIT {AA_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# #196 per-source length-drift screen: chi² goodness-of-fit of each
+# source's doc-length band mix against the corpus mix — "which feeds
+# changed shape" (completes the drift family: PSI #158 needs a
+# reference window, KS #135 is two-sample, this is each-vs-corpus).
+# One (source, band) cell aggregate; the corpus tier and source totals
+# both DERIVE from the cells (bounded frames, broadcast rejoins);
+# expected counts are double ratios of exact ints, per-cell terms
+# quantize@9 → DECIMAL so the Σ is order-independent.
+
+LENGTH_BAND_WIDTH = 200
+LENGTH_BAND_MAX = 9
+
+
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    band = F.least(
+        F.lit(LENGTH_BAND_MAX),
+        F.expr(f"CAST(n_chars div {LENGTH_BAND_WIDTH} AS BIGINT)"),
+    )
+    cells = docs.groupBy("source", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    src_tot = cells.groupBy("source").agg(F.sum("o").alias("n_s"))
+    band_tier = cells.groupBy("band").agg(F.sum("o").alias("c_b"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(band_tier))  # bounded: sources × ≤10 bands
+        .join(cells, ["source", "band"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(tot))  # single-row scalar
+    )
+    e = F.col("n_s").cast("double") * F.col("c_b") / F.col("nn")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        grid.groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.sum(F.round(term, 9).cast("decimal(18,9)")).alias("_chi2"),
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (F.col("n_bands") - 1).alias("dof"),
+            (
+                F.floor(F.col("_chi2").cast("double") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("chi2"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_LENGTH_DRIFT_SQL = f"""
+WITH cells AS (
+  SELECT source,
+         least({LENGTH_BAND_MAX}, n_chars // {LENGTH_BAND_WIDTH}) AS band,
+         COUNT(*) AS o
+  FROM documents GROUP BY 1, 2
+),
+src_tot AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+corpus AS (SELECT band, CAST(SUM(o) AS BIGINT) AS c_b FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+grid AS (
+  SELECT s.source, s.n_s, c.band, c.c_b,
+         COALESCE(cells.o, 0) AS o, t.nn
+  FROM src_tot s CROSS JOIN corpus c
+  LEFT JOIN cells ON cells.source = s.source AND cells.band = c.band
+  CROSS JOIN tot t
+)
+SELECT source, n_s AS n_docs,
+       COUNT(*) - 1 AS dof,
+       floor(CAST(SUM(CAST(round(
+           (o - CAST(n_s AS DOUBLE) * c_b / nn)
+         * (o - CAST(n_s AS DOUBLE) * c_b / nn)
+         / (CAST(n_s AS DOUBLE) * c_b / nn), 9) AS DECIMAL(18,9)))
+         AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2
+FROM grid
+GROUP BY source, n_s
+ORDER BY source
+"""

@@ -2627,3 +2627,325 @@ FROM j
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #192 forecast-baseline backtest: one-step MAE/MAPE of the two
+# baselines every forecasting effort must beat — naive (yesterday) and
+# seasonal-naive (same weekday last week) — on daily revenue. No
+# recursion, no windows: predictions come from date-offset self-joins
+# of the checkpointed calendar tier (the autocorr trick); per-day APE
+# ratios quantize@9 → DECIMAL before averaging (a double Σ of ratios
+# is partition-order-dependent).
+
+FORECAST_BASELINES = ((1, "naive_1d"), (7, "seasonal_naive_7d"))
+
+
+def forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for lag, name in FORECAST_BASELINES:
+        a = daily.select(F.col("day").alias("d"), F.col("cents").alias("y"))
+        b = daily.select(
+            F.date_add("day", lag).alias("d"), F.col("cents").alias("yhat")
+        )
+        err = F.abs(F.col("y") - F.col("yhat"))
+        m = (
+            a.join(b, "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(err).alias("_sae"),
+                F.sum(
+                    F.round(
+                        err.cast("double") / F.col("y").cast("double"), 9
+                    ).cast("decimal(18,9)")
+                ).alias("_sape"),
+            )
+            .select(
+                F.lit(name).alias("model"),
+                F.col("n").alias("n_days"),
+                (
+                    F.floor(
+                        F.col("_sae").cast("double") / F.col("n") * 1e2
+                        + F.lit(0.5)
+                    )
+                    / 1e2
+                ).alias("mae_cents"),
+                (
+                    F.floor(
+                        F.col("_sape").cast("double") / F.col("n") * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("mape"),
+            )
+        )
+        outs.append(m)
+    out = outs[0]
+    for m in outs[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("model")
+
+
+FORECAST_BASELINES_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+joined AS (
+  SELECT l.name AS model, a.cents AS y, b.cents AS yhat
+  FROM (VALUES {", ".join(f"({lag}, '{name}')" for lag, name in FORECAST_BASELINES)})
+       AS l(lag, name)
+  JOIN daily a ON TRUE
+  JOIN daily b ON a.day = b.day + to_days(CAST(l.lag AS INTEGER))
+),
+m AS (
+  SELECT model, COUNT(*) AS n,
+         CAST(SUM(abs(y - yhat)) AS BIGINT) AS sae,
+         SUM(CAST(round(CAST(abs(y - yhat) AS DOUBLE) / CAST(y AS DOUBLE), 9)
+                  AS DECIMAL(18,9))) AS sape
+  FROM joined GROUP BY 1
+)
+SELECT model, CAST(n AS BIGINT) AS n_days,
+       floor(CAST(sae AS DOUBLE) / n * 1e2 + 0.5) / 1e2 AS mae_cents,
+       floor(CAST(sape AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mape
+FROM m
+ORDER BY model
+"""
+
+
+# ---------------------------------------------------------------------------
+# #193 supplier scorecard: one wide pass over lineitem — revenue,
+# distinct parts carried, return rate, average discount — joined to
+# the supplier dimension. The "wide aggregate" shape every ops
+# dashboard needs: one fact shuffle keyed on suppkey, count(DISTINCT)
+# rides the same exchange, dimension attaches by key (AQE-sized).
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    score = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("_n_ret"),
+        F.sum(F.col("l_discount").cast(DEC)).alias("_sd"),
+    )
+    return (
+        score.join(supp, score.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_name",
+            "n_lines",
+            "n_parts",
+            (F.floor(F.col("revenue") * 1e2 + F.lit(0.5)) / 1e2).alias(
+                "revenue"
+            ),
+            (
+                F.floor(
+                    F.col("_n_ret").cast("double") / F.col("n_lines") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("return_rate"),
+            (
+                F.floor(
+                    F.col("_sd").cast("double") / F.col("n_lines") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("avg_discount"),
+        )
+        .orderBy("s_name")
+    )
+
+
+SUPPLIER_SCORECARD_SQL = """
+WITH score AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_lines,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ret,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd
+  FROM lineitem GROUP BY 1
+)
+SELECT s_name, n_lines, n_parts,
+       floor(revenue * 1e2 + 0.5) / 1e2 AS revenue,
+       floor(CAST(n_ret AS DOUBLE) / n_lines * 1e6 + 0.5) / 1e6
+         AS return_rate,
+       floor(sd / n_lines * 1e6 + 0.5) / 1e6 AS avg_discount
+FROM score JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# #195 part-name token revenue: top-20 part-name tokens by attached
+# net revenue — "which product words sell" (the dimension-text explode
+# × fact join that category mining runs when there's no category
+# column). The fact collapses to per-part revenue FIRST (part
+# cardinality, not lineitem), the name tokens explode on the DIMENSION
+# only, and the token rollup is vocabulary-bounded; TakeOrdered top-K.
+
+PART_TOKEN_TOP_K = 20
+
+
+def part_name_revenue_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ").alias("_toks")
+    )
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("_cents")
+        )
+    )
+    j = part.join(rev, part.p_partkey == rev.l_partkey).select(
+        F.explode("_toks").alias("token"), "_cents"
+    )
+    return (
+        j.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("_cents").alias("revenue_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), "token")
+        .limit(PART_TOKEN_TOP_K)
+    )
+
+
+PART_NAME_REVENUE_TOKENS_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+toks AS (
+  SELECT unnest(string_split(p_name, ' ')) AS token, cents
+  FROM part JOIN rev ON p_partkey = l_partkey
+)
+SELECT token, COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM toks
+GROUP BY 1
+ORDER BY revenue_cents DESC, token
+LIMIT {PART_TOKEN_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #197 purchase-regularity census: classify repeat customers by the
+# coefficient of variation of their inter-order gaps — regular
+# replenishers (CV < 0.5), moderate (< 1), bursty (≥ 1); the
+# cadence-stability lens the raw interval histogram (#175) aggregates
+# away. Per-customer lag window (small keys), all moments in exact
+# integers/decimals, ONE IEEE op order for the CV so banding can't
+# straddle engines; per-customer CVs quantize@9 before the band
+# average.
+
+def purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("_d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("_d", "o_orderkey")
+    gaps = (
+        o.withColumn("_prev", F.lag("_d").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_d"), F.col("_prev")).cast("long").alias("_g"),
+        )
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_g").alias("_sg"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_sgg"),
+    )
+    mu = F.col("_sg").cast("double") / F.col("_n")
+    var = F.col("_sgg").cast("double") / F.col("_n") - mu * mu
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mu
+    scored = per_cust.where(
+        (F.col("_n") >= 2) & (F.col("_sg") > 0)
+    ).select(
+        F.round(cv, 9).alias("_cv"),
+    )
+    band = (
+        F.when(F.col("_cv") < 0.5, F.lit("regular"))
+        .when(F.col("_cv") < 1.0, F.lit("moderate"))
+        .otherwise(F.lit("bursty"))
+    )
+    return (
+        scored.groupBy(band.alias("cadence"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.floor(
+                    F.sum(F.col("_cv").cast("decimal(18,9)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("avg_cv"),
+        )
+        .orderBy("cadence")
+    )
+
+
+PURCHASE_REGULARITY_SQL = """
+WITH gaps AS (
+  SELECT o_custkey, (d - prev) AS g FROM (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+    FROM orders)
+  WHERE prev IS NOT NULL
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(g * g) AS BIGINT) AS sgg
+  FROM gaps GROUP BY 1
+),
+scored AS (
+  SELECT round(
+           sqrt(greatest(
+             CAST(sgg AS DOUBLE) / n
+             - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n), 0.0))
+           / (CAST(sg AS DOUBLE) / n), 9) AS cv
+  FROM per_cust WHERE n >= 2 AND sg > 0
+)
+SELECT CASE WHEN cv < 0.5 THEN 'regular'
+            WHEN cv < 1.0 THEN 'moderate'
+            ELSE 'bursty' END AS cadence,
+       COUNT(*) AS n_customers,
+       floor(CAST(SUM(CAST(cv AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 1e6
+             + 0.5) / 1e6 AS avg_cv
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""

@@ -324,6 +324,36 @@ def _populate() -> None:
         llm.adamic_adar_links,
         llm.ADAMIC_ADAR_SQL,
     )
+    register(
+        "q_forecast_baselines",
+        os_.forecast_baselines,
+        os_.FORECAST_BASELINES_SQL,
+    )
+    register(
+        "q_supplier_scorecard",
+        os_.supplier_scorecard,
+        os_.SUPPLIER_SCORECARD_SQL,
+    )
+    register(
+        "q_event_retry_squash",
+        ea.event_retry_squash,
+        ea.EVENT_RETRY_SQUASH_SQL,
+    )
+    register(
+        "q_part_name_revenue_tokens",
+        os_.part_name_revenue_tokens,
+        os_.PART_NAME_REVENUE_TOKENS_SQL,
+    )
+    register(
+        "q_source_length_drift",
+        llm.source_length_drift,
+        llm.SOURCE_LENGTH_DRIFT_SQL,
+    )
+    register(
+        "q_purchase_regularity",
+        os_.purchase_regularity,
+        os_.PURCHASE_REGULARITY_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the new block above) ----
