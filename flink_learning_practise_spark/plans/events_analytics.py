@@ -3740,3 +3740,72 @@ FROM kept
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #199 mutual information (event_type × hour-of-day): how much knowing
+# the hour tells you about the event mix, in nats — the effect-SIZE
+# companion to the chi² independence test (#134, which only says
+# "dependent"). Bounded contingency cells; each term is c·ln(c·N /
+# (n_x·n_y)) with exact sub-2⁵³ integer products inside the ln and the
+# ln round@9 → DECIMAL so the cell sum is order-independent.
+
+def type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour")
+    )
+    cells = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    rx = cells.groupBy("event_type").agg(F.sum("_c").alias("_nx"))
+    ry = cells.groupBy("hour").agg(F.sum("_c").alias("_ny"))
+    tot = cells.agg(F.sum("_c").alias("_nn"))
+    terms = (
+        cells.join(F.broadcast(rx), "event_type")  # bounded marginals
+        .join(F.broadcast(ry), "hour")
+        .crossJoin(F.broadcast(tot))  # single-row scalar
+        .select(
+            (
+                F.col("_c").cast("decimal(18,0)")
+                * F.round(
+                    F.log(
+                        (F.col("_c") * F.col("_nn")).cast("double")
+                        / (F.col("_nx") * F.col("_ny")).cast("double")
+                    ),
+                    9,
+                ).cast("decimal(18,9)")
+            ).alias("_t"),
+            F.col("_nn"),
+        )
+    )
+    return terms.groupBy("_nn").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            F.floor(
+                F.sum("_t").cast("double") / F.col("_nn") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mi_nats"),
+    ).select(
+        F.col("_nn").alias("n_events"), "n_cells", "mi_nats"
+    )
+
+
+TYPE_HOUR_MI_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+rx AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS nx FROM cells GROUP BY 1),
+ry AS (SELECT hour, CAST(SUM(c) AS BIGINT) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells)
+SELECT nn AS n_events, COUNT(*) AS n_cells,
+       floor(CAST(SUM(CAST(c AS DECIMAL(18,0))
+                      * CAST(round(ln(CAST(c * nn AS DOUBLE)
+                                     / CAST(nx * ny AS DOUBLE)), 9)
+                             AS DECIMAL(18,9))) AS DOUBLE)
+             / nn * 1e6 + 0.5) / 1e6 AS mi_nats
+FROM cells JOIN rx USING (event_type) JOIN ry USING (hour), tot
+GROUP BY nn
+"""

@@ -3198,3 +3198,88 @@ FROM grid
 GROUP BY source, n_s
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# #198 kNN label purity: for each brute-force query vector, the share
+# of its top-K neighbors sharing its label, rolled up per label — the
+# embedding-quality / leakage screen (a kNN-classifier cross-check: a
+# label whose neighborhoods are impure either has noisy labels or an
+# embedding that doesn't separate it). Rides the SAME bounded query
+# subset as the brute-force baseline (#42); two key-joins attach the
+# labels; exact integer match counts divide once.
+
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = knn_bruteforce(spark, sf_dir)
+    ql = emb.select(F.col("vec_id").alias("query_id"), "label")
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")
+    )
+    j = knn.join(ql, "query_id").join(nl, "neighbor_id")
+    per_q = j.groupBy("query_id", "label").agg(
+        F.sum(F.when(F.col("_nl") == F.col("label"), 1).otherwise(0)).alias(
+            "_m"
+        ),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return (
+        per_q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("_m").alias("_mm"),
+            F.sum("_k").alias("_kk"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            (
+                F.floor(
+                    F.col("_mm").cast("double") / F.col("_kk") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("purity"),
+        )
+        .orderBy("label")
+    )
+
+
+KNN_LABEL_PURITY_SQL = f"""
+WITH {NORM_CTE},
+q AS (SELECT vec_id AS query_id, embedding, nrm
+      FROM norms WHERE vec_id < {KNN_QUERY_MAX_ID}),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i))
+           / (a.nrm * b.nrm),
+           6) AS cosine
+  FROM q a JOIN norms b ON b.vec_id <> a.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {KNN_K}),
+per_q AS (
+  SELECT knn.query_id, e1.label,
+         CAST(SUM(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS m,
+         COUNT(*) AS k
+  FROM knn
+  JOIN embeddings e1 ON e1.vec_id = knn.query_id
+  JOIN embeddings e2 ON e2.vec_id = knn.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT label, COUNT(*) AS n_queries,
+       floor(CAST(SUM(m) AS DOUBLE) / CAST(SUM(k) AS BIGINT) * 1e6 + 0.5)
+         / 1e6 AS purity
+FROM per_q
+GROUP BY 1
+ORDER BY 1
+"""

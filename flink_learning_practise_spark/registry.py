@@ -354,6 +354,16 @@ def _populate() -> None:
         os_.purchase_regularity,
         os_.PURCHASE_REGULARITY_SQL,
     )
+    register(
+        "q_knn_label_purity",
+        llm.knn_label_purity,
+        llm.KNN_LABEL_PURITY_SQL,
+    )
+    register(
+        "q_type_hour_mutual_info",
+        ea.type_hour_mutual_info,
+        ea.TYPE_HOUR_MI_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the new block above) ----

@@ -705,3 +705,38 @@ def seasonal_anomaly_stream(
             "n_anomalies",
         )
     )
+
+
+def burst_alert_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "60 seconds",
+    slide: str = "15 seconds",
+    threshold: int = 10,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of the batch burst-rate screen (#183): sliding
+    event-time window counts per key, emitting ALERT rows only for
+    windows at/over the threshold — the rate-limit / bot-burst monitor
+    as a live stream. APPEND mode delivers complete windows
+    (trending_tokens discipline), so an alert is exact, not a partial
+    count; state is bounded by keys-in-flight × windows-per-slide. The
+    threshold filter sits ABOVE the aggregate, so suppressed windows
+    still complete normally and late data inside the watermark lands in
+    the right window before emission.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(ts_col, window, slide).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= threshold)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -2090,3 +2090,55 @@ def test_streaming_seasonal_anomaly_matches_batch(spark, tmp_path):
     assert got.get("B") == 1
     # C never appears (unseen cell)
     assert "C" not in got
+
+
+def test_streaming_burst_alerts(spark, tmp_path):
+    """burst_alert_stream emits exactly the (window, key) cells at/over
+    the threshold — sliding windows, out-of-order arrival inside the
+    watermark, sub-threshold keys silent."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        burst_alert_stream,
+    )
+
+    src = str(tmp_path / "burst_in")
+    os.makedirs(src, exist_ok=True)
+    # user 1 fires 4 events inside [00:00:00, 00:01:00); user 2 only 1
+    b1 = [
+        {"ts": "2024-01-01 00:00:05", "user_id": 1},
+        {"ts": "2024-01-01 00:00:20", "user_id": 1},
+        {"ts": "2024-01-01 00:00:10", "user_id": 1},  # out of order
+        {"ts": "2024-01-01 00:00:40", "user_id": 1},
+        {"ts": "2024-01-01 00:00:30", "user_id": 2},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(src)
+    out = burst_alert_stream(
+        stream, window="60 seconds", slide="30 seconds", threshold=3
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("burst_alerts")
+        .start()
+    )
+    q.processAllAvailable()
+    with open(f"{src}/b2.json", "w") as f:
+        f.write(_json.dumps({"ts": "2024-01-01 01:00:00", "user_id": 9}))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM burst_alerts ORDER BY window_start, user_id"
+    ).collect()
+    got = {(str(r.window_start), r.user_id): r.n_events for r in rows}
+    # sliding 60s/30s: user 1's 4 events all fall in [00:00, 00:01) and
+    # the first three also in [23:59:30->00:00:30) window starting
+    # 2023-12-31 23:59:30; the [00:00:30, 00:01:30) window holds only 1.
+    assert got[("2024-01-01 00:00:00", 1)] == 4
+    assert got[("2023-12-31 23:59:30", 1)] == 3
+    # no alert for the 1-event window or for user 2 anywhere
+    assert ("2024-01-01 00:00:30", 1) not in got
+    assert not any(u == 2 for (_, u) in got)
