@@ -692,3 +692,77 @@ def test_keyed_prefix_sum_totals_are_free_and_exact(spark):
     from pyspark.sql import functions as FF
     mx = {r.k: float(r.m) for r in cum.groupBy("k").agg(FF.max("cum_w").alias("m")).collect()}
     assert mx == got
+
+
+class TestTheilDecomposition:
+    def test_identity_against_textbook_python(self, spark, sf_small):
+        """The within/between decomposition must reassemble the
+        textbook GLOBAL Theil T = (1/n)·Σ (x/μ)·ln(x/μ), recomputed
+        independently in Python from the same parquet — catches any
+        formula error a DuckDB replay of the same SQL would share."""
+        import math
+
+        import duckdb
+
+        from flink_learning_practise_spark.plans.order_stats import theil_index
+
+        rows = theil_index(spark, sf_small).collect()
+        # T_total = Σ_g share_g · T_g + Σ_g between_g
+        t_spark = sum(
+            r.revenue_share * r.theil_within + r.theil_between_term
+            for r in rows
+        )
+        xs = [
+            int(v[0])
+            for v in duckdb.sql(
+                f"""
+            SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS BIGINT)
+            FROM '{sf_small}/orders.parquet' o
+            JOIN '{sf_small}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            GROUP BY o_custkey
+            """
+            ).fetchall()
+        ]
+        n = len(xs)
+        mu = sum(xs) / n
+        t_true = sum((x / mu) * math.log(x / mu) for x in xs) / n
+        # share/within/between are each quantized@6 → the reassembled
+        # total carries ≤ ~(3·#nations)·1e-6 of quantization slack
+        assert abs(t_spark - t_true) < 1e-4
+        # decomposition sanity: every within-term nonnegative
+        assert all(r.theil_within >= -1e-9 for r in rows)
+
+
+class TestMutualInfoIdentity:
+    def test_mi_against_textbook_python(self, spark, sf_small):
+        import collections
+        import math
+
+        import duckdb
+
+        from flink_learning_practise_spark.plans.events_analytics import (
+            type_hour_mutual_info,
+        )
+
+        r = type_hour_mutual_info(spark, sf_small).collect()[0]
+        cells = duckdb.sql(
+            f"""
+            SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER),
+                   COUNT(*)
+            FROM '{sf_small}/events.parquet' GROUP BY 1, 2
+            """
+        ).fetchall()
+        nn = sum(c for _, _, c in cells)
+        nx = collections.Counter()
+        ny = collections.Counter()
+        for t, h, c in cells:
+            nx[t] += c
+            ny[h] += c
+        mi = sum(
+            (c / nn) * math.log(c * nn / (nx[t] * ny[h]))
+            for t, h, c in cells
+        )
+        assert r.n_events == nn
+        assert abs(r.mi_nats - mi) < 1e-5
+        assert r.mi_nats >= -1e-9  # MI is nonnegative
