@@ -366,22 +366,15 @@ def pagerank(
     return ranks
 
 
-def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
-    """Triangle/wedge/edge counts over a deduplicated undirected edge
-    list (each {u,v} exactly once, u ≠ v). DEGREE-oriented census
-    (Cohen 2009 / Suri-Vassilvitskii 2011): every edge is re-directed
-    from its lower-(degree, id) endpoint to its higher one, so each
-    triangle appears exactly once as the wedge at its LOWEST-rank
-    vertex. Wedges then fan out as Σ_v C(out-deg(v), 2) with
-    out-deg ≤ O(√m) — a boilerplate-template hub in the dup graph
-    contributes only in-edges and cannot square. Same two joins as the
-    id-oriented census, different comparator (the r5 weak flag).
-
-    Output is ONE row: n_triangles, n_wedges (= Σ_v C(deg v, 2), ALL
-    unordered length-2 paths), n_edges, closure_ratio =
-    3·tri/wedges — the global clustering coefficient, in [0, 1].
-    """
-    pairs = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+def _deg_oriented_triangles(pairs: DataFrame):
+    """Shared degree-oriented triangle finder (Cohen 2009 /
+    Suri-Vassilvitskii 2011): returns ``(tris, deg)`` where ``tris``
+    holds each triangle EXACTLY once as (x, b, c) — x the
+    lowest-(degree, id) vertex — and ``deg`` is the vertex degree
+    frame. Every edge re-directs from its lower-(degree, id) endpoint
+    to its higher one, so wedge fan-out is Σ_v C(out-deg(v), 2) with
+    out-deg ≤ O(√m); a hub contributes only in-edges and cannot
+    square. Two vertex-keyed joins + one wedge join."""
     deg = (
         pairs.select(F.col("_a").alias("id"))
         .unionAll(pairs.select(F.col("_b").alias("id")))
@@ -415,10 +408,72 @@ def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
             (F.col("_dbr") < F.col("_dcr"))
             | ((F.col("_dbr") == F.col("_dcr")) & (F.col("b") < F.col("c")))
         )
-        .select("b", "c")
+        .select("x", "b", "c")
     )
     e3 = oriented_e.select(F.col("x").alias("b"), F.col("y").alias("c"))
-    tris = wedges.join(e3, ["b", "c"])
+    tris = wedges.join(e3, ["b", "c"]).select("x", "b", "c")
+    return tris, deg
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient lcc(v) = 2·t(v) /
+    (d(v)·(d(v)−1)) over a deduplicated undirected edge list — the
+    per-vertex refinement of :func:`triangle_census`'s single global
+    closure ratio (which a few dense template cliques can mask). Same
+    degree-oriented triangle finder (each triangle found once), its
+    three vertices exploded back out for per-vertex counts (left join —
+    triangle-free vertices score 0); vertices with degree < 2 have no
+    defined lcc and are omitted. Output: (id, degree, n_triangles,
+    lcc) with lcc floor-quantized@6.
+    """
+    pairs = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    tris, deg = _deg_oriented_triangles(pairs)
+    per_vertex = (
+        tris.select(F.explode(F.array("x", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(per_vertex, "id", "left")
+        .select(
+            "id",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("_t"), F.lit(0)).alias("n_triangles"),
+            (
+                F.floor(
+                    2.0
+                    * F.coalesce(F.col("_t"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("lcc"),
+        )
+        .orderBy("id")
+    )
+
+
+def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Triangle/wedge/edge counts over a deduplicated undirected edge
+    list (each {u,v} exactly once, u ≠ v). DEGREE-oriented census
+    (Cohen 2009 / Suri-Vassilvitskii 2011): every edge is re-directed
+    from its lower-(degree, id) endpoint to its higher one, so each
+    triangle appears exactly once as the wedge at its LOWEST-rank
+    vertex. Wedges then fan out as Σ_v C(out-deg(v), 2) with
+    out-deg ≤ O(√m) — a boilerplate-template hub in the dup graph
+    contributes only in-edges and cannot square. Same two joins as the
+    id-oriented census, different comparator (the r5 weak flag).
+
+    Output is ONE row: n_triangles, n_wedges (= Σ_v C(deg v, 2), ALL
+    unordered length-2 paths), n_edges, closure_ratio =
+    3·tri/wedges — the global clustering coefficient, in [0, 1].
+    """
+    pairs = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    tris, deg = _deg_oriented_triangles(pairs)
     n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
     # wedge count = ALL unordered length-2 paths = Σ_v C(deg(v), 2) —
     # NOT the rank-oriented join above (which holds exactly ONE wedge

@@ -3809,3 +3809,84 @@ SELECT nn AS n_events, COUNT(*) AS n_cells,
 FROM cells JOIN rx USING (event_type) JOIN ry USING (hour), tot
 GROUP BY nn
 """
+
+
+# ---------------------------------------------------------------------------
+# #201 weekend effect size (Cohen's d): standardized difference of
+# event values weekend vs weekday — the effect-SIZE report an A/B-style
+# significance test (#91) doesn't give. ONE conditional aggregate over
+# one scan: exact DECIMAL moments per group, sample variances, pooled
+# sd, d — every double op in the SAME order both engines, quantized@6
+# at the end only.
+
+def weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    is_we = F.dayofweek(F.col("ts")).isin(1, 7)
+    m = ev.agg(
+        F.sum(F.when(is_we, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~is_we, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is_we, F.col("value").cast(DEC))).alias("_s1"),
+        F.sum(F.when(~is_we, F.col("value").cast(DEC))).alias("_s2"),
+        F.sum(
+            F.when(is_we, (F.col("value") * F.col("value")).cast(DEC))
+        ).alias("_q1"),
+        F.sum(
+            F.when(~is_we, (F.col("value") * F.col("value")).cast(DEC))
+        ).alias("_q2"),
+    )
+    m1 = F.col("_s1").cast("double") / F.col("n1")
+    m2 = F.col("_s2").cast("double") / F.col("n2")
+    v1 = (F.col("_q1").cast("double") - F.col("_s1").cast("double") * m1) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("_q2").cast("double") - F.col("_s2").cast("double") * m2) / (
+        F.col("n2") - 1
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * v1 + (F.col("n2") - 1) * v2)
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return m.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        q6(m1).alias("mean_weekend"),
+        q6(m2).alias("mean_weekday"),
+        q6((m1 - m2) / pooled).alias("cohens_d"),
+    )
+
+
+WEEKEND_EFFECT_SQL = """
+WITH m AS (
+  SELECT
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)
+         AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s1,
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+             THEN NULL ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+      AS s2,
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+             THEN CAST(value * value AS DECIMAL(18,6)) END) AS DOUBLE)
+      AS q1,
+    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+             THEN NULL ELSE CAST(value * value AS DECIMAL(18,6)) END)
+         AS DOUBLE) AS q2
+  FROM events WHERE value IS NOT NULL
+)
+SELECT n_weekend, n_weekday,
+       floor(m1 * 1e6 + 0.5) / 1e6 AS mean_weekend,
+       floor(m2 * 1e6 + 0.5) / 1e6 AS mean_weekday,
+       floor((m1 - m2) / sqrt(((n_weekend - 1) * v1 + (n_weekday - 1) * v2)
+                              / (n_weekend + n_weekday - 2))
+             * 1e6 + 0.5) / 1e6 AS cohens_d
+FROM (
+  SELECT n1 AS n_weekend, n2 AS n_weekday,
+         s1 / n1 AS m1, s2 / n2 AS m2,
+         (q1 - s1 * (s1 / n1)) / (n1 - 1) AS v1,
+         (q2 - s2 * (s2 / n2)) / (n2 - 1) AS v2
+  FROM m
+)
+"""

@@ -3283,3 +3283,61 @@ FROM per_q
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #200 local clustering coefficients on the dup graph: per-vertex
+# lcc = 2·t(v)/(d(v)·(d(v)−1)) — the per-vertex refinement of the
+# global closure ratio (#128); a document inside a dense template
+# clique scores ~1, a bridge between unrelated near-dup families ~0.
+# Degree-oriented triangles (found once each), exploded to vertices;
+# the oracle enumerates id-oriented triangles (same set) and replays
+# the formula.
+
+def local_clustering_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    pairs = _shared_pair_tier(spark, sf_dir).select("id_a", "id_b")
+    return graph.local_clustering(pairs, src="id_a", dst="id_b")
+
+
+LOCAL_CLUSTERING_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+tris AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.id_b = e2.id_a
+  JOIN pairs e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b
+),
+per_vertex AS (
+  SELECT id, COUNT(*) AS t FROM (
+    SELECT a AS id FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY 1
+)
+SELECT deg.id, CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       floor(2.0 * COALESCE(t, 0) / (d * (d - 1)) * 1e6 + 0.5) / 1e6 AS lcc
+FROM deg LEFT JOIN per_vertex ON deg.id = per_vertex.id
+WHERE d >= 2
+ORDER BY deg.id
+"""

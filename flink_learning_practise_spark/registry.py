@@ -364,6 +364,12 @@ def _populate() -> None:
         ea.type_hour_mutual_info,
         ea.TYPE_HOUR_MI_SQL,
     )
+    register(
+        "q_local_clustering",
+        llm.local_clustering_dupgraph,
+        llm.LOCAL_CLUSTERING_SQL,
+    )
+    register("q_weekend_effect", ea.weekend_effect, ea.WEEKEND_EFFECT_SQL)
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the new block above) ----

@@ -331,3 +331,41 @@ def test_k_core_empty_and_tree(spark):
     tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
     got = {(r.id, r.degree) for r in k_core(tri, k=2, rounds=3).collect()}
     assert got == {(0, 2), (1, 2), (2, 2)}
+
+
+def test_local_clustering_matches_bruteforce(spark):
+    """lcc per vertex on a random graph == the textbook neighbor-pair
+    closure count computed in Python."""
+    import itertools
+    import random
+
+    from flink_learning_practise_spark.operators.graph import local_clustering
+
+    rng = random.Random(17)
+    n = 14
+    edges = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.3
+        }
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.id: (r.degree, r.n_triangles, r.lcc) for r in local_clustering(df).collect()}
+
+    nbrs = {i: set() for i in range(n)}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for v in range(n):
+        d = len(nbrs[v])
+        if d < 2:
+            assert v not in got
+            continue
+        t = sum(
+            1 for x, y in itertools.combinations(sorted(nbrs[v]), 2) if y in nbrs[x]
+        )
+        import math
+        want_lcc = math.floor(2.0 * t / (d * (d - 1)) * 1e6 + 0.5) / 1e6
+        assert got[v] == (d, t, want_lcc), f"vertex {v}"
