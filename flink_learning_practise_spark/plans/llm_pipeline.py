@@ -3341,3 +3341,78 @@ FROM deg LEFT JOIN per_vertex ON deg.id = per_vertex.id
 WHERE d >= 2
 ORDER BY deg.id
 """
+
+
+# ---------------------------------------------------------------------------
+# #203 embedding norm profile: per-label vector-norm hygiene screen —
+# mean/min/max L2 norm and degenerate-vector counts (zero or
+# non-finite norms break cosine ANN silently; this is the check run
+# BEFORE building any index). Map-only JVM array fold per row
+# (F.aggregate — no Python, no shuffle until the bounded label
+# rollup); per-vector squared norms quantize@6 → integer micro-units
+# so the label means are partition-order-exact.
+
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    rows = emb.select(
+        "label",
+        F.sqrt(sq).alias("_nrm"),
+    ).select(
+        "label",
+        "_nrm",
+        F.floor(F.col("_nrm") * 1e6 + F.lit(0.5)).cast("long").alias("_q"),
+    )
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(
+                    F.col("_nrm").isNull()
+                    | F.isnan("_nrm")
+                    | (F.col("_nrm") <= 0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_degenerate"),
+            (
+                F.floor(
+                    F.sum("_q").cast("double") / F.count(F.lit(1)) * 1e-6 * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_norm"),
+            (F.min("_q").cast("double") / 1e6).alias("min_norm"),
+            (F.max("_q").cast("double") / 1e6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_PROFILE_SQL = """
+WITH rows_ AS (
+  SELECT label,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM unnest(embedding) AS t(e))) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT label, nrm,
+         CAST(floor(nrm * 1e6 + 0.5) AS BIGINT) AS qn
+  FROM rows_
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN nrm IS NULL OR isnan(nrm) OR nrm <= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+       floor(CAST(SUM(qn) AS DOUBLE) / COUNT(*) * 1e-6 * 1e6 + 0.5) / 1e6
+         AS mean_norm,
+       CAST(MIN(qn) AS DOUBLE) / 1e6 AS min_norm,
+       CAST(MAX(qn) AS DOUBLE) / 1e6 AS max_norm
+FROM q
+GROUP BY 1
+ORDER BY 1
+"""

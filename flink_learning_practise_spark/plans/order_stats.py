@@ -2949,3 +2949,77 @@ FROM scored
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #202 Hill tail-index on order values: α̂ = k / Σ ln(x_(i)/x_(k+1))
+# over the top-k order statistics — "how heavy is the spend tail"
+# (α ≤ 2 means variance-free whales dominate; the money twin of the
+# dup-graph degree Hill diagnostic #141). Top-(k+1) via a TakeOrdered
+# heap (never a global sort); the k-row tail aggregates with ln@9 →
+# DECIMAL sums; threshold x_(k+1) attaches as a single-row broadcast
+# scalar.
+
+HILL_TAIL_K = 200
+
+
+def revenue_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_cents"),
+        "o_orderkey",
+    )
+    top = o.orderBy(F.desc("_cents"), "o_orderkey").limit(HILL_TAIL_K + 1)
+    thresh = top.agg(F.min("_cents").alias("_xk"))
+    tail = top.crossJoin(F.broadcast(thresh)).where(
+        F.col("_cents") > F.col("_xk")
+    )
+    return (
+        tail.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.first("_xk").alias("_x"),
+            F.sum(
+                F.round(
+                    F.log(
+                        F.col("_cents").cast("double")
+                        / F.col("_xk").cast("double")
+                    ),
+                    9,
+                ).cast("decimal(18,9)")
+            ).alias("_s"),
+        )
+        .select(
+            "k",
+            F.col("_x").alias("threshold_cents"),
+            (
+                F.floor(
+                    F.col("k") / F.col("_s").cast("double") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+REVENUE_TAIL_INDEX_SQL = f"""
+WITH top AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+  ORDER BY cents DESC, o_orderkey
+  LIMIT {HILL_TAIL_K + 1}
+),
+thresh AS (SELECT CAST(MIN(cents) AS BIGINT) AS xk FROM top),
+tail AS (
+  SELECT cents, xk FROM top, thresh WHERE cents > xk
+)
+SELECT COUNT(*) AS k,
+       CAST(MIN(xk) AS BIGINT) AS threshold_cents,
+       floor(COUNT(*)
+             / CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE)
+                                      / CAST(xk AS DOUBLE)), 9)
+                             AS DECIMAL(18,9))) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS hill_alpha
+FROM tail
+"""

@@ -370,6 +370,16 @@ def _populate() -> None:
         llm.LOCAL_CLUSTERING_SQL,
     )
     register("q_weekend_effect", ea.weekend_effect, ea.WEEKEND_EFFECT_SQL)
+    register(
+        "q_revenue_tail_index",
+        os_.revenue_tail_index,
+        os_.REVENUE_TAIL_INDEX_SQL,
+    )
+    register(
+        "q_embedding_norm_profile",
+        llm.embedding_norm_profile,
+        llm.EMBEDDING_NORM_PROFILE_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the new block above) ----
