@@ -3890,3 +3890,124 @@ FROM (
   FROM m
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# #205 hour-of-day seasonality strength (η²): share of event-value
+# variance explained by the hour-of-day — the ANOVA effect size that
+# says whether the hourly profile (#119) MATTERS. One aggregate to a
+# 24-row tier; SSB/SST from exact DECIMAL moments, per-hour terms
+# quantize@6 → DECIMAL so the 24-term sum is order-independent.
+
+def hourly_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = ev.groupBy(F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast(DEC)).alias("_s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).alias("_q"),
+    )
+    term = (
+        F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_n")
+    )
+    agg = cells.agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_q").alias("_qq"),
+        F.sum(
+            F.floor(term * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("_b6"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    grand = F.col("_ss").cast("double") * F.col("_ss").cast("double") / F.col(
+        "n"
+    )
+    sst = F.col("_qq").cast("double") - grand
+    ssb = F.col("_b6").cast("double") / 1e6 - grand
+    return agg.select(
+        F.col("n").alias("n_events"),
+        "n_hours",
+        (F.floor(ssb / sst * 1e6 + F.lit(0.5)) / 1e6).alias("eta_squared"),
+    )
+
+
+HOURLY_VARIANCE_EXPLAINED_SQL = """
+WITH cells AS (
+  SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(value * value AS DECIMAL(18,6))) AS q
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS DOUBLE) AS ss,
+         CAST(SUM(q) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n * 1e6
+                             + 0.5) AS BIGINT)) AS BIGINT) AS b6,
+         COUNT(*) AS n_hours
+  FROM cells
+)
+SELECT n AS n_events, n_hours,
+       floor((CAST(b6 AS DOUBLE) / 1e6 - ss * ss / n)
+             / (qq - ss * ss / n) * 1e6 + 0.5) / 1e6 AS eta_squared
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# #206 arrival dispersion (Fano factor) per event type: variance/mean
+# of per-minute arrival counts over OBSERVED minutes — ≈1 is Poisson
+# (organic traffic), ≫1 is bursty (bots, batch replays); the
+# per-TYPE arrival-process view the per-user burst screen (#183)
+# doesn't give. Two hash aggregates; all moments on exact integer
+# counts, one IEEE op order for the ratio.
+
+def arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 60 AS BIGINT)").alias("_min"),
+    )
+    counts = ev.groupBy("event_type", "_min").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    m = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n_minutes")
+    var = F.col("_q").cast("double") / F.col("n_minutes") - mean * mean
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return m.select(
+        "event_type",
+        "n_minutes",
+        F.col("_s").alias("n_events"),
+        q6(mean).alias("mean_per_min"),
+        q6(var / mean).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+ARRIVAL_DISPERSION_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n_minutes,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM counts GROUP BY 1
+)
+SELECT event_type, n_minutes, s AS n_events,
+       floor(CAST(s AS DOUBLE) / n_minutes * 1e6 + 0.5) / 1e6
+         AS mean_per_min,
+       floor((CAST(q AS DOUBLE) / n_minutes
+              - (CAST(s AS DOUBLE) / n_minutes)
+                * (CAST(s AS DOUBLE) / n_minutes))
+             / (CAST(s AS DOUBLE) / n_minutes) * 1e6 + 0.5) / 1e6
+         AS fano_factor
+FROM m
+ORDER BY 1
+"""

@@ -3023,3 +3023,83 @@ SELECT COUNT(*) AS k,
              * 1e6 + 0.5) / 1e6 AS hill_alpha
 FROM tail
 """
+
+
+# ---------------------------------------------------------------------------
+# #204 priority mix shift: monthly order-priority shares and each
+# priority's largest month-over-month swing — the composition-drift
+# report (a mix shift flags upstream process changes even when totals
+# look flat). Calendar-bounded tier (months × 5 priorities); shares
+# quantize@6 BEFORE the MoM self-join so the swing is a difference of
+# engine-identical quantized doubles; month arithmetic all-integer
+# (y·12+m — months_between() is fractional).
+
+def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("_m"),
+        "o_orderpriority",
+    )
+    cells = o.groupBy("_m", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = cells.groupBy("_m").agg(F.sum("_n").alias("_t"))
+    shares = cells.join(F.broadcast(tot), "_m").select(
+        "_m",
+        "o_orderpriority",
+        (
+            F.floor(
+                F.col("_n").cast("double") / F.col("_t") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("_share"),
+    )
+    nxt = shares.select(
+        (F.col("_m") - 1).alias("_m"),
+        F.col("o_orderpriority"),
+        F.col("_share").alias("_next"),
+    )
+    return (
+        shares.join(nxt, ["_m", "o_orderpriority"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            (
+                F.floor(
+                    F.sum(F.col("_share").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("avg_share"),
+            F.max(F.abs(F.col("_next") - F.col("_share"))).alias(
+                "max_mom_swing"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_MIX_SHIFT_SQL = """
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS m,
+         o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT m, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+shares AS (
+  SELECT cells.m, o_orderpriority,
+         floor(CAST(n AS DOUBLE) / t * 1e6 + 0.5) / 1e6 AS share
+  FROM cells JOIN tot ON cells.m = tot.m
+)
+SELECT a.o_orderpriority,
+       COUNT(*) AS n_transitions,
+       floor(CAST(SUM(CAST(a.share AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             * 1e6 + 0.5) / 1e6 AS avg_share,
+       MAX(abs(b.share - a.share)) AS max_mom_swing
+FROM shares a
+JOIN shares b ON b.m = a.m + 1 AND b.o_orderpriority = a.o_orderpriority
+GROUP BY 1
+ORDER BY 1
+"""

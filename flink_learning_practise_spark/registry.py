@@ -380,6 +380,21 @@ def _populate() -> None:
         llm.embedding_norm_profile,
         llm.EMBEDDING_NORM_PROFILE_SQL,
     )
+    register(
+        "q_priority_mix_shift",
+        os_.priority_mix_shift,
+        os_.PRIORITY_MIX_SHIFT_SQL,
+    )
+    register(
+        "q_hourly_variance_explained",
+        ea.hourly_variance_explained,
+        ea.HOURLY_VARIANCE_EXPLAINED_SQL,
+    )
+    register(
+        "q_arrival_dispersion",
+        ea.arrival_dispersion,
+        ea.ARRIVAL_DISPERSION_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the new block above) ----
