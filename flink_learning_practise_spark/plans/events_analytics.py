@@ -4011,3 +4011,61 @@ SELECT event_type, n_minutes, s AS n_events,
 FROM m
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #207 JSON field coverage audit: per event type, how often props
+# parses and props.k is present/in-range — the semi-structured
+# data-quality check (dq_report #90 audits typed columns; this audits
+# the JSON payload the reference's stage-1 parser consumed). Map-only
+# JSON extraction + one bounded aggregate; all counts exact integers.
+
+def props_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("_k"),
+        F.col("props").isNotNull().alias("_hasp"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_hasp"), 1).otherwise(0)).alias("n_props"),
+            F.sum(F.when(F.col("_k").isNotNull(), 1).otherwise(0)).alias(
+                "n_k_parsed"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_k").isNotNull()
+                    & (F.col("_k") >= 0)
+                    & (F.col("_k") < 100),
+                    1,
+                ).otherwise(0)
+            ).alias("n_k_in_range"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_COVERAGE_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         props IS NOT NULL AS hasp
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN hasp THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
+       CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_k_parsed,
+       CAST(SUM(CASE WHEN k IS NOT NULL AND k >= 0 AND k < 100
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_k_in_range,
+       CAST(MIN(k) AS INTEGER) AS k_min,
+       CAST(MAX(k) AS INTEGER) AS k_max
+FROM e
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3103,3 +3103,100 @@ JOIN shares b ON b.m = a.m + 1 AND b.o_orderpriority = a.o_orderpriority
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #208 top-3 customer concentration per nation: what share of each
+# nation's revenue its three largest customers hold — key-account
+# risk. The SCALE PATTERN is the point: per-key top-k WITHOUT a
+# per-nation rank window (nations are few-huge keys — the funnel
+# anti-pattern) and WITHOUT a full per-key collect_list (unbounded):
+# phase 1 takes each PARTITION's local top-3 per nation (state ≤ 3 per
+# (partition, key) — partition size bounds the collect), phase 2
+# merges ≤ 3·P candidates per nation. Exact integer cents throughout.
+
+TOP_CONCENTRATION_K = 3
+
+
+def top_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("_x")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "_x")
+    )
+    k = TOP_CONCENTRATION_K
+    local = rev.groupBy(
+        F.spark_partition_id().alias("_p"), "n_name"
+    ).agg(
+        F.slice(F.sort_array(F.collect_list("_x"), asc=False), 1, k).alias(
+            "_top"
+        ),
+        F.sum("_x").alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    merged = (
+        local.select("n_name", F.explode("_top").alias("_x"))
+        .groupBy("n_name")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("_x"), asc=False), 1, k).alias(
+                "_top"
+            )
+        )
+    )
+    totals = local.groupBy("n_name").agg(
+        F.sum("_s").alias("_sg"), F.sum("_n").alias("n_customers")
+    )
+    return (
+        merged.join(totals, "n_name")
+        .select(
+            "n_name",
+            "n_customers",
+            (
+                F.floor(
+                    F.aggregate(
+                        "_top", F.lit(0).cast("long"), lambda a, x: a + x
+                    ).cast("double")
+                    / F.col("_sg")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("top3_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+TOP_CUSTOMER_CONCENTRATION_SQL = f"""
+WITH rev AS (
+  SELECT n_name,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+),
+ranked AS (
+  SELECT n_name, x,
+         row_number() OVER (PARTITION BY n_name ORDER BY x DESC) AS r
+  FROM rev
+)
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       floor(CAST(SUM(CASE WHEN r <= {TOP_CONCENTRATION_K} THEN x ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(x) AS BIGINT) * 1e6 + 0.5) / 1e6 AS top3_share
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""

@@ -395,6 +395,12 @@ def _populate() -> None:
         ea.arrival_dispersion,
         ea.ARRIVAL_DISPERSION_SQL,
     )
+    register("q_props_coverage", ea.props_coverage, ea.PROPS_COVERAGE_SQL)
+    register(
+        "q_top_customer_concentration",
+        os_.top_customer_concentration,
+        os_.TOP_CUSTOMER_CONCENTRATION_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the new block above) ----
