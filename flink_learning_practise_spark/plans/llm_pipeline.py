@@ -3416,3 +3416,72 @@ FROM q
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #209 duplicate rate by source: share of each source's docs that lose
+# the greedy near-dup rule (#53's survivor policy: every id_a < id_b
+# pair drops id_b) — the per-feed curation KPI that decides which
+# upstream sources are worth re-crawling vs deduping harder. One
+# distinct over the shared pair tier's loser column + one left join
+# flag + one bounded source rollup.
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    losers = (
+        _shared_pair_tier(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_lost", F.lit(1))
+    )
+    return (
+        docs.join(losers, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_lost"), F.lit(0))).alias("n_dup_losers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_losers",
+            (
+                F.floor(
+                    F.col("n_dup_losers").cast("double")
+                    / F.col("n_docs")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DUP_RATE_BY_SOURCE_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+losers AS (SELECT DISTINCT id_b FROM pairs)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT id_b FROM losers)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_losers,
+       floor(CAST(SUM(CASE WHEN doc_id IN (SELECT id_b FROM losers)
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_rate
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""

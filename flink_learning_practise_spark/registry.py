@@ -401,6 +401,11 @@ def _populate() -> None:
         os_.top_customer_concentration,
         os_.TOP_CUSTOMER_CONCENTRATION_SQL,
     )
+    register(
+        "q_dup_rate_by_source",
+        llm.dup_rate_by_source,
+        llm.DUP_RATE_BY_SOURCE_SQL,
+    )
 
     # ---- r3-dated LLM remainder (next-oldest greens — rotate
     # these into the round-7 window after the new block above) ----
