@@ -63,13 +63,15 @@ def _populate() -> None:
     driver-green rows rotate in behind them so no green row ages more
     than ~two rounds.
 
-    Round-6 window (positions 1-50): the 3 round-5 registrations the
-    full window never reached (positions 1-3, per the r5 verdict),
-    14 NEW queries, then the 33 next-oldest greens (r3-dated TPC-H
-    classics + relational core + windows + joins + the first dedup
-    block).  Round-7 note: rotate the REMAINING r3-dated LLM block
-    (registered at 51+ here, oldest rows after this round) behind any
-    new queries, then the r4-dated tiers.
+    Round-7 window (positions 1-50): the 50 round-6 registrations
+    that had never received a driver row (the full backlog, per the r6
+    verdict ask #1), in their original registration order.  NEW QUERY
+    REGISTRATION IS FROZEN this round — any addition would push a
+    backlog query past position 50 and re-create the gap
+    (tests/test_registry_window.py pins this).  Round-8 note: the
+    backlog drains to zero after this round's driver run; rotate the
+    oldest greens behind any new queries — the r2/r3-dated LLM block
+    at positions 51-67 first, then the r4 tier.
     """
     global _POPULATED
     if _POPULATED:
@@ -84,142 +86,9 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- positions 1-3: registered in r5 but never driver-checked ----
-    register("q_forecast_revenue", tpch.forecast_revenue, tpch.FORECAST_REVENUE_SQL)
-    register("q_promo_suppliers", tpch.promo_suppliers, tpch.PROMO_SUPPLIERS_SQL)
-    register("q_lpa_communities", llm.lpa_communities, llm.LPA_COMMUNITIES_SQL)
-
-    # ---- Tier N: NEW in round 6 (14 queries) ----
-    register(
-        "q_weighted_percentiles",
-        os_.weighted_percentiles,
-        os_.WEIGHTED_PERCENTILES_SQL,
-        headline=True,
-    )
-    register("q_skyline_parts", os_.skyline_parts, os_.SKYLINE_PARTS_SQL)
-    register(
-        "q_duplicate_payments",
-        os_.duplicate_payments,
-        os_.DUPLICATE_PAYMENTS_SQL,
-    )
-    register("q_kaplan_meier", os_.kaplan_meier, os_.KAPLAN_MEIER_SQL)
-    register("q_cohort_ltv", os_.cohort_ltv, os_.COHORT_LTV_SQL, headline=True)
-    register("q_mann_kendall", ea.mann_kendall, ea.MANN_KENDALL_SQL)
-    register("q_interevent_gaps", ea.interevent_gaps, ea.INTEREVENT_GAPS_SQL)
-    register("q_roc_auc", ea.roc_auc, ea.ROC_AUC_SQL, headline=True)
-    register("q_kcore_dupgraph", llm.kcore_dupgraph, llm.KCORE_DUPGRAPH_SQL)
-    register(
-        "q_dupgraph_assortativity",
-        llm.dupgraph_assortativity,
-        llm.DUPGRAPH_ASSORTATIVITY_SQL,
-    )
-    register("q_flesch_reading", llm.flesch_reading, llm.FLESCH_READING_SQL)
-    register("q_normalized_dedup", llm.normalized_dedup, llm.NORMALIZED_DEDUP_SQL)
-    register("q_psi_batch", llm.psi_batch, llm.PSI_BATCH_SQL)
-    register(
-        "q_cluster_silhouette",
-        llm.cluster_silhouette,
-        llm.CLUSTER_SILHOUETTE_SQL,
-    )
-
-    # ---- Tier R: r3-dated rotation (33 queries — oldest green rows,
-    # refreshed against current code this round) ----
-    register(
-        "q_sql_pricing_summary",
-        tpch.pricing_summary,
-        tpch.PRICING_SUMMARY_SQL,
-        headline=True,
-    )
-    register(
-        "q_shipping_priority",
-        tpch.shipping_priority,
-        tpch.SHIPPING_PRIORITY_SQL,
-        headline=True,
-    )
-    register(
-        "q_local_supplier_volume",
-        tpch.local_supplier_volume,
-        tpch.LOCAL_SUPPLIER_VOLUME_SQL,
-        headline=True,
-    )
-    register("q_market_share", tpch.market_share, tpch.MARKET_SHARE_SQL, headline=True)
-    register(
-        "q_order_priority_check",
-        tpch.order_priority_check,
-        tpch.ORDER_PRIORITY_CHECK_SQL,
-        headline=True,
-    )
-    register(
-        "q_customer_order_distribution",
-        tpch.customer_order_distribution,
-        tpch.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-        headline=True,
-    )
-    register(
-        "q_large_volume_orders",
-        tpch.large_volume_orders,
-        tpch.LARGE_VOLUME_ORDERS_SQL,
-    )
-    register(
-        "q_dormant_high_value",
-        tpch.dormant_high_value,
-        tpch.DORMANT_HIGH_VALUE_SQL,
-    )
-    register("q_volume_shipping", tpch.volume_shipping, tpch.VOLUME_SHIPPING_SQL)
-    register(
-        "q_promo_revenue_share",
-        tpch.promo_revenue_share,
-        tpch.PROMO_REVENUE_SHARE_SQL,
-    )
-    register("q_top_supplier", tpch.top_supplier, tpch.TOP_SUPPLIER_SQL)
-    register(
-        "q_small_quantity_revenue",
-        tpch.small_quantity_revenue,
-        tpch.SMALL_QUANTITY_REVENUE_SQL,
-    )
-    register(
-        "q_disjunctive_revenue",
-        tpch.disjunctive_revenue,
-        tpch.DISJUNCTIVE_REVENUE_SQL,
-    )
-    register(
-        "q_sole_returner_suppliers",
-        tpch.sole_returner_suppliers,
-        tpch.SOLE_RETURNER_SUPPLIERS_SQL,
-    )
-
-    # relational core (SURVEY §2 #1-6, #20)
-    register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
-    register("q_filter_pushdown", ea.filter_pushdown, ea.FILTER_PUSHDOWN_SQL)
-    register("q_flatmap_words", ea.flatmap_words, ea.FLATMAP_WORDS_SQL)
-    register("q_keyby_agg", ea.keyby_agg, ea.KEYBY_AGG_SQL)
-    register("q_validate_clean", ea.validate_clean, ea.VALIDATE_CLEAN_SQL)
-    register("q_side_output_errors", ea.side_output_errors, ea.SIDE_OUTPUT_ERRORS_SQL)
-    register("q_json_etl", ea.json_etl, ea.JSON_ETL_SQL, headline=True)
-
-    # windows (#10-14)
-    register("q_tumbling_window", ea.tumbling_window, ea.TUMBLING_WINDOW_SQL, headline=True)
-    register("q_sliding_window", ea.sliding_window, ea.SLIDING_WINDOW_SQL, headline=True)
-    register("q_session_window", ea.session_window, ea.SESSION_WINDOW_SQL, headline=True)
-    register("q_count_window_tumbling", ea.count_window_tumbling, ea.COUNT_WINDOW_TUMBLING_SQL)
-    register("q_count_window_sliding", ea.count_window_sliding, ea.COUNT_WINDOW_SLIDING_SQL)
-
-    # joins (#16-19)
-    register("q_lookup_join", os_.lookup_join, os_.LOOKUP_JOIN_SQL, headline=True)
-    register("q_window_join", ea.window_join, ea.WINDOW_JOIN_SQL)
-    register("q_interval_join", ea.interval_join, ea.INTERVAL_JOIN_SQL, headline=True)
-    register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
-
-    # first dedup block (#37-38b) — fills the window to exactly 50
-    register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
-    register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
-    register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
-
-    # ---- 51+: NEW round 6, past the full window (locally
-    # oracle-proven). ROUND-7 BUILDER: these never-driver-checked
-    # queries — the whole block through q_adamic_adar_links, ~30 of
-    # them — take window positions 1..k first, then fill to 50 with
-    # the oldest driver-green rows (the r5/r6 rotation rule). ----
+    # ---- positions 1-50 (round-7 window): the 50 round-6
+    # registrations that never received a driver row. Exactly
+    # window-sized; nothing else may precede or interleave. ----
     register("q_holt_smoothing", ea.holt_smoothing, ea.HOLT_SMOOTHING_SQL)
     register("q_funnel_latency", ea.funnel_latency, ea.FUNNEL_LATENCY_SQL)
     register("q_event_trigrams", ea.event_trigrams, ea.EVENT_TRIGRAMS_SQL)
@@ -407,8 +276,8 @@ def _populate() -> None:
         llm.DUP_RATE_BY_SOURCE_SQL,
     )
 
-    # ---- r3-dated LLM remainder (next-oldest greens — rotate
-    # these into the round-7 window after the new block above) ----
+    # ---- 51-67: r2/r3-dated LLM remainder (oldest greens — the
+    # round-8 rotation front, per VERDICT r6 ask #4) ----
     register(
         "q_dedup_minhash_lsh",
         llm.dedup_minhash_lsh,
@@ -636,3 +505,135 @@ def _populate() -> None:
         comp.COGROUP_USER_ACTIVITY_SQL,
     )
     register("q_running_total", comp.running_total, comp.RUNNING_TOTAL_SQL)
+
+    # ---- driver-green r6 (freshest rows — tail). Sub-blocks keep
+    # their r6-window structure for greppability. ----
+    # r5 trio (green r6)
+    register("q_forecast_revenue", tpch.forecast_revenue, tpch.FORECAST_REVENUE_SQL)
+    register("q_promo_suppliers", tpch.promo_suppliers, tpch.PROMO_SUPPLIERS_SQL)
+    register("q_lpa_communities", llm.lpa_communities, llm.LPA_COMMUNITIES_SQL)
+
+    # Tier N: registered r6, green r6
+    register(
+        "q_weighted_percentiles",
+        os_.weighted_percentiles,
+        os_.WEIGHTED_PERCENTILES_SQL,
+        headline=True,
+    )
+    register("q_skyline_parts", os_.skyline_parts, os_.SKYLINE_PARTS_SQL)
+    register(
+        "q_duplicate_payments",
+        os_.duplicate_payments,
+        os_.DUPLICATE_PAYMENTS_SQL,
+    )
+    register("q_kaplan_meier", os_.kaplan_meier, os_.KAPLAN_MEIER_SQL)
+    register("q_cohort_ltv", os_.cohort_ltv, os_.COHORT_LTV_SQL, headline=True)
+    register("q_mann_kendall", ea.mann_kendall, ea.MANN_KENDALL_SQL)
+    register("q_interevent_gaps", ea.interevent_gaps, ea.INTEREVENT_GAPS_SQL)
+    register("q_roc_auc", ea.roc_auc, ea.ROC_AUC_SQL, headline=True)
+    register("q_kcore_dupgraph", llm.kcore_dupgraph, llm.KCORE_DUPGRAPH_SQL)
+    register(
+        "q_dupgraph_assortativity",
+        llm.dupgraph_assortativity,
+        llm.DUPGRAPH_ASSORTATIVITY_SQL,
+    )
+    register("q_flesch_reading", llm.flesch_reading, llm.FLESCH_READING_SQL)
+    register("q_normalized_dedup", llm.normalized_dedup, llm.NORMALIZED_DEDUP_SQL)
+    register("q_psi_batch", llm.psi_batch, llm.PSI_BATCH_SQL)
+    register(
+        "q_cluster_silhouette",
+        llm.cluster_silhouette,
+        llm.CLUSTER_SILHOUETTE_SQL,
+    )
+
+    # Tier R: r3-dated rotation, refreshed green r6
+    register(
+        "q_sql_pricing_summary",
+        tpch.pricing_summary,
+        tpch.PRICING_SUMMARY_SQL,
+        headline=True,
+    )
+    register(
+        "q_shipping_priority",
+        tpch.shipping_priority,
+        tpch.SHIPPING_PRIORITY_SQL,
+        headline=True,
+    )
+    register(
+        "q_local_supplier_volume",
+        tpch.local_supplier_volume,
+        tpch.LOCAL_SUPPLIER_VOLUME_SQL,
+        headline=True,
+    )
+    register("q_market_share", tpch.market_share, tpch.MARKET_SHARE_SQL, headline=True)
+    register(
+        "q_order_priority_check",
+        tpch.order_priority_check,
+        tpch.ORDER_PRIORITY_CHECK_SQL,
+        headline=True,
+    )
+    register(
+        "q_customer_order_distribution",
+        tpch.customer_order_distribution,
+        tpch.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        headline=True,
+    )
+    register(
+        "q_large_volume_orders",
+        tpch.large_volume_orders,
+        tpch.LARGE_VOLUME_ORDERS_SQL,
+    )
+    register(
+        "q_dormant_high_value",
+        tpch.dormant_high_value,
+        tpch.DORMANT_HIGH_VALUE_SQL,
+    )
+    register("q_volume_shipping", tpch.volume_shipping, tpch.VOLUME_SHIPPING_SQL)
+    register(
+        "q_promo_revenue_share",
+        tpch.promo_revenue_share,
+        tpch.PROMO_REVENUE_SHARE_SQL,
+    )
+    register("q_top_supplier", tpch.top_supplier, tpch.TOP_SUPPLIER_SQL)
+    register(
+        "q_small_quantity_revenue",
+        tpch.small_quantity_revenue,
+        tpch.SMALL_QUANTITY_REVENUE_SQL,
+    )
+    register(
+        "q_disjunctive_revenue",
+        tpch.disjunctive_revenue,
+        tpch.DISJUNCTIVE_REVENUE_SQL,
+    )
+    register(
+        "q_sole_returner_suppliers",
+        tpch.sole_returner_suppliers,
+        tpch.SOLE_RETURNER_SUPPLIERS_SQL,
+    )
+
+    # relational core (SURVEY §2 #1-6, #20)
+    register("q_select_project", ea.select_project, ea.SELECT_PROJECT_SQL)
+    register("q_filter_pushdown", ea.filter_pushdown, ea.FILTER_PUSHDOWN_SQL)
+    register("q_flatmap_words", ea.flatmap_words, ea.FLATMAP_WORDS_SQL)
+    register("q_keyby_agg", ea.keyby_agg, ea.KEYBY_AGG_SQL)
+    register("q_validate_clean", ea.validate_clean, ea.VALIDATE_CLEAN_SQL)
+    register("q_side_output_errors", ea.side_output_errors, ea.SIDE_OUTPUT_ERRORS_SQL)
+    register("q_json_etl", ea.json_etl, ea.JSON_ETL_SQL, headline=True)
+
+    # windows (#10-14)
+    register("q_tumbling_window", ea.tumbling_window, ea.TUMBLING_WINDOW_SQL, headline=True)
+    register("q_sliding_window", ea.sliding_window, ea.SLIDING_WINDOW_SQL, headline=True)
+    register("q_session_window", ea.session_window, ea.SESSION_WINDOW_SQL, headline=True)
+    register("q_count_window_tumbling", ea.count_window_tumbling, ea.COUNT_WINDOW_TUMBLING_SQL)
+    register("q_count_window_sliding", ea.count_window_sliding, ea.COUNT_WINDOW_SLIDING_SQL)
+
+    # joins (#16-19)
+    register("q_lookup_join", os_.lookup_join, os_.LOOKUP_JOIN_SQL, headline=True)
+    register("q_window_join", ea.window_join, ea.WINDOW_JOIN_SQL)
+    register("q_interval_join", ea.interval_join, ea.INTERVAL_JOIN_SQL, headline=True)
+    register("q_asof_join", ea.asof_join, ea.ASOF_JOIN_SQL, headline=True)
+
+    # first dedup block (#37-38b) — fills the window to exactly 50
+    register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
+    register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
+    register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
