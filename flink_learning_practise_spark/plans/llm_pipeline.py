@@ -3031,33 +3031,35 @@ WHERE CAST(n_common AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
 # classic "which near-dup clusters are about to merge" signal (Adamic
 # & Adar 2003); rare shared neighbors weigh more than boilerplate
 # hubs. Rides the SAME localCheckpointed pair tier as CC/PageRank/
-# triangles; wedges come from one neighbor self-join keyed on the
-# middle vertex (fan-out Σ deg(w)² — the 1/ln(deg) weight itself says
-# super-hubs contribute ~nothing, so at 100 TB a deg-cap prefilter on
-# w drops them with bounded error; exact here, corpus max degree is
-# small). Middle vertices always have deg ≥ 2 so ln never hits 0;
-# per-wedge weights round@9 → DECIMAL sums (order-independent).
+# triangles; wedges come from operators.graph.capped_wedges — one
+# neighbor self-join keyed on the middle vertex with a DEGREE CAP on
+# the middle (fan-out Σ_w C(deg(w),2) is quadratic in hub degree; the
+# 1/ln(deg) weight itself says super-hubs contribute ~nothing, so
+# dropping middles with deg > AA_DEG_CAP loses < 1/ln(cap) per wedge —
+# bounded error at 100 TB, EXACT here since the corpus max degree is
+# far below the cap, so the uncapped oracle matches). Middle vertices
+# always have deg ≥ 2 so ln never hits 0; per-wedge weights round@9 →
+# DECIMAL sums (order-independent).
 
 AA_TOP_K = 30
+# Exactness bound at driver SFs (dup-graph max degree is O(10) there);
+# at 100 TB this is the knob that trades < 1/ln(4096) ≈ 0.12 of AA
+# weight per dropped hub wedge for a C(cap,2) fan-out ceiling.
+AA_DEG_CAP = 4096
 
 
 def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
     pairs = _shared_pair_tier(spark, sf_dir).select("id_a", "id_b")
-    nbr = pairs.select(
-        F.col("id_a").alias("w"), F.col("id_b").alias("u")
-    ).unionByName(pairs.select(F.col("id_b").alias("w"), F.col("id_a").alias("u")))
-    deg = nbr.groupBy("w").agg(F.count(F.lit(1)).alias("_deg"))
-    n1 = nbr.select("w", F.col("u").alias("u"))
-    n2 = nbr.select("w", F.col("u").alias("v"))
-    wedges = n1.join(n2, "w").where(F.col("u") < F.col("v"))
+    wedges, _ = graph.capped_wedges(pairs, "id_a", "id_b", deg_cap=AA_DEG_CAP)
     aa = (
-        wedges.join(deg, "w")
-        .groupBy("u", "v")
+        wedges.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             F.sum(
                 F.round(
-                    F.lit(1.0) / F.log(F.col("_deg").cast("double")), 9
+                    F.lit(1.0) / F.log(F.col("d").cast("double")), 9
                 ).cast("decimal(18,9)")
             ).alias("_aa"),
         )

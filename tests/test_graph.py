@@ -369,3 +369,50 @@ def test_local_clustering_matches_bruteforce(spark):
         import math
         want_lcc = math.floor(2.0 * t / (d * (d - 1)) * 1e6 + 0.5) / 1e6
         assert got[v] == (d, t, want_lcc), f"vertex {v}"
+
+
+# ---------------------------------------------------------------------------
+# capped_wedges (VERDICT-r6 Adamic-Adar fix): hub-bounded wedge
+# enumeration keyed on the middle vertex.
+
+from flink_learning_practise_spark.operators.graph import capped_wedges
+
+
+def _wedges(spark, edges, deg_cap=None):
+    df = spark.createDataFrame(edges, "u long, v long")
+    w, deg = capped_wedges(df, "u", "v", deg_cap=deg_cap)
+    return (
+        sorted((r.w, r.u, r.v) for r in w.collect()),
+        {r.w: r.d for r in deg.collect()},
+    )
+
+
+def test_capped_wedges_uncapped_matches_bruteforce(spark):
+    # path 1-2-3-4 plus spur 2-5: middles 2 (deg 3) and 3 (deg 2).
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5)]
+    got, deg = _wedges(spark, edges)
+    assert got == [(2, 1, 3), (2, 1, 5), (2, 3, 5), (3, 2, 4)]
+    assert deg == {1: 1, 2: 3, 3: 2, 4: 1, 5: 1}
+
+
+def test_capped_wedges_hub_is_dropped_not_squared(spark):
+    """A boilerplate hub of degree H contributes C(H, 2) wedges — the
+    quadratic fan-out the cap exists to bound. With cap < H the hub
+    middle vanishes entirely; low-degree middles are untouched."""
+    hub = [(100, i) for i in range(1, 41)]  # deg(100) = 40
+    tail = [(1, 2)]  # makes 1 and 2 middles of deg 2 (hub edge + this)
+    got, deg = _wedges(spark, hub + tail, deg_cap=10)
+    assert deg[100] == 40
+    # No wedge has the hub as middle; only the two deg-2 middles survive.
+    assert all(w != 100 for (w, _, _) in got)
+    assert got == [(1, 2, 100), (2, 1, 100)]
+    # Uncapped, the hub alone would have contributed C(40,2) wedges.
+    uncapped, _ = _wedges(spark, hub + tail)
+    assert sum(1 for (w, _, _) in uncapped if w == 100) == 40 * 39 // 2
+
+
+def test_capped_wedges_exact_when_cap_at_max_degree(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (100, 1), (100, 3)]
+    exact, _ = _wedges(spark, edges)
+    capped, _ = _wedges(spark, edges, deg_cap=4)  # max degree is 4
+    assert capped == exact
