@@ -244,6 +244,191 @@ def global_ntile(
     ).drop("_grank")
 
 
+def _ntile_cuts(n_total: int, n_buckets: int) -> list[int]:
+    """ntile's cumulative cut ranks: the global rank of the LAST row of
+    each of buckets 1..B-1 (first N mod B buckets are one row larger).
+    Deduped and 0-free so n < B degenerates gracefully."""
+    q, m = divmod(n_total, n_buckets)
+    big = q + 1
+    return sorted(
+        {k * big if k <= m else m * big + (k - m) * q
+         for k in range(1, n_buckets)} - {0}
+    )
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    n_buckets: int,
+    orderings: list[tuple[list[str], str]],
+    stack_cast: str | None = None,
+) -> DataFrame:
+    """Several ntile scores over DIFFERENT orderings of one frame,
+    with ZERO exchanges of the scored frame (VERDICT r6 ask #6: rfm
+    chained three :func:`global_ntile` calls, range-exchanging and
+    checkpointing the full customer tier three times).
+
+    ``orderings`` is ``[(order_cols, bucket_col), ...]``; each
+    ``order_cols`` must be a STRICT total order (append a unique
+    tie-break key — SQL ``ntile``'s determinism needs that anyway).
+
+    Per measure: rank only the narrow ``order_cols`` projection
+    (2 columns move through the range exchange, not the full row),
+    keep the rows at ntile's B-1 cumulative cut ranks — the exact
+    bucket-boundary tuples — and ``collect()`` them (bounded:
+    ``n_buckets - 1`` rows, same driver-scalar class as the rank
+    pass's partition-count offsets). Bucket assignment on the full
+    frame is then a map-side expression counting boundaries strictly
+    below the row's tuple — exact ntile semantics (first N mod B
+    buckets one row larger) because in a total order the row at
+    global rank r has exactly ``#{cut ranks < r}`` boundaries below
+    it.  The scored frame itself never shuffles; at 100 TB the only
+    data movement is B-1-quantile selection over column-pruned
+    projections.
+
+    ``stack_cast`` (e.g. ``"double"``) collapses the per-measure rank
+    passes into ONE: every ordering must then be ``[measure, key]``
+    with the SAME key column, and casting each measure to
+    ``stack_cast`` must be ORDER-EXACT (caller-asserted — ints below
+    2^53 into double, say).  The measures stack into a single
+    (tag, value, key) projection, so boundary extraction for all
+    measures costs one range exchange + one checkpoint + two bounded
+    collects instead of 3x that — at local/bench scale the job-launch
+    overhead of the per-measure path dominates its runtime.
+
+    Callers should memoize ``df`` (``localCheckpoint``) — each
+    projection pass re-reads it.
+    """
+    if stack_cast is not None:
+        return _global_ntile_stacked(df, n_buckets, orderings, stack_cast)
+    out = df
+    for order_cols, bucket_col in orderings:
+        ranked, n_total = _global_rank_with_total(
+            df.select(*order_cols), order_cols, "_grank", None
+        )
+        cuts = _ntile_cuts(n_total, n_buckets)
+        bounds = sorted(
+            tuple(r[c] for c in order_cols)
+            for r in ranked.where(
+                F.col("_grank").isin([int(c) for c in cuts])
+            ).select(*order_cols).collect()
+        )
+        out = _with_bucket_from_bounds(out, order_cols, bucket_col, bounds)
+    return out
+
+
+def _with_bucket_from_bounds(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket_col: str,
+    bounds: list[tuple],
+) -> DataFrame:
+    """bucket = 1 + #{boundary tuples strictly below this row}.
+
+    Flat expression tree (a chain of B-1 nested whens overflows the
+    column-converter stack for large B): lexicographic struct
+    comparison against an array literal of boundary structs, counted
+    with a JVM higher-order filter."""
+    row_s = F.struct(*[F.col(c) for c in order_cols])
+    bound_arr = F.array(*[
+        F.struct(*[F.lit(v).alias(c) for c, v in zip(order_cols, b)])
+        for b in bounds
+    ])
+    expr = F.lit(1) + (
+        F.size(F.filter(bound_arr, lambda s: row_s > s))
+        if bounds else F.lit(0)
+    )
+    return df.withColumn(bucket_col, expr.cast("int"))
+
+
+def _global_ntile_stacked(
+    df: DataFrame,
+    n_buckets: int,
+    orderings: list[tuple[list[str], str]],
+    stack_cast: str,
+) -> DataFrame:
+    """One-exchange boundary extraction for ALL measures: stack the
+    (measure, key) projections as (tag, value, key), range-exchange
+    once on (tag, value, key), then read every measure's B-1 ntile
+    boundaries out of the single pinned sort. Driver traffic is one
+    (pid, tag) count frame (#partitions x #measures rows) plus
+    #measures x (B-1) boundary tuples — the same bounded-scalar class
+    as :func:`_global_rank_with_total`'s prefix offsets."""
+    from pyspark.sql import Window
+
+    keys = {cols[1] for cols, _ in orderings}
+    assert len(keys) == 1 and all(len(c) == 2 for c, _ in orderings), (
+        "stack_cast requires orderings of ([measure, key], out) with "
+        "one shared key column"
+    )
+    key = keys.pop()
+    stacked = None
+    for tag, (cols, _) in enumerate(orderings):
+        part = df.select(
+            F.lit(tag).alias("_tag"),
+            F.col(cols[0]).cast(stack_cast).alias("_v"),
+            F.col(key).alias("_k"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    pinned = (
+        stacked.repartitionByRange(p, "_tag", "_v", "_k")
+        .sortWithinPartitions("_tag", "_v", "_k")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        (r["_pid"], r["_tag"]): r["n"]
+        for r in pinned.groupBy("_pid", "_tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pids = sorted({pid for pid, _ in counts})
+    # Per-tag global rank = per-(pid, tag) local row_number + the
+    # per-tag prefix offset of earlier partitions (a when-chain over
+    # #partitions x #measures literals, the rank pass's own pattern).
+    offset = F.lit(0)
+    acc = {tag: 0 for tag in range(len(orderings))}
+    for pid in pids:
+        for tag in acc:
+            n = counts.get((pid, tag), 0)
+            if n:
+                offset = F.when(
+                    (F.col("_pid") == pid) & (F.col("_tag") == tag),
+                    F.lit(acc[tag]),
+                ).otherwise(offset)
+                acc[tag] += n
+    cut_sets = {
+        tag: _ntile_cuts(acc[tag], n_buckets) for tag in acc
+    }
+    is_cut = F.lit(False)
+    for tag, cuts in cut_sets.items():
+        if cuts:
+            is_cut = F.when(
+                F.col("_tag") == tag,
+                F.col("_gr").isin([int(c) for c in cuts]),
+            ).otherwise(is_cut)
+    w = Window.partitionBy("_pid", "_tag").orderBy("_v", "_k")
+    bound_rows = (
+        pinned.withColumn("_gr", F.row_number().over(w) + offset)
+        .where(is_cut)
+        .select("_tag", "_v", "_k")
+        .collect()
+    )
+    out = df
+    for tag, (cols, bucket_col) in enumerate(orderings):
+        bounds = sorted(
+            (r["_v"], r["_k"]) for r in bound_rows if r["_tag"] == tag
+        )
+        cast_cols = [f"__cast_{cols[0]}", key]
+        out = _with_bucket_from_bounds(
+            out.withColumn(cast_cols[0], F.col(cols[0]).cast(stack_cast)),
+            cast_cols,
+            bucket_col,
+            bounds,
+        ).drop(cast_cols[0])
+    return out
+
+
 def ewma(
     df: DataFrame,
     key_cols: list[str],

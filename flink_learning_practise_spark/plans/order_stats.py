@@ -473,19 +473,24 @@ LIMIT {BASKET_TOP_N}
 
 # ---------------------------------------------------------------------------
 # #123 RFM segmentation: recency / frequency / monetary quartiles per
-# customer, each scored 1-4 by DISTRIBUTED ntile (transforms.global_ntile
-# — the single-partition `ntile() OVER (ORDER BY ..)` trap is exactly
-# what it replaces), then segment-level rollup. Order facts aggregate
-# to one row per customer FIRST (keyed exchange with map-side partials)
-# so the three rank passes run on customer cardinality, not fact
-# cardinality.
+# customer, each scored 1-4 by DISTRIBUTED ntile — the
+# single-partition `ntile() OVER (ORDER BY ..)` trap is exactly what
+# this replaces. Order facts aggregate to one row per customer FIRST
+# (keyed exchange with map-side partials) so ranking runs on customer
+# cardinality, not fact cardinality. The three scores come from ONE
+# memoized customer tier via transforms.global_ntile_multi (VERDICT
+# r6 ask #6): each measure ranks only its narrow (measure, custkey)
+# projection and keeps the 3 exact quartile-boundary tuples; score
+# assignment is a map-side CASE, so the customer tier itself is never
+# range-exchanged (the old shape paid 3 full-frame range exchanges +
+# checkpoints).
 
 RFM_REF_DATE = "2025-01-01"
 RFM_BUCKETS = 4
 
 
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.transforms import global_ntile
+    from ..operators.transforms import global_ntile_multi
 
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -494,14 +499,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice", "monetary"),
+    ).localCheckpoint(eager=False)
+    # stack_cast="double" is order-exact here: recency is int days,
+    # frequency a count (< 2^53), monetary already a double.
+    scored = global_ntile_multi(
+        per_cust,
+        RFM_BUCKETS,
+        [
+            (["recency_days", "o_custkey"], "r_score"),
+            (["frequency", "o_custkey"], "f_score"),
+            (["monetary", "o_custkey"], "m_score"),
+        ],
+        stack_cast="double",
     )
-    r = global_ntile(
-        per_cust, RFM_BUCKETS, ["recency_days", "o_custkey"], "r_score"
-    )
-    f = global_ntile(r, RFM_BUCKETS, ["frequency", "o_custkey"], "f_score")
-    m = global_ntile(f, RFM_BUCKETS, ["monetary", "o_custkey"], "m_score")
     return (
-        m.groupBy("r_score", "f_score", "m_score")
+        scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             davg("monetary", "avg_monetary"),

@@ -256,6 +256,48 @@ def test_global_rank_and_ntile_match_window_semantics(spark):
         assert gb == wb, f"ntile({b}) mismatch"
 
 
+def test_global_ntile_multi_matches_window_ntile(spark):
+    """Boundary-tuple multi-ntile (zero exchanges of the scored frame)
+    must agree exactly with ntile() OVER for every measure, including
+    more buckets than rows."""
+    from pyspark.sql import Window
+
+    from flink_learning_practise_spark.operators.transforms import (
+        global_ntile_multi,
+    )
+
+    df = spark.range(500).selectExpr(
+        "pmod(hash(id), 53) AS a",
+        "pmod(hash(id * 7 + 1), 11) AS b",
+        "id",
+    )
+    for nb in (4, 7, 800):  # incl. more buckets than rows
+        got = {
+            r.id: (r.sa, r.sb)
+            for r in global_ntile_multi(
+                df, nb, [(["a", "id"], "sa"), (["b", "id"], "sb")]
+            ).collect()
+        }
+        want = {
+            r.id: (r.wa, r.wb)
+            for r in df.withColumn(
+                "wa", F.ntile(nb).over(Window.orderBy("a", "id"))
+            ).withColumn(
+                "wb", F.ntile(nb).over(Window.orderBy("b", "id"))
+            ).collect()
+        }
+        assert got == want, f"multi-ntile({nb}) mismatch"
+        # stacked single-exchange path: same contract
+        got_s = {
+            r.id: (r.sa, r.sb)
+            for r in global_ntile_multi(
+                df, nb, [(["a", "id"], "sa"), (["b", "id"], "sb")],
+                stack_cast="double",
+            ).collect()
+        }
+        assert got_s == want, f"stacked multi-ntile({nb}) mismatch"
+
+
 def test_ewma_matches_pure_python_fold(spark):
     """The JVM array-fold EWMA must equal a plain Python recursion with
     the same quantization, for random series across multiple keys
