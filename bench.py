@@ -105,8 +105,19 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="flp-spark-bench")
-    spark.sparkContext.setLogLevel("WARN")
+    # Console progress bars are the other tail polluter besides WARNs —
+    # one CR-spliced [Stage n] line per job x 214 queries x 3 passes.
+    spark = get_spark(
+        app_name="flp-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # ERROR, not WARN (VERDICT r6 ask #5): the 6 allowlisted
+    # bounded-frame window tiers each emit a "No Partition Defined"
+    # WARN from WindowExec per pass, and at 214 queries x 3 passes
+    # that flood was ~90% of the output tail the driver captures
+    # around the JSON line.  Bench needs no WARNs: query failures are
+    # caught and recorded in the evidence sidecar explicitly.
+    spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
     # Warm the Python/Arrow worker pool once for the mapInPandas paths.
