@@ -601,16 +601,19 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this in BENCH_EVIDENCE.json so a reader knows the tier build cost
 # lands on whichever of these runs FIRST in each timing pass
 PAIR_TIER_CONSUMERS = (
-    "q_lpa_communities",  # registry order — first consumer warms the memo
-    "q_kcore_dupgraph",
-    "q_dupgraph_assortativity",
+    "q_adamic_adar_links",  # registry order — first consumer warms the memo
+    "q_local_clustering",
+    "q_dup_rate_by_source",
+    "q_dedup_clusters_star",
+    "q_pagerank_dupgraph",
+    "q_dedup_cluster_stats",
     "q_triangle_census",
     "q_dupgraph_degrees",
     "q_dedup_survivors",
     "q_dedup_clusters",
-    "q_dedup_clusters_star",
-    "q_pagerank_dupgraph",
-    "q_dedup_cluster_stats",
+    "q_lpa_communities",
+    "q_kcore_dupgraph",
+    "q_dupgraph_assortativity",
 )
 
 

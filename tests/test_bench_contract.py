@@ -48,3 +48,30 @@ def test_bench_main_prints_compact_line_only(monkeypatch):
     # the only print of `out` is the compact line
     assert "print(json.dumps(out))" in src
     assert '"queries": timings' not in src.split("print(json.dumps(out))")[1]
+
+
+def test_pair_tier_consumers_matches_source_and_registry_order():
+    """PAIR_TIER_CONSUMERS feeds BENCH_EVIDENCE (cost attribution) and
+    the extra-sample re-warm path; round 6 registered three new
+    consumers without updating it.  Derive the true consumer set from
+    the plan source (functions whose body calls _shared_pair_tier) and
+    pin the tuple to exactly that set, in registry order."""
+    import inspect
+    import re
+
+    from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+    src = inspect.getsource(llm)
+    callers = set()
+    for m in re.finditer(r"^def (\w+)\(", src, re.M):
+        nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
+        body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
+        if "_shared_pair_tier(" in body and m.group(1) != "_shared_pair_tier":
+            callers.add(m.group(1))
+    order = list(all_queries().items())
+    want = tuple(
+        name for name, q in order if q.fn.__name__ in callers
+    )
+    assert llm.PAIR_TIER_CONSUMERS == want, (
+        f"PAIR_TIER_CONSUMERS drifted: expected {want}"
+    )
