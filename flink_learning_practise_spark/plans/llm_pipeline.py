@@ -56,10 +56,12 @@ sh AS (
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
-    )
+    # IS the shared pair tier: same PPJoin (k=3, module threshold) and
+    # the tier's exact (id_a, id_b, jaccard) schema — recomputing the
+    # prefix-filtered join here was the one pair-tier derivation the
+    # memo didn't cover (~3 s/pass at sf0.1, the suite's 3rd most
+    # expensive line, for work the build pass had already done).
+    return _shared_pair_tier(spark, sf_dir)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -614,6 +616,7 @@ PAIR_TIER_CONSUMERS = (
     "q_lpa_communities",
     "q_kcore_dupgraph",
     "q_dupgraph_assortativity",
+    "q_dedup_ngram_jaccard",
 )
 
 
