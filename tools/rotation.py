@@ -1,0 +1,76 @@
+"""Print the recommended correctness-window rotation for next round.
+
+The driver checks only the FIRST 50 registry entries per round, so
+registration order is a budget (see registry._populate and
+tests/test_registry_window.py). This tool derives the next window from
+the committed driver records:
+
+1. never-driver-checked queries first, in current registry order
+   (these are silently skipped forever if they sit past position 50);
+2. then the OLDEST driver-green rows (ties broken by registry order)
+   until the window is full — so no green row ages unchecked
+   indefinitely.
+
+Run: python tools/rotation.py
+Output: one line per query — position, name, last-green round (or
+NEVER), current registry position — for the top 50, then a summary of
+green-age buckets for everything else.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_learning_practise_spark.registry import all_queries  # noqa: E402
+
+WINDOW = 50
+
+
+def last_green_by_query(repo_root: str) -> dict[str, int]:
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
+        rnd = int(digits)
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def rotation_plan(
+    order: list[str], last: dict[str, int]
+) -> list[tuple[str, int | None]]:
+    """Full registry reordered by the rotation rule: never-checked
+    first (registry order), then ascending last-green round."""
+    pos = {n: i for i, n in enumerate(order)}
+    return sorted(
+        ((n, last.get(n)) for n in order),
+        key=lambda x: (x[1] is not None, x[1] or 0, pos[x[0]]),
+    )
+
+
+def main() -> None:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = last_green_by_query(repo_root)
+    order = list(all_queries())
+    plan = rotation_plan(order, last)
+    pos = {n: i + 1 for i, n in enumerate(order)}
+    print(f"# next-round window (top {WINDOW} of {len(plan)}):")
+    for i, (name, rnd) in enumerate(plan[:WINDOW], 1):
+        tag = f"r{rnd}" if rnd else "NEVER"
+        print(f"{i:3d} {name:40s} last-green={tag:6s} now-at={pos[name]}")
+    from collections import Counter
+
+    ages = Counter(
+        f"r{rnd}" if rnd else "NEVER" for _, rnd in plan[WINDOW:]
+    )
+    print(f"# beyond the window: {dict(sorted(ages.items()))}")
+
+
+if __name__ == "__main__":
+    main()
