@@ -547,3 +547,91 @@ def test_user_entropy_matches_math(spark, evs):
         want = -sum(c / n * math.log(c / n) for c in cnt.values())
         assert abs(got[u] - want) < 1e-5
         assert got[u] >= -1e-9  # entropy is nonnegative
+
+
+# ---------------------------------------------------------------------------
+# global_ntile_multi (round 7): boundary-tuple multi-measure ntile —
+# both the per-measure and stacked single-exchange paths must equal
+# a brute-force sorted-assignment for arbitrary data/bucket shapes.
+
+ntile_rows = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(-9, 9)),  # (a, b) measures
+    min_size=1,
+    max_size=40,
+)
+
+
+def _brute_ntile(vals: list[tuple], n_buckets: int) -> dict:
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    q, m = divmod(len(vals), n_buckets)
+    out = {}
+    pos = 0
+    for b in range(1, n_buckets + 1):
+        size = q + (1 if b <= m else 0)
+        for _ in range(size):
+            if pos < len(order):
+                out[order[pos]] = b
+                pos += 1
+    return out
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(rows=ntile_rows, nb=st.integers(2, 9))
+def test_global_ntile_multi_property(spark, rows, nb):
+    from flink_learning_practise_spark.operators.transforms import (
+        global_ntile_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, a long, b long"
+    )
+    want_a = _brute_ntile([(a, i) for i, (a, _) in enumerate(rows)], nb)
+    want_b = _brute_ntile([(b, i) for i, (_, b) in enumerate(rows)], nb)
+    for kw in ({}, {"stack_cast": "double"}):
+        got = {
+            r.id: (r.sa, r.sb)
+            for r in global_ntile_multi(
+                df, nb, [(["a", "id"], "sa"), (["b", "id"], "sb")], **kw
+            ).collect()
+        }
+        assert got == {
+            i: (want_a[i], want_b[i]) for i in range(len(rows))
+        }, f"path={kw}"
+
+
+# ---------------------------------------------------------------------------
+# capped_wedges (round 7): wedge set must equal brute force under any
+# cap, restricted to middles with degree <= cap.
+
+wedge_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@settings(deadline=None, max_examples=10, derandomize=True)
+@given(edges=wedge_edges, cap=st.integers(1, 12))
+def test_capped_wedges_property(spark, edges, cap):
+    from flink_learning_practise_spark.operators.graph import capped_wedges
+
+    # canonical undirected pair list (u < v, deduped) — the pair-tier shape
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(pairs, "u long, v long")
+    w, _ = capped_wedges(df, "u", "v", deg_cap=cap)
+    got = sorted((r.w, r.u, r.v) for r in w.collect())
+
+    nbr: dict[int, set] = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = sorted(
+        (m, x, y)
+        for m, ns in nbr.items()
+        if len(ns) <= cap
+        for x in ns
+        for y in ns
+        if x < y
+    )
+    assert got == want
