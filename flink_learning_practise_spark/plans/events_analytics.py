@@ -1413,25 +1413,45 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_views"),
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
-            dsum("value", "total_value"),
+            # NOT dsum: `value` is a DOUBLE, and CAST(double AS
+            # DECIMAL(18,6)) rounds per-engine (Spark HALF_UP on the
+            # decimal expansion, DuckDB on the scaled binary) — a
+            # latent 1-ulp divergence class. floor(x*1e6 + 0.5) is
+            # plain IEEE, bit-identical in both engines; the micros
+            # SUM is then exact decimal.
+            (
+                F.sum(
+                    F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / 1e6
+            ).alias("total_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
             F.countDistinct(F.to_date("ts")).alias("active_days"),
-            F.round(
-                F.when(
-                    n > 1,
-                    (F.max(epoch) - F.min(epoch)).cast("double")
-                    / 1_000_000.0
-                    / (n - 1),
-                ),
-                6,
+            # round(x, 6) is the engine-divergent trap (Spark HALF_UP
+            # vs DuckDB scaled-binary): user 1124 at sf0.1 lands the
+            # mean gap exactly on a .xxxxxx5 boundary and the two
+            # engines round it apart. floor(us/(n-1) + 0.5)/1e6 —
+            # round-to-micros in integer space — is IEEE-identical.
+            F.when(
+                n > 1,
+                F.floor(
+                    (F.max(epoch) - F.min(epoch)).cast("double") / (n - 1)
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0,
             ).alias("mean_gap_sec"),
         )
         .withColumn(
             "purchase_per_view",
             F.when(
                 F.col("n_views") > 0,
-                F.round(F.col("n_purchases") / F.col("n_views"), 6),
+                F.floor(
+                    F.col("n_purchases") / F.col("n_views") * 1e6 + F.lit(0.5)
+                )
+                / 1e6,
             ),
         )
     )
@@ -1443,17 +1463,19 @@ SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)
+         / 1e6 AS total_value,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts,
        COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
        CASE WHEN COUNT(*) > 1
-            THEN round(CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE)
-                       / 1000000.0 / (COUNT(*) - 1), 6)
+            THEN floor(CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE)
+                       / (COUNT(*) - 1) + 0.5) / 1000000.0
        END AS mean_gap_sec,
        CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
-            THEN round(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                       / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), 6)
+            THEN floor(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6
        END AS purchase_per_view
 FROM events
 GROUP BY user_id
