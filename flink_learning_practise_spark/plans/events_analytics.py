@@ -1716,8 +1716,12 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# base AS MATERIALIZED: DuckDB 1.0 inlines plain CTEs, so the recursive
+# arm's join would re-run the row_number window over the full events
+# scan at EVERY recursion depth (max per-user chain length) — hint it
+# once (DuckDB-only syntax; oracles never run on Spark).
 USER_VALUE_EWMA_SQL = f"""
-WITH RECURSIVE base AS (
+WITH RECURSIVE base AS MATERIALIZED (
   SELECT user_id, event_id, ts, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
@@ -3113,8 +3117,10 @@ def holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "event_id", "value", "level", "trend")
 
 
+# base AS MATERIALIZED — same inlined-CTE-in-recursion trap as
+# USER_VALUE_EWMA_SQL above.
 HOLT_SMOOTHING_SQL = f"""
-WITH RECURSIVE base AS (
+WITH RECURSIVE base AS MATERIALIZED (
   SELECT user_id, event_id, ts, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events

@@ -2294,14 +2294,21 @@ def kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every k-core round references the previous edge frame THREE times
+# (twice in the degree UNION ALL, once in the filtered projection), and
+# DuckDB 1.0 INLINES plain CTEs — so without MATERIALIZED hints the
+# shingle self-join upstream is re-evaluated 3^rounds times: measured
+# 120 s at sf0.01 and unbounded temp-disk spill at sf0.1, vs 0.17 s
+# materialized (identical rows/types; oracle SQL is DuckDB-only so the
+# hint costs Spark nothing). Hence AS MATERIALIZED on every CTE here.
 def _kcore_round_sql(prev_e: str, d: str, kset: str, out_e: str) -> str:
-    return f"""{d} AS (
+    return f"""{d} AS MATERIALIZED (
   SELECT id, COUNT(*) AS d FROM (
     SELECT u AS id FROM {prev_e} UNION ALL SELECT v FROM {prev_e}
   ) GROUP BY 1
 ),
-{kset} AS (SELECT id FROM {d} WHERE d >= {KCORE_K}),
-{out_e} AS (
+{kset} AS MATERIALIZED (SELECT id FROM {d} WHERE d >= {KCORE_K}),
+{out_e} AS MATERIALIZED (
   SELECT u, v FROM {prev_e}
   WHERE u IN (SELECT id FROM {kset}) AND v IN (SELECT id FROM {kset})
 )"""
@@ -2309,19 +2316,19 @@ def _kcore_round_sql(prev_e: str, d: str, kset: str, out_e: str) -> str:
 
 KCORE_DUPGRAPH_SQL = f"""
 WITH RECURSIVE {SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 ),
-e0 AS (SELECT id_a AS u, id_b AS v FROM pairs),
+e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs),
 {",".join(_kcore_round_sql(f"e{i}", f"d{i + 1}", f"k{i + 1}", f"e{i + 1}")
           for i in range(KCORE_ROUNDS))}
 SELECT id AS doc_id, CAST(d AS BIGINT) AS degree FROM (

@@ -1618,14 +1618,19 @@ def cusum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED hints (DuckDB-only syntax; the oracle never runs on
+# Spark): DuckDB 1.0 inlines plain CTEs, so un-hinted `base` — and
+# `daily` under it, referenced 3x — would be re-evaluated at every one
+# of the ~n_days recursion steps, re-aggregating the orders scan each
+# time (measured 14.4 s at sf0.01 vs ~0.2 s materialized).
 CUSUM_REVENUE_SQL = """
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT CAST(o_orderdate AS DATE) AS d,
          CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS revenue_cents
   FROM orders GROUP BY 1
 ),
-base AS (
+base AS MATERIALIZED (
   SELECT d, revenue_cents,
          row_number() OVER (ORDER BY d) AS rn,
          (SELECT COUNT(*) FROM daily) AS n,
