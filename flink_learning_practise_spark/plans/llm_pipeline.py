@@ -1399,6 +1399,10 @@ def _pagerank_sql() -> str:
     GROUP BY e.d
   ) c ON vv.v = c.v
 )""")
+    # edges/deg are referenced once per unrolled round — DuckDB 1.0
+    # inlines plain CTEs, so without MATERIALIZED the shingle pair
+    # join above them would be re-evaluated PR_ITERS times (oracle
+    # strings are DuckDB-only; the hint costs Spark nothing).
     return f"""
 WITH {SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1407,19 +1411,19 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
 ),
-verts AS (SELECT doc_id AS v FROM documents),
-n AS (SELECT COUNT(*) AS n FROM verts),
-deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+verts AS MATERIALIZED (SELECT doc_id AS v FROM documents),
+n AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
 r0 AS (SELECT v, floor(1.0 / (SELECT n FROM n) * 1e9 + 0.5) / 1e9 AS pr FROM verts),
 {",".join(rounds)}
 SELECT v AS doc_id, pr AS pagerank FROM r{PR_ITERS}
@@ -2255,7 +2259,10 @@ pairs AS (
   JOIN sizes sb ON id_b = sb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 ),
-eb AS (
+eb AS MATERIALIZED (
+  -- MATERIALIZED: eb is referenced once per unrolled LPA round; DuckDB
+  -- 1.0 would otherwise inline it and re-run the shingle pair join
+  -- LPA_ITERATIONS times (DuckDB-only syntax, never runs on Spark)
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
 ),
