@@ -31,14 +31,36 @@ from flink_learning_practise_spark.registry import all_queries  # noqa: E402
 WINDOW = 50
 
 
+def _row_green(row) -> bool:
+    """A driver row counts as green only if it actually PASSED.
+
+    Presence alone is not enough: a failed row (err, or any *_match
+    false) must keep window priority — by returning False here the
+    query stays out of ``last`` and sorts with the NEVER group at the
+    front of the next window instead of aging out as a stale green.
+    (Zero failures have occurred through r6, so this is insurance.)
+    """
+    if not isinstance(row, dict):
+        return bool(row)
+    if row.get("err"):
+        # "no_oracle" + rows produced IS the declared rows-only pass
+        # (q_event_profile_sketch); every other err is a failure.
+        return (
+            row["err"] == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+        )
+    matches = [v for k, v in row.items() if k.endswith("_match")]
+    return all(matches) if matches else True
+
+
 def last_green_by_query(repo_root: str) -> dict[str, int]:
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         digits = "".join(c for c in os.path.basename(path) if c.isdigit())
         rnd = int(digits)
         with open(path) as f:
-            for name in json.load(f):
-                last[name] = max(last.get(name, 0), rnd)
+            for name, row in json.load(f).items():
+                if _row_green(row):
+                    last[name] = max(last.get(name, 0), rnd)
     return last
 
 
