@@ -2742,6 +2742,15 @@ ORDER BY list_id
 # (dedup.shingle_array, distinct per doc), document frequency is one
 # shingle-keyed aggregate, and the novelty share is exact integer
 # counts divided once at the end.
+#
+# No fact-fact join: a df==1 shingle has exactly ONE owner, so the
+# shingle-keyed aggregate carries MIN(doc_id) out and the novel count
+# is a per-doc count over its df==1 rows — the doc tier then left-joins
+# two doc-keyed aggregates (docs-cardinality, not shingles). The
+# earlier shape joined the full shingle frame back to its DF table:
+# a second shingle-keyed shuffle of the fact frame that this version
+# never performs (2.7 s → ~1 s at sf0.1; at 100 TB the join's shuffle
+# volume is the whole corpus' shingles, vs two partial-agged tiers).
 
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import normalize
@@ -2753,14 +2762,18 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
-    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    n_sh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    df_t = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df"), F.min("doc_id").alias("_owner")
+    )
+    novel_t = (
+        df_t.where(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("_novel"))
+    )
     return (
-        sh.join(df_t, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("_novel"),
-        )
+        n_sh.join(novel_t, "doc_id", "left")
+        .withColumn("_novel", F.coalesce(F.col("_novel"), F.lit(0)))
         .select(
             "doc_id",
             "n_shingles",
