@@ -1180,27 +1180,40 @@ def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint (the crossing selects an x VALUE, so summing tied-x
     # weights up front changes nothing; measured 3.6 s → fact-tier
     # checkpoint was the whole cost at sf0.1)
+    # quantities are integral units — ride LONG end-to-end (the
+    # decimal(28,6) route was exact too, but precision-28 sums take
+    # Spark's BigDecimal path: the tier agg alone measured ~1 s at
+    # sf0.1 vs ~0.3 s in long; a long cumsum holds ~9.2e18, far above
+    # unit volumes at 100 TB)
     tier = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_tw")
+        F.sum(F.col("l_quantity").cast("long")).alias("_tw")
     )
     # totals come FREE from the prefix pass's driver sums, and both
     # crossings collapse into ONE conditional aggregate — the cumsum
     # window (which re-evaluates per consuming action; see
     # keyed_prefix_sum's note) is computed exactly once
     cum, tot = keyed_prefix_sum_with_totals(
-        tier, ["l_returnflag"], ["l_extendedprice"], "_tw", out_col="_cw"
+        tier,
+        ["l_returnflag"],
+        ["l_extendedprice"],
+        "_tw",
+        out_col="_cw",
+        weight_type="long",
     )
     # K-row totals frame (bounded flag domain) — policy-exempt
     j = cum.join(F.broadcast(tot), "l_returnflag")
 
-    def crossing(q: str) -> F.Column:
-        t = F.expr(f"total * CAST({q} AS DECIMAL(3,2))")
-        hit = (F.col("_cw") >= t) & (F.col("_cw") - F.col("_tw") < t)
+    def crossing(k10: int) -> F.Column:
+        # cum >= (k10/10)·W multiplied through by 10: pure integer
+        # comparisons, identical values to the decimal formulation on
+        # integral weights
+        t = F.col("total") * F.lit(k10)
+        hit = (F.col("_cw") * 10 >= t) & ((F.col("_cw") - F.col("_tw")) * 10 < t)
         return F.min(F.when(hit, F.col("l_extendedprice")))
 
     res = j.groupBy("l_returnflag").agg(
-        crossing("0.5").alias("p50_price"),
-        crossing("0.9").alias("p90_price"),
+        crossing(5).alias("p50_price"),
+        crossing(9).alias("p90_price"),
     )
     return (
         tot.select(
