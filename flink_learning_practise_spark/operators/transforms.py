@@ -261,6 +261,7 @@ def global_ntile_multi(
     n_buckets: int,
     orderings: list[tuple[list[str], str]],
     stack_cast: str | None = None,
+    skip_nulls: bool = False,
 ) -> DataFrame:
     """Several ntile scores over DIFFERENT orderings of one frame,
     with ZERO exchanges of the scored frame (VERDICT r6 ask #6: rfm
@@ -295,11 +296,21 @@ def global_ntile_multi(
     collects instead of 3x that — at local/bench scale the job-launch
     overhead of the per-measure path dominates its runtime.
 
+    ``skip_nulls`` (stacked path only) excludes NULL measure values
+    from each measure's ranking and cuts — the "measure defined on a
+    subset" shape (e.g. per-half spend quartiles where a customer may
+    be absent from one half). Rows with a NULL measure get bucket 1
+    vacuously from the boundary count; callers must filter them out of
+    that measure's consumers.
+
     Callers should memoize ``df`` (``localCheckpoint``) — each
     projection pass re-reads it.
     """
     if stack_cast is not None:
-        return _global_ntile_stacked(df, n_buckets, orderings, stack_cast)
+        return _global_ntile_stacked(
+            df, n_buckets, orderings, stack_cast, skip_nulls
+        )
+    assert not skip_nulls, "skip_nulls is implemented for the stacked path"
     out = df
     for order_cols, bucket_col in orderings:
         ranked, n_total = _global_rank_with_total(
@@ -345,6 +356,7 @@ def _global_ntile_stacked(
     n_buckets: int,
     orderings: list[tuple[list[str], str]],
     stack_cast: str,
+    skip_nulls: bool = False,
 ) -> DataFrame:
     """One-exchange boundary extraction for ALL measures: stack the
     (measure, key) projections as (tag, value, key), range-exchange
@@ -363,7 +375,8 @@ def _global_ntile_stacked(
     key = keys.pop()
     stacked = None
     for tag, (cols, _) in enumerate(orderings):
-        part = df.select(
+        src = df.where(F.col(cols[0]).isNotNull()) if skip_nulls else df
+        part = src.select(
             F.lit(tag).alias("_tag"),
             F.col(cols[0]).cast(stack_cast).alias("_v"),
             F.col(key).alias("_k"),

@@ -1855,48 +1855,38 @@ ORDER BY abc_class
 # the first vs second half of the calendar (pivot 1998-01-01 — the data
 # midpoint), counted by (from, to) cell — the cohort-movement view a
 # CRM draws next to churn segments (#129 says who left; this says who
-# moved up or down). Two global_ntile passes (distributed rank — no
-# single-task ntile window), one customer-keyed join, one 16-cell
-# aggregate.
+# moved up or down). Both quartilings ride ONE stacked
+# global_ntile_multi boundary pass (skip_nulls: a customer absent from
+# a half is excluded from that half's ranking — the two earlier
+# global_ntile calls each range-exchanged and checkpointed their half
+# separately); the scored customer tier never shuffles, then one
+# 16-cell aggregate.
 
 SEG_PIVOT = "1998-01-01"
 
 
 def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.transforms import global_ntile
+    from ..operators.transforms import global_ntile_multi
 
     orders = load(spark, sf_dir, "orders")
-    spend = (
-        orders.groupBy(
-            "o_custkey",
-            (F.col("o_orderdate") < F.lit(SEG_PIVOT).cast("timestamp")).alias(
-                "_h1"
-            ),
-        )
-        .agg(
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-                    "decimal(38,0)"
-                )
-            )
-            .cast("long")
-            .alias("_cents")
-        )
+    h1 = F.col("o_orderdate") < F.lit(SEG_PIVOT).cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "decimal(38,0)"
     )
-    q1 = global_ntile(
-        spend.where(F.col("_h1")).select("o_custkey", "_cents"),
+    # one customer row with both halves' spend (NULL where absent)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(h1, cents)).cast("long").alias("_c1"),
+        F.sum(F.when(~h1, cents)).cast("long").alias("_c2"),
+    )
+    scored = global_ntile_multi(
+        spend,
         4,
-        ["_cents", "o_custkey"],
-        bucket_col="q_from",
-    ).select("o_custkey", "q_from")
-    q2 = global_ntile(
-        spend.where(~F.col("_h1")).select("o_custkey", "_cents"),
-        4,
-        ["_cents", "o_custkey"],
-        bucket_col="q_to",
-    ).select("o_custkey", "q_to")
+        [(["_c1", "o_custkey"], "q_from"), (["_c2", "o_custkey"], "q_to")],
+        stack_cast="double",  # cents ≪ 2^53 — order-exact
+        skip_nulls=True,
+    )
     return (
-        q1.join(q2, "o_custkey")
+        scored.where(F.col("_c1").isNotNull() & F.col("_c2").isNotNull())
         .groupBy("q_from", "q_to")
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("q_from", "q_to")
