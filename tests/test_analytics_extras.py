@@ -736,6 +736,108 @@ def test_keyed_prefix_sum_totals_are_free_and_exact(spark):
     assert mx == got
 
 
+def test_keyed_prefix_sum_long_weight_path_matches_decimal(spark):
+    """weight_type='long' must produce the same cumsums and totals as
+    the decimal default on integral weights (the weighted_percentiles
+    fast path) — value-identical, only the arithmetic route differs."""
+    import random
+
+    from flink_learning_practise_spark.operators.transforms import (
+        keyed_prefix_sum_with_totals,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (k, rng.randint(0, 9), rng.randint(1, 50))
+        for k in ("a", "b")
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, w long")
+    cum_d, tot_d = keyed_prefix_sum_with_totals(df, ["k"], ["x"], "w", partitions=6)
+    cum_l, tot_l = keyed_prefix_sum_with_totals(
+        df, ["k"], ["x"], "w", partitions=6, weight_type="long"
+    )
+    assert dict(tot_l.collect()) == {
+        r.k: int(r.total) for r in tot_d.collect()
+    }
+    # long path emits bigint cumsums
+    assert dict(cum_l.dtypes)["cum_w"] == "bigint"
+    end_d = {
+        (r.k, r.x): int(r.m)
+        for r in cum_d.groupBy("k", "x").agg(F.max("cum_w").alias("m")).collect()
+    }
+    end_l = {
+        (r.k, r.x): int(r.m)
+        for r in cum_l.groupBy("k", "x").agg(F.max("cum_w").alias("m")).collect()
+    }
+    assert end_l == end_d
+
+
+def test_global_ntile_multi_skip_nulls_matches_per_subset(spark):
+    """skip_nulls on the stacked path must equal a per-subset
+    global_ntile over the non-null rows of each measure (the
+    segment_migration shape: measures defined on different subsets)."""
+    import random
+
+    from flink_learning_practise_spark.operators.transforms import (
+        global_ntile,
+        global_ntile_multi,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            rng.randint(0, 1000) if rng.random() < 0.8 else None,
+            rng.randint(0, 1000) if rng.random() < 0.6 else None,
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, m1 long, m2 long")
+    scored = global_ntile_multi(
+        df,
+        4,
+        [(["m1", "id"], "b1"), (["m2", "id"], "b2")],
+        stack_cast="double",
+        skip_nulls=True,
+    )
+    for m, b in (("m1", "b1"), ("m2", "b2")):
+        want = {
+            r.id: r.bucket
+            for r in global_ntile(
+                df.where(F.col(m).isNotNull()).select("id", m),
+                4,
+                [m, "id"],
+                bucket_col="bucket",
+            ).collect()
+        }
+        got = {
+            r["id"]: r[b]
+            for r in scored.where(F.col(m).isNotNull()).select("id", b).collect()
+        }
+        assert got == want, (m, b)
+
+
+def test_rotation_green_row_semantics(tmp_path):
+    """rotation.py must not age out failed driver rows: only passing
+    rows (and the declared rows-only no_oracle pass) count as green."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from rotation import _row_green
+
+    assert _row_green({"rows_match": True, "schema_match": True,
+                       "hash_match": True, "err": None})
+    assert not _row_green({"rows_match": True, "schema_match": True,
+                           "hash_match": False, "err": None})
+    assert not _row_green({"rows_match": None, "schema_match": None,
+                           "hash_match": None, "err": "AnalysisException: boom"})
+    # declared rows-only pass: no oracle, rows produced
+    assert _row_green({"rows_match": None, "schema_match": None,
+                       "hash_match": None, "spark_rows": 5,
+                       "err": "no_oracle"})
+
+
 class TestTheilDecomposition:
     def test_identity_against_textbook_python(self, spark, sf_small):
         """The within/between decomposition must reassemble the
