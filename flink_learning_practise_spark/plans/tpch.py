@@ -964,9 +964,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE keyed exchange of the fact table with map-side partials; the
     region filter cuts suppliers BEFORE the cost join (semi-join
     through broadcast nation/region dims); the per-part argmin is a
-    row_number over (p_partkey) on the already-aggregated bridge (pair
-    cardinality, not fact cardinality). No correlated re-scan per part
-    — the window pass IS the decorrelation.
+    MIN_BY hash aggregate on the already-aggregated bridge (pair
+    cardinality, not fact cardinality) — partial-aggregable map-side,
+    so the exchange moves ≤ one candidate row per (part, partition)
+    and no per-part sort runs (the earlier row_number window sorted
+    the full bridge). The (unit_cost, suppkey) ordering struct is
+    unique within a part, so the argmin is deterministic. No
+    correlated re-scan per part — the aggregate IS the decorrelation.
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == MIN_COST_REGION)
     nation = load(spark, sf_dir, "nation")
@@ -976,18 +980,39 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # NOT davg: CAST(double AS DECIMAL(18,6)) rounds the raw ratio
+    # per-engine (Spark HALF_UP on the decimal expansion, DuckDB on the
+    # scaled binary) — at sf0.001 two (part, supplier) ratios land on a
+    # .0000005 boundary and the engines' unit costs split by 1e-6.
+    # floor(x·1e6 + 0.5) is plain IEEE, bit-identical in both engines;
+    # the micros sum is exact in long, and the closed form divides in
+    # the same double op order on both sides.
     cost = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(davg(F.col("l_extendedprice") / F.col("l_quantity"), "unit_cost"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") / F.col("l_quantity") * 1e6
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e6
+            ).alias("unit_cost")
+        )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     best = (
         cost.join(supp, cost.l_suppkey == supp.s_suppkey)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .groupBy("l_partkey")
+        .agg(
+            F.min_by(
+                F.struct("s_name", "n_name", "unit_cost"),
+                F.struct("unit_cost", "l_suppkey"),
+            ).alias("_best")
+        )
+        .select("l_partkey", "_best.s_name", "_best.n_name", "_best.unit_cost")
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
     return (
@@ -1008,7 +1033,9 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_COST_SUPPLIER_SQL = f"""
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         {sql_davg('l_extendedprice / l_quantity', 'unit_cost')}
+         CAST(SUM(CAST(floor(l_extendedprice / l_quantity * 1e6 + 0.5)
+                       AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e6 AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
 eu AS (
