@@ -38,3 +38,17 @@ def test_runs_and_returns_rows(spark, sf_small, name):
 def test_parity_sf01(spark, name):
     errors = check_query(spark, name, "/root/testdata/sf0.1")
     assert not errors, f"{name}: " + "; ".join(errors)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_PARITY_SF0001"),
+    reason="sf0.001 parity sweep is opt-in (SPARK_GRAFT_PARITY_SF0001=1): "
+    "float-boundary hits are SF-dependent in BOTH directions — the tiny "
+    "tier caught a davg double->decimal rounding split (min_cost_supplier) "
+    "that sf0.01 and sf0.1 both missed; run it with the sf0.1 sweep after "
+    "any numeric-path change",
+)
+@pytest.mark.parametrize("name", NAMES)
+def test_parity_sf0001(spark, name):
+    errors = check_query(spark, name, "/root/testdata/sf0.001")
+    assert not errors, f"{name}: " + "; ".join(errors)
