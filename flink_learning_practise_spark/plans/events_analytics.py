@@ -1429,7 +1429,6 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
-            F.countDistinct(F.to_date("ts")).alias("active_days"),
             # round(x, 6) is the engine-divergent trap (Spark HALF_UP
             # vs DuckDB scaled-binary): user 1124 at sf0.1 lands the
             # mean gap exactly on a .xxxxxx5 boundary and the two
@@ -1453,6 +1452,31 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 1e6,
             ),
+        )
+        # active_days as a SEPARATE two-phase distinct, not a
+        # countDistinct inside the wide agg — mixed distinct/non-
+        # distinct aggregates plan as an Expand that doubles every
+        # event row through the partial hash (supplier_scorecard's
+        # measured 2x). The (user, day) distinct collapses map-side.
+        .join(
+            ev.select("user_id", F.to_date("ts").alias("_d"))
+            .distinct()
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("active_days")),
+            "user_id",
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_views",
+            "n_purchases",
+            "n_errors",
+            "total_value",
+            "first_ts",
+            "last_ts",
+            "active_days",
+            "mean_gap_sec",
+            "purchase_per_view",
         )
     )
 

@@ -2772,9 +2772,14 @@ ORDER BY model
 def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # distinct parts in a SEPARATE two-phase aggregate, not a
+    # countDistinct inside the wide agg: Spark plans the latter as an
+    # Expand that doubles every fact row through the partial hash
+    # (measured 1.76 s vs 0.85 s at sf0.1 for the same result). The
+    # (supp, part) distinct collapses map-side, so the extra shuffle
+    # moves only distinct pairs; the supplier-keyed join is tiny.
     score = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.countDistinct("l_partkey").alias("n_parts"),
         dsum(
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
@@ -2782,6 +2787,12 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("_n_ret"),
         F.sum(F.col("l_discount").cast(DEC)).alias("_sd"),
+    ).join(
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts")),
+        "l_suppkey",
     )
     return (
         score.join(supp, score.l_suppkey == supp.s_suppkey)
