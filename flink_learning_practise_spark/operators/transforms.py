@@ -655,7 +655,10 @@ def keyed_select_rank(
       median) should chain off it instead of recomputing the input.
     - ``selected`` — one row per key (all original columns) at rank
       ``target_fn(n)``, e.g. ``lambda n: (n + 1) // 2`` ≡ ceil(n/2),
-      the discrete median.
+      the discrete median. ``target_fn`` may also return an ITERABLE
+      of ranks (e.g. the p5 and p95 winsorizing bounds) — one selected
+      row per distinct in-range rank, still windowing only the ≤ K·T
+      partitions that hold a target.
     """
     from pyspark.sql import Window
 
@@ -668,11 +671,16 @@ def keyed_select_rank(
         acc[k] = acc.get(k, 0) + r["_n"]
     targets = []
     for k, total in acc.items():
-        t = int(target_fn(total))
-        for pid, off, n in per_key_rows[k]:
-            if off < t <= off + n:
-                targets.append((pid, *k, t - off))
-                break
+        raw = target_fn(total)
+        try:
+            ts = sorted({int(t) for t in raw})
+        except TypeError:
+            ts = [int(raw)]
+        for t in ts:
+            for pid, off, n in per_key_rows[k]:
+                if off < t <= off + n:
+                    targets.append((pid, *k, t - off))
+                    break
     spark = df.sparkSession
     tgt_schema = ", ".join(
         ["_pid int"]

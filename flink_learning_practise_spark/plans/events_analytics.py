@@ -3301,28 +3301,39 @@ LIMIT {EVENT_TRIGRAMS_TOP_K}
 # the SAME ranked checkpoint — one range exchange total.
 
 def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     ev = (
         load(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select("event_type", "value", "event_id")
     )
-    ranked, totals = transforms.keyed_rank_with_totals(
-        ev, ["event_type"], ["value", "event_id"], rank_col="_r"
+    # ORDER-STATISTIC SELECTION, not a full rank: only the p5/p95 rows
+    # are needed, so keyed_select_rank windows just the ≤ 2K partitions
+    # holding a target rank (the mad_outliers precedent) instead of
+    # row_numbering the whole relation — same pinned checkpoint feeds
+    # the clamped mean. Ranks ceil(0.05n)/ceil(0.95n) match the earlier
+    # keyed_rank formulation exactly.
+    pinned, sel = transforms.keyed_select_rank(
+        ev,
+        ["event_type"],
+        ["value", "event_id"],
+        lambda n: (math.ceil(n * 0.05), math.ceil(n * 0.95)),
     )
-    j = ranked.join(F.broadcast(totals), "event_type")
-    lo_r = F.ceil(F.col("n") * 0.05).cast("long")
-    hi_r = F.ceil(F.col("n") * 0.95).cast("long")
-    bounds = (
-        j.where((F.col("_r") == lo_r) | (F.col("_r") == hi_r))
-        .groupBy("event_type")
-        .agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    bounds = sel.groupBy("event_type").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
     )
-    clamped = j.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        "n",
-        F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("value"))).alias(
-            "_cv"
-        ),
+    totals = pinned.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    clamped = (
+        pinned.join(F.broadcast(bounds), "event_type")  # broadcast-policy-exempt: K rows
+        .join(F.broadcast(totals), "event_type")  # broadcast-policy-exempt: K rows
+        .select(
+            "event_type",
+            "n",
+            F.greatest(
+                F.col("_lo"), F.least(F.col("_hi"), F.col("value"))
+            ).alias("_cv"),
+        )
     )
     return (
         clamped.groupBy("event_type", "n")
