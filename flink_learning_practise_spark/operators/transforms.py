@@ -270,7 +270,13 @@ def global_ntile_multi(
 
     ``orderings`` is ``[(order_cols, bucket_col), ...]``; each
     ``order_cols`` must be a STRICT total order (append a unique
-    tie-break key — SQL ``ntile``'s determinism needs that anyway).
+    tie-break key — SQL ``ntile``'s determinism needs that anyway)
+    over NON-NULL values: SQL ntile ranks NULLs first, but a NULL
+    landing in a boundary tuple makes the struct comparison in
+    :func:`_with_bucket_from_bounds` yield NULL (not counted) and
+    silently undercounts buckets. The non-stacked path raises if a
+    collected boundary contains a NULL; the stacked path's
+    ``skip_nulls`` is the supported NULL-measure contract.
 
     Per measure: rank only the narrow ``order_cols`` projection
     (2 columns move through the range exchange, not the full row),
@@ -323,6 +329,13 @@ def global_ntile_multi(
                 F.col("_grank").isin([int(c) for c in cuts])
             ).select(*order_cols).collect()
         )
+        if any(v is None for b in bounds for v in b):
+            raise ValueError(
+                f"global_ntile_multi: NULL in a {bucket_col} boundary "
+                f"tuple over {order_cols} — order columns must be "
+                "non-null (use the stacked path's skip_nulls for "
+                "NULL-measure semantics)"
+            )
         out = _with_bucket_from_bounds(out, order_cols, bucket_col, bounds)
     return out
 
@@ -397,19 +410,22 @@ def _global_ntile_stacked(
     }
     pids = sorted({pid for pid, _ in counts})
     # Per-tag global rank = per-(pid, tag) local row_number + the
-    # per-tag prefix offset of earlier partitions (a when-chain over
-    # #partitions x #measures literals, the rank pass's own pattern).
-    offset = F.lit(0)
+    # per-tag prefix offset of earlier partitions. The offsets join in
+    # as a broadcast (pid, tag, off) frame — bounded at #partitions ×
+    # #measures rows — rather than a nested when-chain of that depth,
+    # which would overflow the column-converter stack at high
+    # parallelism (the keyed_prefix_sum pattern; ADVICE r7).
     acc = {tag: 0 for tag in range(len(orderings))}
+    offsets = []
     for pid in pids:
         for tag in acc:
             n = counts.get((pid, tag), 0)
             if n:
-                offset = F.when(
-                    (F.col("_pid") == pid) & (F.col("_tag") == tag),
-                    F.lit(acc[tag]),
-                ).otherwise(offset)
+                offsets.append((pid, tag, acc[tag]))
                 acc[tag] += n
+    off = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _tag int, _off long"
+    )
     cut_sets = {
         tag: _ntile_cuts(acc[tag], n_buckets) for tag in acc
     }
@@ -422,7 +438,9 @@ def _global_ntile_stacked(
             ).otherwise(is_cut)
     w = Window.partitionBy("_pid", "_tag").orderBy("_v", "_k")
     bound_rows = (
-        pinned.withColumn("_gr", F.row_number().over(w) + offset)
+        # bounded P×M-row frame, never data-proportional
+        pinned.join(F.broadcast(off), ["_pid", "_tag"])  # broadcast-policy-exempt
+        .withColumn("_gr", F.row_number().over(w) + F.col("_off"))
         .where(is_cut)
         .select("_tag", "_v", "_k")
         .collect()

@@ -821,9 +821,13 @@ def test_global_ntile_multi_skip_nulls_matches_per_subset(spark):
 def test_rotation_green_row_semantics(tmp_path):
     """rotation.py must not age out failed driver rows: only passing
     rows (and the declared rows-only no_oracle pass) count as green."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    sys.path.insert(0, tools_dir)
     from rotation import _row_green
 
     assert _row_green({"rows_match": True, "schema_match": True,
@@ -836,6 +840,13 @@ def test_rotation_green_row_semantics(tmp_path):
     assert _row_green({"rows_match": None, "schema_match": None,
                        "hash_match": None, "spark_rows": 5,
                        "err": "no_oracle"})
+    # rows-only with ZERO (or missing) rows is NOT green — it must keep
+    # window priority rather than age out (ADVICE r7).
+    assert not _row_green({"rows_match": None, "schema_match": None,
+                           "hash_match": None, "spark_rows": 0,
+                           "err": "no_oracle"})
+    assert not _row_green({"rows_match": None, "schema_match": None,
+                           "hash_match": None, "err": "no_oracle"})
 
 
 class TestTheilDecomposition:

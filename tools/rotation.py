@@ -43,11 +43,11 @@ def _row_green(row) -> bool:
     if not isinstance(row, dict):
         return bool(row)
     if row.get("err"):
-        # "no_oracle" + rows produced IS the declared rows-only pass
-        # (q_event_profile_sketch); every other err is a failure.
-        return (
-            row["err"] == "no_oracle" and (row.get("spark_rows") or 0) >= 0
-        )
+        # "no_oracle" + rows actually produced IS the declared rows-only
+        # pass (q_event_profile_sketch); every other err is a failure,
+        # and a rows-only query returning ZERO rows is too — it must
+        # keep window priority, not age out as green.
+        return row["err"] == "no_oracle" and (row.get("spark_rows") or 0) > 0
     matches = [v for k, v in row.items() if k.endswith("_match")]
     return all(matches) if matches else True
 
