@@ -45,8 +45,8 @@ import sys
 import time
 
 from flink_learning_practise_spark.plans.llm_pipeline import (
-    PAIR_TIER_CONSUMERS,
     _shared_pair_tier,
+    pair_tier_consumers,
     reset_shared_caches,
 )
 from flink_learning_practise_spark.registry import all_queries
@@ -181,7 +181,7 @@ def main() -> None:
             # valid pass samples, and recording it in `errors` while
             # keeping its timing would break the "errors are excluded
             # from timings" contract.
-            if n in PAIR_TIER_CONSUMERS:
+            if n in pair_tier_consumers():
                 # per-query samples are warm-memo by contract now (the
                 # build is its own timed line) — make sure the memo IS
                 # warm so the extra sample matches the pass samples
@@ -226,7 +226,7 @@ def main() -> None:
         # build cost is explicit here and included in the stdout total
         "shared_tiers": {
             "ppjoin_pair_tier": {
-                "consumers": list(PAIR_TIER_CONSUMERS),
+                "consumers": list(pair_tier_consumers()),
                 "build_sec": tier_build_sec,
                 "build_samples": [round(x, 3) for x in tier_build_samples],
             }

@@ -419,3 +419,81 @@ JOIN sizes sa ON cand.doc_id = sa.doc_id
 JOIN sizes sb ON cand.bench_id = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {NEARDUP_TAU}
 """
+
+
+# ---------------------------------------------------------------------------
+# #215 mixture epoch schedule: turn #73's temperature weights into the
+# concrete per-language training schedule — given a total token budget,
+# each language's sampled-token allotment (∝ √available, the same
+# temperature-0.5 weighting as domain_mix) and the implied EPOCH count
+# (sampled / available; >1 means that language repeats — the
+# over-sampling signal a data lead checks before a run). One map-only
+# token-count pass + one |langs|-bounded aggregate; the weight
+# normalizer is a single-row cross join.
+
+MIX_TOKEN_BUDGET = 2_000_000
+
+
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        text.token_counts(docs, "text")
+        .groupBy("lang")
+        .agg(F.sum("n_ws_tokens").cast("long").alias("avail_tokens"))
+        .withColumn(
+            "_w",
+            F.floor(F.sqrt(F.col("avail_tokens").cast("double")) * 1000)
+            .cast("long"),
+        )
+    )
+    tot = per.agg(F.sum(F.col("_w")).cast("long").alias("_sumw"))
+    share = F.col("_w").cast("double") / F.col("_sumw")
+    sampled = F.floor(share * F.lit(MIX_TOKEN_BUDGET)).cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))  # single-row scalar; policy-exempt
+        .select(
+            "lang",
+            "avail_tokens",
+            (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("mix_share"),
+            sampled.alias("sampled_tokens"),
+            (
+                F.floor(
+                    sampled.cast("double") / F.col("avail_tokens") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIXTURE_EPOCHS_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(SUM(len(string_split({NORM_SQL}, ' '))) AS BIGINT)
+           AS avail_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT lang, avail_tokens,
+         CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000) AS BIGINT)
+           AS w
+  FROM per
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM w),
+sched AS (
+  SELECT lang, avail_tokens,
+         floor(CAST(w AS DOUBLE) / sumw * 1e6 + 0.5) / 1e6 AS mix_share,
+         CAST(floor(CAST(w AS DOUBLE) / sumw * {MIX_TOKEN_BUDGET}) AS BIGINT)
+           AS sampled_tokens
+  FROM w CROSS JOIN tot
+)
+SELECT lang, avail_tokens, mix_share, sampled_tokens,
+       floor(CAST(sampled_tokens AS DOUBLE) / avail_tokens * 1e6 + 0.5)
+         / 1e6 AS epochs
+FROM sched
+ORDER BY lang
+"""

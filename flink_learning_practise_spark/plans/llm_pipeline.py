@@ -602,22 +602,41 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consumers of the shared tier, in registry order — bench.py records
 # this in BENCH_EVIDENCE.json so a reader knows the tier build cost
 # lands on whichever of these runs FIRST in each timing pass
-PAIR_TIER_CONSUMERS = (
-    "q_adamic_adar_links",  # registry order — first consumer warms the memo
-    "q_local_clustering",
-    "q_dup_rate_by_source",
-    "q_dedup_clusters_star",
-    "q_pagerank_dupgraph",
-    "q_dedup_cluster_stats",
-    "q_triangle_census",
-    "q_dupgraph_degrees",
-    "q_dedup_survivors",
-    "q_dedup_clusters",
-    "q_lpa_communities",
-    "q_kcore_dupgraph",
-    "q_dupgraph_assortativity",
-    "q_dedup_ngram_jaccard",
-)
+# Plan functions that consume the shared tier. STATIC so additions are
+# a reviewed edit (test_bench_contract derives the true set from source
+# and pins this); the REGISTRY-ORDERED query names come from
+# pair_tier_consumers() — the registry self-orders per round since r8,
+# so a hand-ordered name tuple would silently drift.
+_PAIR_TIER_CONSUMER_FNS = frozenset({
+    "adamic_adar_links",
+    "local_clustering_dupgraph",
+    "dup_rate_by_source",
+    "dedup_clusters_star",
+    "pagerank_dupgraph",
+    "dedup_cluster_stats",
+    "triangle_census",
+    "dupgraph_degrees",
+    "dedup_survivors",
+    "dedup_clusters",
+    "lpa_communities",
+    "kcore_dupgraph",
+    "dupgraph_assortativity",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
+})
+
+
+def pair_tier_consumers() -> tuple[str, ...]:
+    """Registered query names that consume the shared pair tier, in
+    CURRENT registry order — the first one to run in a bench pass pays
+    the tier build (bench.py records this in BENCH_EVIDENCE.json)."""
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _PAIR_TIER_CONSUMER_FNS
+    )
 
 
 def reset_shared_caches() -> None:
@@ -3519,4 +3538,447 @@ SELECT source, COUNT(*) AS n_docs,
 FROM documents
 GROUP BY 1
 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# #210 hybrid sparse+dense retrieval (reciprocal-rank fusion): the BM25
+# top-N (#127) and the dense cosine top-N for a fixed query vector
+# (#42's scorer) fuse via RRF (Cormack et al. 2009):
+# score(d) = Σ_lists 1/(RRF_K + rank_d), absent list → 0 contribution.
+# Completes the RAG retrieval stack (VERDICT r7 ask #2): sparse term
+# match catches exact keywords the embedding misses, dense catches
+# paraphrase. Both branches are bounded top-N lists, so the fusion
+# itself is a ≤2N-row full-outer join — free at any corpus scale; the
+# cost profile is exactly the two underlying retrieval queries.
+
+RRF_K = 60  # the canonical constant from the TREC fusion literature
+RRF_TOP_N = 20
+RRF_QUERY_VEC_ID = 0  # dense query = this vector (doc/vec ids align)
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    # sparse branch: BM25 top-N (already ordered + limited to N=20)
+    sparse = bm25_search(spark, sf_dir)
+    sw = Window.orderBy(F.desc("bm25"), "doc_id")  # 20-row frame
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(sw).alias("sparse_rank")
+    )
+    # dense branch: exact cosine top-N for the fixed query vector
+    dense = similarity.knn_bruteforce(
+        emb,
+        emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID),
+        k=RRF_TOP_N,
+    ).select(F.col("neighbor_id").alias("d_id"), F.col("rank").alias("dense_rank"))
+    fused = sparse_r.join(
+        dense, sparse_r["doc_id"] == dense["d_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("d_id")).alias("doc_id"),
+        "sparse_rank",
+        "dense_rank",
+        (
+            F.floor(
+                (
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(RRF_K) + F.col("sparse_rank")),
+                        F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")),
+                        F.lit(0.0),
+                    )
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(RRF_TOP_N)
+
+
+HYBRID_RRF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+tok AS MATERIALIZED (SELECT doc_id, token FROM toks WHERE token <> ''),
+dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+na AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+idf AS (
+  SELECT token,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 9) AS idf,
+         avgdl
+  FROM dft CROSS JOIN na
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           idf * (tf * ({BM25_K1} + 1))
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl)),
+         9) AS DECIMAL(18,9)) AS c
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.token = idf.token
+),
+bm25 AS (
+  SELECT doc_id, round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+  FROM contrib GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT {RRF_TOP_N}
+),
+sparse AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           AS sparse_rank
+  FROM bm25
+),
+{NORM_CTE},
+q AS (SELECT embedding, nrm FROM norms WHERE vec_id = {RRF_QUERY_VEC_ID}),
+dscored AS (
+  SELECT b.vec_id AS d_id,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) / (a.nrm * b.nrm),
+           6) AS cosine
+  FROM q a JOIN norms b ON b.vec_id <> {RRF_QUERY_VEC_ID}
+),
+dense AS MATERIALIZED (
+  SELECT d_id, CAST(rank AS INT) AS dense_rank
+  FROM (
+    SELECT d_id, row_number() OVER (ORDER BY cosine DESC, d_id) AS rank
+    FROM dscored
+  ) WHERE rank <= {RRF_TOP_N}
+)
+SELECT COALESCE(s.doc_id, d.d_id) AS doc_id,
+       s.sparse_rank, d.dense_rank,
+       floor((COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sparse_rank),
+                       CAST(0.0 AS DOUBLE))
+              + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.dense_rank),
+                         CAST(0.0 AS DOUBLE))) * 1e9 + 0.5)
+         / 1e9 AS rrf_score
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.d_id
+ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #211 hard-negative mining for contrastive training: per query vector,
+# the top-K most-cosine-similar vectors with a DIFFERENT label — the
+# standard "hardest negatives" selection for embedding fine-tuning
+# (e.g. DPR, Karpukhin et al. 2020 §4). Same broadcast-query /
+# one-corpus-scan shape as the #42 brute-force baseline (the bounded
+# query side broadcasts, the corpus never shuffles until the per-query
+# top-K); the label predicate just rides the join. The blocked-GEMM /
+# IVF scale paths of #41/#43b apply unchanged when the query set grows.
+
+HARD_NEG_K = 3
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import widen
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = similarity.with_norm(
+        emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = similarity.with_norm(widen(emb)).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = c.join(
+        F.broadcast(q),  # broadcast-policy-exempt: < KNN_QUERY_MAX_ID rows
+        F.col("query_label") != F.col("negative_label"),
+    ).withColumn(
+        "cosine",
+        similarity.cosine_col("q_emb", "c_emb", "q_norm", "c_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            "rank",
+            "cosine",
+        )
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH {NORM_CTE},
+q AS (
+  SELECT n.vec_id AS query_id, e.label AS query_label,
+         n.embedding AS embedding, n.nrm AS nrm
+  FROM norms n JOIN embeddings e ON n.vec_id = e.vec_id
+  WHERE n.vec_id < {KNN_QUERY_MAX_ID}
+),
+scored AS (
+  SELECT a.query_id, a.query_label,
+         b.vec_id AS negative_id, e.label AS negative_label,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) / (a.nrm * b.nrm),
+           6) AS cosine
+  FROM q a
+  JOIN norms b ON TRUE
+  JOIN embeddings e ON e.vec_id = b.vec_id
+  WHERE e.label <> a.query_label
+),
+ranked AS (
+  SELECT query_id, query_label, negative_id, negative_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, negative_id, negative_label,
+       CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= {HARD_NEG_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# #212 tokenizer fertility by language: BPE-ish tokens per whitespace
+# word and chars per BPE token, per labeled language — the standard
+# "how much does the tokenizer fragment this language" audit that
+# decides per-language token budgets (fertility > 1 languages pay more
+# compute per word). Map-only projection + one bounded (|langs|-row)
+# aggregate; reuses #46's dual token counters.
+
+
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize
+
+    docs = load(spark, sf_dir, "documents")
+    rows = text.token_counts(docs, "text").select(
+        "lang",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.length(normalize(F.col("text"))).alias("n_chars_norm"),
+    )
+    per = rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars_norm").cast("long").alias("chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        (
+            F.floor(
+                F.col("bpe_tokens").cast("double")
+                / F.col("ws_tokens")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("fertility"),
+        (
+            F.floor(
+                F.col("chars").cast("double") / F.col("bpe_tokens") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("chars_per_bpe_token"),
+    ).orderBy("lang")
+
+
+TOKEN_FERTILITY_SQL = f"""
+WITH counts AS (
+  SELECT lang,
+         len(string_split({NORM_SQL}, ' ')) AS ws,
+         len(regexp_extract_all({NORM_SQL}, '{text.BPE_PATTERN}')) AS bpe,
+         length({NORM_SQL}) AS ch
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       floor(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS BIGINT) * 1e6 + 0.5)
+         / 1e6 AS fertility,
+       floor(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(bpe) AS BIGINT) * 1e6 + 0.5)
+         / 1e6 AS chars_per_bpe_token
+FROM counts
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# #213 language-ID confusion matrix: the labeled ``lang`` column vs
+# #44's stopword-density prediction, as (label, predicted) cell counts
+# with per-label recall shares — the classifier-eval op that turns the
+# lang-ID heuristic from "a score" into "a measured error structure"
+# (which pairs get confused, which labels under-recall). One map-only
+# scoring pass + one |langs|²-bounded aggregate; the label-marginal
+# rejoin is a ≤|langs|-row broadcast.
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = text.lang_scores(docs, "text").select("lang", "lang_pred")
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        cells.join(F.broadcast(marg), "lang")  # broadcast-policy-exempt: ≤|langs| rows
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            (
+                F.floor(
+                    F.col("n").cast("double") / F.col("_tot") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall_share"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    exprs = text.sql_lang_scores("text")
+    score_cols = ",\n       ".join(
+        f"{exprs[lang]} AS score_{lang}" for lang in text.LANGS
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang,
+       {score_cols}
+  FROM documents
+),
+pred AS MATERIALIZED (
+  SELECT lang, {exprs["lang_pred"]} AS lang_pred FROM scored
+),
+cells AS (
+  SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+),
+marg AS (SELECT lang, COUNT(*) AS tot FROM pred GROUP BY 1)
+SELECT c.lang, c.lang_pred, c.n,
+       floor(CAST(c.n AS DOUBLE) / m.tot * 1e6 + 0.5) / 1e6 AS recall_share
+FROM cells c JOIN marg m ON c.lang = m.lang
+ORDER BY 1, 2
+"""
+
+
+LANG_CONFUSION_SQL = _lang_confusion_sql()
+
+
+# ---------------------------------------------------------------------------
+# #214 dedup threshold sweep: pair / loser / survivor counts at a
+# ladder of Jaccard thresholds ≥ the pair tier's 0.8 — the tuning
+# curve a curation team reads before committing to a dedup threshold
+# ("how many docs does 0.9 vs 0.8 actually cost?"). Reuses the shared
+# checkpointed PPJoin pair tier (its jaccard column rides along
+# exactly for consumers like this), so the sweep itself is two
+# conditional aggregates over the edge list + a single-row doc count —
+# no new corpus scan, no new pair generation, free at any scale the
+# tier itself supports.
+
+SWEEP_THRESHOLDS = (0.8, 0.85, 0.9, 0.95)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tier = _shared_pair_tier(spark, sf_dir)
+    pair_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("jaccard") >= F.lit(t), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias(f"_p{i}")
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    # greedy survivor policy (#53): every id_a < id_b pair drops id_b,
+    # so a doc is a loser at threshold t iff its max incoming jaccard
+    # as id_b reaches t — one groupBy makes all thresholds readable
+    loser_max = tier.groupBy("id_b").agg(F.max("jaccard").alias("_mx"))
+    loser_aggs = [
+        F.coalesce(F.sum(F.when(F.col("_mx") >= F.lit(t), 1)), F.lit(0))
+        .cast("long")
+        .alias(f"_l{i}")
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    joined = (
+        tier.agg(*pair_aggs)
+        .crossJoin(loser_max.agg(*loser_aggs))  # single-row scalars
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("_nd")))
+    )
+    rows = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"_p{i}").alias("n_pairs"),
+            F.col(f"_l{i}").alias("n_losers"),
+            (F.col("_nd") - F.col(f"_l{i}")).alias("n_survivors"),
+        )
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    return (
+        joined.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("threshold")
+    )
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS MATERIALIZED (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+t(threshold) AS (
+  VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in SWEEP_THRESHOLDS)}
+)
+SELECT threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM jac
+        WHERE jaccard >= t.threshold) AS n_pairs,
+       (SELECT CAST(COUNT(DISTINCT id_b) AS BIGINT) FROM jac
+        WHERE jaccard >= t.threshold) AS n_losers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         - (SELECT CAST(COUNT(DISTINCT id_b) AS BIGINT) FROM jac
+            WHERE jaccard >= t.threshold) AS n_survivors
+FROM t
+ORDER BY threshold
 """

@@ -3248,3 +3248,170 @@ FROM ranked
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #216 order fill-rate SLA: per order month, the share of orders whose
+# LAST lineitem shipped within 30/60/90 days of the order date — the
+# fulfillment-SLA scorecard behind the reference's order-lifecycle
+# stats (stage2 tracks per-status latency; this is the customer-facing
+# cut). One orderkey-grain max over lineitem, one orderkey join, one
+# calendar-bounded monthly rollup — the join shuffles on the natural
+# key both sides already carry, and the monthly tier is ≤ years×12
+# rows at any scale.
+
+FILL_SLAS = (30, 60, 90)
+
+
+def order_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    last = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("_last")
+    )
+    days = F.datediff(F.col("_last"), F.to_date("o_orderdate"))
+    monthly = (
+        orders.join(last, orders["o_orderkey"] == last["l_orderkey"])
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            *[
+                F.sum(F.when(days <= sla, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_within_{sla}d")
+                for sla in FILL_SLAS
+            ],
+        )
+    )
+    return monthly.select(
+        "month",
+        "n_orders",
+        *[f"n_within_{sla}d" for sla in FILL_SLAS],
+        *[
+            (
+                F.floor(
+                    F.col(f"n_within_{sla}d").cast("double")
+                    / F.col("n_orders")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias(f"fill_rate_{sla}d")
+            for sla in FILL_SLAS
+        ],
+    ).orderBy("month")
+
+
+ORDER_FILL_RATE_SQL = f"""
+WITH last AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+perorder AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         date_diff('day', CAST(o_orderdate AS DATE), last_ship) AS days
+  FROM orders JOIN last ON o_orderkey = l_orderkey
+),
+m AS (
+  SELECT month, COUNT(*) AS n_orders,
+         {", ".join(f"CAST(SUM(CASE WHEN days <= {sla} THEN 1 ELSE 0 END) AS BIGINT) AS n_within_{sla}d" for sla in FILL_SLAS)}
+  FROM perorder GROUP BY 1
+)
+SELECT month, n_orders, {", ".join(f"n_within_{sla}d" for sla in FILL_SLAS)},
+       {", ".join(f"floor(CAST(n_within_{sla}d AS DOUBLE) / n_orders * 1e6 + 0.5) / 1e6 AS fill_rate_{sla}d" for sla in FILL_SLAS)}
+FROM m
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# #217 Spearman rank correlation between daily revenue and daily order
+# count — the distribution-free complement to #176's Pearson
+# cross-correlation (monotone association robust to the heavy order-
+# value tail; #202 shows the tail index). Proper tied-rank treatment:
+# average ranks, carried as the INTEGER 2·rank (= 2·rank_min + tie_n −
+# 1) so every Pearson moment over the ranks is an exact integer — the
+# engine-proof all-integer-moments pattern. The daily tier is
+# calendar-bounded (≤ years×365 rows at ANY corpus scale), so its
+# unpartitioned rank windows and the final single-row reduction are
+# bounded-frame by construction, not by data volume.
+
+
+def spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    two_r = {}
+    ranked = daily
+    for col in ("rev_cents", "n_orders"):
+        # 2·avg_rank = 2·rank_min + ties − 1, all integers (bounded
+        # frame: the windows span the ≤ years×365-row daily tier)
+        ranked = ranked.withColumn(
+            f"_2r_{col}",
+            (
+                2 * F.rank().over(Window.orderBy(col))
+                + F.count(F.lit(1)).over(Window.partitionBy(col))
+                - 1
+            ).cast("long"),
+        )
+        two_r[col] = F.col(f"_2r_{col}")
+    x, y = two_r["rev_cents"], two_r["n_orders"]
+    moments = ranked.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(x).cast("long").alias("_sx"),
+        F.sum(y).cast("long").alias("_sy"),
+        F.sum(x * x).cast("long").alias("_sxx"),
+        F.sum(y * y).cast("long").alias("_syy"),
+        F.sum(x * y).cast("long").alias("_sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    cov = n * F.col("_sxy") - F.col("_sx").cast("double") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx").cast("double") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy").cast("double") * F.col("_sy")
+    return moments.select(
+        "n_days",
+        (
+            F.floor(cov / (F.sqrt(vx) * F.sqrt(vy)) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_DAILY_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY rev_cents)
+              + COUNT(*) OVER (PARTITION BY rev_cents) - 1 AS BIGINT) AS x,
+         CAST(2 * rank() OVER (ORDER BY n_orders)
+              + COUNT(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS y
+  FROM daily
+),
+m AS (
+  SELECT COUNT(*) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM ranked
+)
+SELECT n_days,
+       floor(
+         (CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         * 1e6 + 0.5) / 1e6 AS spearman_rho
+FROM m
+"""

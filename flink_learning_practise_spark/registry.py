@@ -53,25 +53,91 @@ def oracle_sql() -> dict[str, str]:
 _POPULATED = False
 
 
+def _row_green(row) -> bool:
+    """A driver correctness row counts as green only if it PASSED.
+
+    Shared with ``tools/rotation.py`` (which re-exports it): failed
+    rows (err, or any ``*_match`` false) keep window priority instead
+    of aging out as stale greens; a declared rows-only pass
+    (``err == "no_oracle"``) is green only with rows actually produced.
+    """
+    if not isinstance(row, dict):
+        return bool(row)
+    if row.get("err"):
+        return row["err"] == "no_oracle" and (row.get("spark_rows") or 0) > 0
+    matches = [v for k, v in row.items() if k.endswith("_match")]
+    return all(matches) if matches else True
+
+
+def driver_history() -> tuple[set[str], dict[str, int]]:
+    """(ever-driver-checked names, last-GREEN round per name), read
+    from the ``CORRECTNESS_r*.json`` files the driver commits at the
+    repo root. Empty when no files exist (fresh checkout)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rnd = int(digits or 0)
+        for name, row in data.items():
+            seen.add(name)
+            if _row_green(row):
+                last[name] = max(last.get(name, 0), rnd)
+    return seen, last
+
+
+def _reorder_for_window() -> None:
+    """Self-maintaining correctness-window rotation (VERDICT r7 ask #1).
+
+    The driver checks only the FIRST 50 registry entries per round, so
+    order is a budget. Rather than hand-reordering register() calls
+    every round, the registry re-sorts itself from the committed driver
+    records: (1) never-driver-checked queries lead, in registration
+    order (the test_registry_window prefix rule); (2) then checked-but-
+    never-green rows (failures keep priority — none have occurred, this
+    is insurance); (3) then greens by ASCENDING last-green round, ties
+    in registration order — so no green row ages unchecked forever.
+    With no CORRECTNESS files the order is pure registration order.
+    """
+    global _REGISTRY
+    seen, last = driver_history()
+    pos = {n: i for i, n in enumerate(_REGISTRY)}
+
+    def key(name: str):
+        if name not in seen:
+            return (0, 0, pos[name])
+        if name not in last:
+            return (1, 0, pos[name])
+        return (2, last[name], pos[name])
+
+    _REGISTRY = {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
+
+
 def _populate() -> None:
     """Import every plan module exactly once; imports self-register.
 
     REGISTRATION ORDER IS A CONTRACT: the driver's correctness gate
-    checks the FIRST 50 registry entries each round.  Queries that have
-    never received a driver row register first (round-3's registrations
-    51+ were silently skipped), new queries next, and the OLDEST
-    driver-green rows rotate in behind them so no green row ages more
-    than ~two rounds.
-
-    Round-7 window (positions 1-50): the 50 round-6 registrations
-    that had never received a driver row (the full backlog, per the r6
-    verdict ask #1), in their original registration order.  NEW QUERY
-    REGISTRATION IS FROZEN this round — any addition would push a
-    backlog query past position 50 and re-create the gap
-    (tests/test_registry_window.py pins this).  Round-8 note: the
-    backlog drains to zero after this round's driver run; rotate the
-    oldest greens behind any new queries — the r2/r3-dated LLM block
-    at positions 51-67 first, then the r4 tier.
+    checks the FIRST 50 registry entries each round.  Since round 8 the
+    final order is COMPUTED, not hand-maintained: after all register()
+    calls, :func:`_reorder_for_window` re-sorts the registry from the
+    committed ``CORRECTNESS_r*.json`` records — never-driver-checked
+    queries first (registration order), then oldest driver-greens — so
+    the rotation discipline (r6 backlog incident, r7 freeze) holds
+    automatically every round.  The register() call order below only
+    breaks ties among equally-aged queries; new queries are appended to
+    their thematic section and lead the window by virtue of having no
+    driver row.  tests/test_registry_window.py pins the prefix rule and
+    the ≤50 never-checked budget; keep new-query batches small (~10)
+    so ≥40 slots keep rotating stale greens (r7 verdict ask #2).
     """
     global _POPULATED
     if _POPULATED:
@@ -86,9 +152,27 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- positions 1-50 (round-7 window): the 50 round-6
-    # registrations that never received a driver row. Exactly
-    # window-sized; nothing else may precede or interleave. ----
+    # ---- round-8 registrations (8 new: RAG-stack completion, training-
+    # data schedule/eval ops, SLA + rank-correlation analytics). They
+    # lead the window as never-driver-checked; the remaining 42 slots
+    # rotate the r2/r3 LLM block + oldest r4 greens via
+    # _reorder_for_window. ----
+    register("q_hybrid_rrf", llm.hybrid_rrf, llm.HYBRID_RRF_SQL)
+    register("q_hard_negatives", llm.hard_negatives, llm.HARD_NEGATIVES_SQL)
+    register("q_token_fertility", llm.token_fertility, llm.TOKEN_FERTILITY_SQL)
+    register("q_lang_confusion", llm.lang_confusion, llm.LANG_CONFUSION_SQL)
+    register(
+        "q_dedup_threshold_sweep",
+        llm.dedup_threshold_sweep,
+        llm.DEDUP_THRESHOLD_SWEEP_SQL,
+    )
+    register("q_mixture_epochs", cur.mixture_epochs, cur.MIXTURE_EPOCHS_SQL)
+    register("q_order_fill_rate", os_.order_fill_rate, os_.ORDER_FILL_RATE_SQL)
+    register("q_spearman_daily", os_.spearman_daily, os_.SPEARMAN_DAILY_SQL)
+
+    # ---- round-7 window: the 50 round-6 registrations that had never
+    # received a driver row (order within equal age still matters as
+    # the rotation tie-break). ----
     register("q_holt_smoothing", ea.holt_smoothing, ea.HOLT_SMOOTHING_SQL)
     register("q_funnel_latency", ea.funnel_latency, ea.FUNNEL_LATENCY_SQL)
     register("q_event_trigrams", ea.event_trigrams, ea.EVENT_TRIGRAMS_SQL)
@@ -637,3 +721,5 @@ def _populate() -> None:
     register("q_dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_SQL, headline=True)
     register("q_dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_JACCARD_SQL)
     register("q_dedup_snm", llm.dedup_snm, llm.DEDUP_SNM_SQL)
+
+    _reorder_for_window()

@@ -51,11 +51,13 @@ def test_bench_main_prints_compact_line_only(monkeypatch):
 
 
 def test_pair_tier_consumers_matches_source_and_registry_order():
-    """PAIR_TIER_CONSUMERS feeds BENCH_EVIDENCE (cost attribution) and
-    the extra-sample re-warm path; round 6 registered three new
-    consumers without updating it.  Derive the true consumer set from
-    the plan source (functions whose body calls _shared_pair_tier) and
-    pin the tuple to exactly that set, in registry order."""
+    """pair_tier_consumers() feeds BENCH_EVIDENCE (cost attribution)
+    and the extra-sample re-warm path; round 6 registered three new
+    consumers without updating the then-static tuple.  Derive the true
+    consumer set from the plan source (functions whose body calls
+    _shared_pair_tier), pin the static _PAIR_TIER_CONSUMER_FNS to
+    exactly that set, and check the name tuple follows registry order
+    (which self-rotates per round since r8)."""
     import inspect
     import re
 
@@ -68,10 +70,13 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
         body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
         if "_shared_pair_tier(" in body and m.group(1) != "_shared_pair_tier":
             callers.add(m.group(1))
+    assert llm._PAIR_TIER_CONSUMER_FNS == callers, (
+        f"_PAIR_TIER_CONSUMER_FNS drifted: expected {sorted(callers)}"
+    )
     order = list(all_queries().items())
     want = tuple(
         name for name, q in order if q.fn.__name__ in callers
     )
-    assert llm.PAIR_TIER_CONSUMERS == want, (
-        f"PAIR_TIER_CONSUMERS drifted: expected {want}"
+    assert llm.pair_tier_consumers() == want, (
+        f"pair_tier_consumers() drifted: expected {want}"
     )

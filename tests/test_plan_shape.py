@@ -171,6 +171,12 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # mixture weights over the per-source tier — sources are a
     # bounded catalog, not data-proportional
     "q_domain_mix",
+    # sparse-branch rank over the BM25 top-N — exactly RRF_TOP_N (20)
+    # rows by construction (the limit sits under the window)
+    "q_hybrid_rrf",
+    # tied-rank windows over the daily tier — calendar-bounded
+    # (≤ years×365 rows at any corpus scale)
+    "q_spearman_daily",
 }
 
 

@@ -2,8 +2,10 @@
 
 The driver checks only the FIRST 50 registry entries per round, so
 registration order is a budget (see registry._populate and
-tests/test_registry_window.py). This tool derives the next window from
-the committed driver records:
+tests/test_registry_window.py). SINCE ROUND 8 the registry applies
+this rotation ITSELF at import time (registry._reorder_for_window) —
+this tool remains the human-readable view of what the next window will
+be once the current round's CORRECTNESS file lands. The rule:
 
 1. never-driver-checked queries first, in current registry order
    (these are silently skipped forever if they sit past position 50);
@@ -31,25 +33,11 @@ from flink_learning_practise_spark.registry import all_queries  # noqa: E402
 WINDOW = 50
 
 
-def _row_green(row) -> bool:
-    """A driver row counts as green only if it actually PASSED.
-
-    Presence alone is not enough: a failed row (err, or any *_match
-    false) must keep window priority — by returning False here the
-    query stays out of ``last`` and sorts with the NEVER group at the
-    front of the next window instead of aging out as a stale green.
-    (Zero failures have occurred through r6, so this is insurance.)
-    """
-    if not isinstance(row, dict):
-        return bool(row)
-    if row.get("err"):
-        # "no_oracle" + rows actually produced IS the declared rows-only
-        # pass (q_event_profile_sketch); every other err is a failure,
-        # and a rows-only query returning ZERO rows is too — it must
-        # keep window priority, not age out as green.
-        return row["err"] == "no_oracle" and (row.get("spark_rows") or 0) > 0
-    matches = [v for k, v in row.items() if k.endswith("_match")]
-    return all(matches) if matches else True
+# Green semantics live in the registry since r8 (the registry now
+# self-orders by this same rule at import time — see
+# registry._reorder_for_window); re-exported here for inspection and
+# for tests/test_analytics_extras.py::test_rotation_green_row_semantics.
+from flink_learning_practise_spark.registry import _row_green  # noqa: E402
 
 
 def last_green_by_query(repo_root: str) -> dict[str, int]:
