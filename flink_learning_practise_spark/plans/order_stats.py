@@ -396,13 +396,32 @@ LINEITEM_CORR_SQL = _corr_sql()
 # l_orderkey, so pair fan-out is bounded by (lines-per-order choose 2)
 # per order — never corpus² — and the (orderkey, partkey) DISTINCT
 # shrinks the fact stream before the join (same pre-shrink as Q16).
+#
+# Mega-basket guard (VERDICT r7 ask #6): the "bounded by basket²"
+# argument assumes basket size is schema-bounded (TPC-H caps
+# lines-per-order at 7, so the driver oracles are UNCHANGED — the cap
+# can never bind there). On an open schema a single pathological
+# mega-basket (a B2B bulk order, a crawler cart) squares: one
+# 10⁵-item order emits 5×10⁹ pairs into one task. Orders above
+# BASKET_MAX_ITEMS are excluded from PAIR GENERATION only — the same
+# bounded-error shape as graph.capped_wedges (graph.py): supports
+# (n_a, n_b) and the order total still count every order, so the
+# reported pairs/lifts for normal baskets are exact and only
+# pairs-WITHIN-the-freak-basket are dropped (they are noise for
+# association mining anyway — everything co-occurs in a cart that
+# contains everything).
 
 BASKET_MIN_SUPPORT = 2
 BASKET_TOP_N = 50
+BASKET_MAX_ITEMS = 256
 
 
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    return _basket_pairs_from(li)
+
+
+def _basket_pairs_from(li: DataFrame) -> DataFrame:
     # the (order, part) DISTINCT feeds FOUR consumers (two self-join
     # sides, per-part supports, the order total) — materialize it ONCE
     # behind an eager checkpoint, pre-partitioned on the join key, so
@@ -419,8 +438,14 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n")
     )
     part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_c"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    # basket-size window is partition-local (items is pre-partitioned
+    # on l_orderkey), so the guard costs a sort-free WindowExec, no
+    # exchange; only the pair branch filters on it
+    pairable = items.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    ).filter(F.col("_bsz") <= BASKET_MAX_ITEMS)
+    a = pairable.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = pairable.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("part_a") < F.col("part_b"))

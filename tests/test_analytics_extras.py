@@ -921,3 +921,55 @@ class TestMutualInfoIdentity:
         assert r.n_events == nn
         assert abs(r.mi_nats - mi) < 1e-5
         assert r.mi_nats >= -1e-9  # MI is nonnegative
+
+
+class TestBasketPairsMegaBasketGuard:
+    def test_mega_basket_excluded_from_pairs_but_counted_in_supports(
+        self, spark
+    ):
+        """VERDICT r7 ask #6: a basket above BASKET_MAX_ITEMS must not
+        square into the pair join, but its items still count toward
+        per-part supports and the order total (bounded-error contract,
+        mirroring graph.capped_wedges)."""
+        from flink_learning_practise_spark.plans import order_stats as os_
+
+        mega = [(999, p) for p in range(os_.BASKET_MAX_ITEMS + 10)]
+        normal = [(1, 10), (1, 11), (2, 10), (2, 11)]
+        li = spark.createDataFrame(
+            normal + mega, "l_orderkey long, l_partkey long"
+        )
+        rows = {
+            (r.part_a, r.part_b): r for r in os_._basket_pairs_from(li).collect()
+        }
+        # the normal pair survives with exact support
+        assert (10, 11) in rows
+        r = rows[(10, 11)]
+        assert r.n_both == 2
+        # supports still COUNT the mega basket (it contains parts
+        # 10/11 too): n_a = n_b = 3, and the order total includes it:
+        # lift = n_orders * n_both / (n_a * n_b) = 3 * 2 / (3 * 3)
+        assert r.n_a == 3 and r.n_b == 3
+        assert abs(float(r.lift) - 2.0 / 3.0) < 1e-6
+        # no pair from within the mega basket leaked through
+        mega_parts = {p for _, p in mega}
+        assert not any(
+            pa in mega_parts and pb in mega_parts and pa >= 12
+            for pa, pb in rows
+        )
+
+    def test_cap_never_binds_at_driver_sfs(self, spark, sf_medium):
+        """TPC-H bounds lines-per-order at 7 — the guard must be a
+        no-op on the driver tables (oracle unchanged)."""
+        from flink_learning_practise_spark.datasets import load
+        from flink_learning_practise_spark.plans import order_stats as os_
+
+        li = load(spark, sf_medium, "lineitem")
+        mx = (
+            li.select("l_orderkey", "l_partkey")
+            .distinct()
+            .groupBy("l_orderkey")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert mx <= os_.BASKET_MAX_ITEMS
