@@ -428,22 +428,26 @@ def _basket_pairs_from(li: DataFrame) -> DataFrame:
     # the fact scan + distinct run once instead of per branch (the same
     # materialization boundary the shared pair tier uses; at 100 TB
     # this intermediate would land as a table between stages)
+    # the basket-size guard column is computed INSIDE the tier build:
+    # the count-over-orderkey window's clustering requirement is
+    # satisfied by the repartition exchange already in the build, so
+    # the guard costs one partition-local sort in the already-paid
+    # build — zero extra exchanges in any consumer branch
     items = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .repartition("l_orderkey")
+        .withColumn(
+            "_bsz",
+            F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")),
+        )
         .localCheckpoint(eager=True)
     )
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("_n")
     )
     part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_c"))
-    # basket-size window is partition-local (items is pre-partitioned
-    # on l_orderkey), so the guard costs a sort-free WindowExec, no
-    # exchange; only the pair branch filters on it
-    pairable = items.withColumn(
-        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
-    ).filter(F.col("_bsz") <= BASKET_MAX_ITEMS)
+    pairable = items.filter(F.col("_bsz") <= BASKET_MAX_ITEMS)
     a = pairable.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = pairable.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
