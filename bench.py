@@ -45,9 +45,8 @@ import sys
 import time
 
 from flink_learning_practise_spark.plans.llm_pipeline import (
-    _shared_pair_tier,
-    pair_tier_consumers,
     reset_shared_caches,
+    shared_tiers,
 )
 from flink_learning_practise_spark.registry import all_queries
 from flink_learning_practise_spark.session import get_spark
@@ -139,24 +138,28 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    tier_build_samples: list[float] = []
+    tiers = shared_tiers()
+    tier_build_samples: dict[str, list[float]] = {t: [] for t in tiers}
     for p in range(PASSES + 1):  # pass 0 = compile warm-up, discarded
-        # re-pay the shared pair-tier build each pass, timed as its OWN
-        # line (r5 verdict ask): before the reset-per-pass + explicit
-        # build, the checkpoint cost landed on whichever consumer ran
-        # first in registry order, misattributing the suite's single
-        # most expensive stage. Now every consumer measures against a
-        # warm memo and the build cost is explicit in the evidence
-        # sidecar AND included in the stdout total.
+        # re-pay every shared-tier build each pass, each timed as its
+        # OWN line (r5 verdict ask): before the reset-per-pass +
+        # explicit builds, checkpoint costs landed on whichever
+        # consumer ran first in registry order, misattributing the
+        # suite's most expensive stages. Now every consumer measures
+        # against a warm memo and the build costs are explicit in the
+        # evidence sidecar AND included in the stdout total.
         reset_shared_caches()
-        tb0 = time.perf_counter()
-        try:
-            _shared_pair_tier(spark, sf_dir)  # eager localCheckpoint
-            if p > 0:
-                tier_build_samples.append(time.perf_counter() - tb0)
-        except Exception as e:  # noqa: BLE001
-            errors.setdefault("_build:ppjoin_pair_tier",
-                              f"{type(e).__name__}: {e}"[:300])
+        for tname, (builder, _cons) in tiers.items():
+            tb0 = time.perf_counter()
+            try:
+                builder(spark, sf_dir)  # eager localCheckpoint
+                if p > 0:
+                    tier_build_samples[tname].append(
+                        time.perf_counter() - tb0
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.setdefault(f"_build:{tname}",
+                                  f"{type(e).__name__}: {e}"[:300])
         t0 = time.perf_counter()
         for n in names:
             if n in errors:
@@ -181,14 +184,20 @@ def main() -> None:
             # valid pass samples, and recording it in `errors` while
             # keeping its timing would break the "errors are excluded
             # from timings" contract.
-            if n in pair_tier_consumers():
-                # per-query samples are warm-memo by contract now (the
-                # build is its own timed line) — make sure the memo IS
-                # warm so the extra sample matches the pass samples
-                try:
-                    _shared_pair_tier(spark, sf_dir)
-                except Exception:  # noqa: BLE001
-                    continue
+            rewarm_failed = False
+            for _tname, (builder, cons) in tiers.items():
+                if n in cons:
+                    # per-query samples are warm-memo by contract now
+                    # (each build is its own timed line) — make sure
+                    # the memo IS warm so the extra sample matches the
+                    # pass samples
+                    try:
+                        builder(spark, sf_dir)
+                    except Exception:  # noqa: BLE001
+                        rewarm_failed = True
+                        break
+            if rewarm_failed:
+                continue
             try:
                 s.append(run_once(n))
             except Exception:  # noqa: BLE001
@@ -204,11 +213,12 @@ def main() -> None:
         n: round((max(s) - min(s)) / max(min(s), 1e-9), 2)
         for n, s in samples.items()
     }
-    tier_build_sec = (
-        round(min(tier_build_samples), 4) if tier_build_samples else None
-    )
+    tier_build_sec = {
+        t: (round(min(s), 4) if s else None)
+        for t, s in tier_build_samples.items()
+    }
     out = compact_line(timings, sf, n_errors=len(errors),
-                       extra_sec=tier_build_sec or 0.0)
+                       extra_sec=sum(v or 0.0 for v in tier_build_sec.values()))
     evidence = {
         **out,
         "queries": timings,
@@ -220,16 +230,19 @@ def main() -> None:
         "loadavg_1m": load_points,  # before warmup, after each pass
         "cpu_busy_frac": busy_frac,  # whole-box busy share during the run
         "errors": errors,  # queries that threw (excluded from timings)
-        # shared-tier accounting: these queries reuse one checkpointed
-        # pair tier; its build is re-paid + TIMED once per pass (before
+        # shared-tier accounting: these queries reuse checkpointed
+        # tiers; each build is re-paid + TIMED once per pass (before
         # any consumer runs), so per-query mins are warm-memo and the
-        # build cost is explicit here and included in the stdout total
+        # build costs are explicit here and included in the stdout total
         "shared_tiers": {
-            "ppjoin_pair_tier": {
-                "consumers": list(pair_tier_consumers()),
-                "build_sec": tier_build_sec,
-                "build_samples": [round(x, 3) for x in tier_build_samples],
+            tname: {
+                "consumers": list(cons),
+                "build_sec": tier_build_sec[tname],
+                "build_samples": [
+                    round(x, 3) for x in tier_build_samples[tname]
+                ],
             }
+            for tname, (_b, cons) in tiers.items()
         },
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -599,9 +599,6 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_sess[key]
 
 
-# consumers of the shared tier, in registry order — bench.py records
-# this in BENCH_EVIDENCE.json so a reader knows the tier build cost
-# lands on whichever of these runs FIRST in each timing pass
 # Plan functions that consume the shared tier. STATIC so additions are
 # a reviewed edit (test_bench_contract derives the true set from source
 # and pins this); the REGISTRY-ORDERED query names come from
@@ -639,14 +636,67 @@ def pair_tier_consumers() -> tuple[str, ...]:
     )
 
 
+_BM25_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_bm25_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 top-N frame (#127's output), computed ONCE per
+    (session, sf_dir) and eagerly localCheckpointed — #210's hybrid
+    fusion consumes the SAME retrieval as the standalone BM25 query,
+    and the two corpus token scans behind it are the expensive part
+    (~1.7 s at sf0.1), so re-deriving them per consumer would repeat
+    the pair-tier mistake (r3 #8). The checkpoint is N=20 rows —
+    trivially bounded. Same lifecycle as the pair memo: weak per-
+    session key, 2-sf_dir cap, oldest evicted."""
+    per_sess = _BM25_TIER_MEMO.setdefault(spark, {})
+    if sf_dir not in per_sess:
+        while len(per_sess) >= 2:
+            per_sess.pop(next(iter(per_sess)))
+        per_sess[sf_dir] = _bm25_topn(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    return per_sess[sf_dir]
+
+
+_BM25_TIER_CONSUMER_FNS = frozenset({"bm25_search", "hybrid_rrf"})
+
+
+def bm25_tier_consumers() -> tuple[str, ...]:
+    """Registered query names that consume the shared BM25 top-N tier,
+    in CURRENT registry order (same contract as
+    :func:`pair_tier_consumers`)."""
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _BM25_TIER_CONSUMER_FNS
+    )
+
+
+def shared_tiers() -> dict[str, tuple]:
+    """Every memoized shared tier: name → (builder, consumer names in
+    registry order). bench.py re-pays + times each build once per pass
+    (its own evidence line, included in the stdout total) so per-query
+    samples are warm-memo and the build cost is attributed explicitly
+    instead of landing on whichever consumer runs first."""
+    return {
+        "ppjoin_pair_tier": (_shared_pair_tier, pair_tier_consumers()),
+        "bm25_topn_tier": (_shared_bm25_tier, bm25_tier_consumers()),
+    }
+
+
 def reset_shared_caches() -> None:
     """Drop every memoized shared tier. bench.py calls this before each
-    timing pass so the pair-tier derivation is re-paid (and therefore
+    timing pass so each tier derivation is re-paid (and therefore
     VISIBLE in the timings) once per pass instead of once per process —
-    min-across-passes then always includes one build, charged to the
-    first consumer of the pass (advice r4: the memo otherwise excluded
-    the dominant build from every post-first-invocation sample)."""
+    min-across-passes then always includes one build (advice r4: the
+    memo otherwise excluded the dominant build from every
+    post-first-invocation sample)."""
     _PAIR_TIER_MEMO.clear()
+    _BM25_TIER_MEMO.clear()
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1674,6 +1724,10 @@ BM25_TOP_N = 20
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_bm25_tier(spark, sf_dir)
+
+
+def _bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: two pruned passes, deliberately NOT one shared
     (doc, token) aggregate — the doc-length tier needs every token but
     only 2 narrow columns, while the tf tier filters to the |Q| query
@@ -3561,8 +3615,8 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    # sparse branch: BM25 top-N (already ordered + limited to N=20)
-    sparse = bm25_search(spark, sf_dir)
+    # sparse branch: the shared BM25 top-N tier (N=20, checkpointed)
+    sparse = _shared_bm25_tier(spark, sf_dir)
     sw = Window.orderBy(F.desc("bm25"), "doc_id")  # 20-row frame
     sparse_r = sparse.select(
         "doc_id", F.row_number().over(sw).alias("sparse_rank")

@@ -80,3 +80,16 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
     assert llm.pair_tier_consumers() == want, (
         f"pair_tier_consumers() drifted: expected {want}"
     )
+    # same contract for the BM25 top-N tier (r8)
+    bm25_callers = set()
+    for m in re.finditer(r"^def (\w+)\(", src, re.M):
+        nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
+        body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
+        if "_shared_bm25_tier(" in body and m.group(1) != "_shared_bm25_tier":
+            bm25_callers.add(m.group(1))
+    assert llm._BM25_TIER_CONSUMER_FNS == bm25_callers
+    want_bm25 = tuple(
+        name for name, q in order if q.fn.__name__ in bm25_callers
+    )
+    assert llm.bm25_tier_consumers() == want_bm25
+    assert set(llm.shared_tiers()) == {"ppjoin_pair_tier", "bm25_topn_tier"}
