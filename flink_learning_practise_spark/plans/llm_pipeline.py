@@ -4036,3 +4036,177 @@ SELECT threshold,
 FROM t
 ORDER BY threshold
 """
+
+
+# ---------------------------------------------------------------------------
+# #218 MMR diversified re-ranking (Carbonell & Goldstein 1998): greedy
+# maximal-marginal-relevance selection over the dense top-N candidate
+# pool — pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) until K
+# docs are selected. The de-duplicating re-rank stage between retrieval
+# (#42/#210) and a context window. Scale shape: retrieval bounds the
+# pool to MMR_POOL rows, the pairwise-sim tier is a ≤C(POOL,2)-row
+# broadcast self-join (JVM dot products, the #41 idiom), and the
+# greedy recursion — inherently sequential, O(K·POOL) — runs in ONE
+# mapInPandas task over that bounded frame (the EWMA/Holt recursive-
+# fold class: Python only where the recursion genuinely can't be a
+# window). λ = 0.5 so every score is an EXACT halving of 1e-6-grid
+# quantized inputs — each greedy comparison is engine-identical, which
+# is what lets the unrolled K-step SQL oracle replay the selection
+# decision-for-decision.
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.5  # exact IEEE halving of quantized inputs — keep 0.5
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = similarity.knn_bruteforce(
+        emb,
+        emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID),
+        k=MMR_POOL,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("rel"))
+    pool = cand.join(
+        similarity.with_norm(emb).select(
+            F.col("vec_id").alias("doc_id"), "embedding", "norm"
+        ),
+        "doc_id",
+    )
+    a = pool.select(
+        F.col("doc_id").alias("ida"),
+        F.col("rel").alias("rel_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = pool.select(
+        F.col("doc_id").alias("idb"),
+        F.col("rel").alias("rel_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    # bounded C(POOL,2)-row tier; JVM cosine, same idiom as the oracle
+    sims = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))  # broadcast-policy-exempt: ≤MMR_POOL rows
+        .select(
+            "ida",
+            "idb",
+            "rel_a",
+            "rel_b",
+            similarity.cosine_col("e_a", "e_b", "n_a", "n_b").alias("sim"),
+        )
+    )
+
+    def greedy(batches):
+        rows = [pdf for pdf in batches]
+        if not rows:
+            return
+        pdf = pd.concat(rows)
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.ida)] = float(r.rel_a)
+            rel[int(r.idb)] = float(r.rel_b)
+            sim[(int(r.ida), int(r.idb))] = float(r.sim)
+        selected: list[int] = []
+        out = []
+        while rel and len(selected) < MMR_K:
+            best = None
+            for d, rd in rel.items():
+                if d in selected:
+                    continue
+                mx = max(
+                    (
+                        sim[(min(d, s), max(d, s))]
+                        for s in selected
+                    ),
+                    default=0.0,
+                )
+                score = MMR_LAMBDA * rd - (1 - MMR_LAMBDA) * mx
+                # strict total order: score desc, doc_id asc
+                if best is None or (score, -d) > (best[0], -best[1]):
+                    best = (score, d)
+            if best is None:
+                break
+            selected.append(best[1])
+            out.append(
+                (len(selected), best[1], rel[best[1]], best[0])
+            )
+        yield pd.DataFrame(
+            out, columns=["step", "doc_id", "rel", "mmr_score"]
+        )
+
+    return (
+        sims.repartition(1)  # bounded tier: one task holds ≤C(POOL,2) rows
+        .mapInPandas(greedy, "step int, doc_id long, rel double, mmr_score double")
+        .orderBy("step")
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled K-step oracle: each greedy pick is one CTE whose
+    ORDER BY (mmr_score DESC, doc_id) LIMIT 1 replays the selection;
+    max-sim-to-selected is a scalar MAX over the symmetric sims tier
+    restricted to the union of earlier picks."""
+    lam = MMR_LAMBDA
+    head = f"""
+WITH {NORM_CTE},
+scored AS (
+  SELECT b.vec_id AS doc_id,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) / (a.nrm * b.nrm),
+           6) AS rel
+  FROM (SELECT embedding, nrm FROM norms WHERE vec_id = {RRF_QUERY_VEC_ID}) a
+  JOIN norms b ON b.vec_id <> {RRF_QUERY_VEC_ID}
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, rel FROM (
+    SELECT doc_id, rel,
+           row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT x.doc_id AS ida, y.doc_id AS idb,
+         round(
+           (SELECT SUM(CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i)) / (ex.nrm * ey.nrm),
+           6) AS sim
+  FROM cand x JOIN cand y ON x.doc_id < y.doc_id
+  JOIN norms ex ON ex.vec_id = x.doc_id
+  JOIN norms ey ON ey.vec_id = y.doc_id
+),
+s1 AS MATERIALIZED (
+  SELECT CAST(1 AS INT) AS step, doc_id, rel, {lam} * rel AS mmr_score
+  FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT doc_id FROM s1)"""
+    parts = [head]
+    for k in range(2, MMR_K + 1):
+        prev = k - 1
+        parts.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT CAST({k} AS INT) AS step, c.doc_id, c.rel,
+         {lam} * c.rel - {1 - lam} * COALESCE((
+           SELECT MAX(s.sim) FROM sims s
+           WHERE (s.ida = c.doc_id AND s.idb IN (SELECT doc_id FROM sel{prev}))
+              OR (s.idb = c.doc_id AND s.ida IN (SELECT doc_id FROM sel{prev}))
+         ), CAST(0.0 AS DOUBLE)) AS mmr_score
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{prev})
+  ORDER BY mmr_score DESC, c.doc_id LIMIT 1
+),
+sel{k} AS MATERIALIZED (
+  SELECT doc_id FROM sel{prev} UNION ALL SELECT doc_id FROM s{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, doc_id, rel, mmr_score FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY step")
+    return "".join(parts)
+
+
+MMR_RERANK_SQL = _mmr_sql()

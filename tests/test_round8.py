@@ -229,3 +229,69 @@ class TestLangTables:
             # BPE-ish regex splits at least once per whitespace word
             assert r.fertility >= 1.0
             assert r.chars_per_bpe_token > 0.0
+
+
+class TestMmrRerank:
+    def test_selection_matches_numpy_greedy(self, spark, sf_medium):
+        """Full greedy replay from raw embeddings in numpy (round@6
+        cosines, λ=0.5): the selected doc sequence and scores must
+        match — an independent implementation, not a SQL replay."""
+        import numpy as np
+
+        from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load(spark, sf_medium, "embeddings").collect()
+        }
+        qv = emb[llm.RRF_QUERY_VEC_ID]
+        qn = np.linalg.norm(qv)
+
+        def cos(u, un, v, vn):
+            return round(float(np.dot(u, v) / (un * vn)), 6)
+
+        norms = {i: np.linalg.norm(v) for i, v in emb.items()}
+        rel = {
+            i: cos(qv, qn, v, norms[i])
+            for i, v in emb.items()
+            if i != llm.RRF_QUERY_VEC_ID
+        }
+        pool = sorted(rel, key=lambda i: (-rel[i], i))[: llm.MMR_POOL]
+        selected, expect = [], []
+        while len(selected) < llm.MMR_K and len(selected) < len(pool):
+            best = None
+            for d in pool:
+                if d in selected:
+                    continue
+                mx = max(
+                    (cos(emb[d], norms[d], emb[s], norms[s]) for s in selected),
+                    default=0.0,
+                )
+                score = 0.5 * rel[d] - 0.5 * mx
+                if best is None or (score, -d) > (best[0], -best[1]):
+                    best = (score, d)
+            selected.append(best[1])
+            expect.append((len(selected), best[1], best[0]))
+        got = [
+            (r.step, r.doc_id, r.mmr_score)
+            for r in llm.mmr_rerank(spark, sf_medium).orderBy("step").collect()
+        ]
+        assert [(s, d) for s, d, _ in got] == [(s, d) for s, d, _ in expect]
+        for (_, _, g), (_, _, e) in zip(got, expect):
+            assert abs(g - e) < 2e-6
+
+    def test_diversifies_vs_pure_relevance(self, spark, sf_medium):
+        """MMR must start at the relevance argmax and never pick a doc
+        twice; steps are contiguous."""
+        from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+        rows = llm.mmr_rerank(spark, sf_medium).orderBy("step").collect()
+        assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+        assert len({r.doc_id for r in rows}) == len(rows)
+        assert rows[0].rel == max(r.rel for r in rows)
+        # marginal score is bounded by the sim range: |sim| ≤ 1 ⇒
+        # 0.5·rel − 0.5 ≤ mmr_score ≤ 0.5·rel + 0.5 (sims may be
+        # NEGATIVE on this synthetic corpus, so the naive
+        # "≤ 0.5·rel" bound does not hold)
+        for r in rows[1:]:
+            assert 0.5 * r.rel - 0.5 - 1e-12 <= r.mmr_score <= 0.5 * r.rel + 0.5 + 1e-12
