@@ -497,3 +497,110 @@ SELECT lang, avail_tokens, mix_share, sampled_tokens,
 FROM sched
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# #219 packing-efficiency sweep: #71's running-sum packer evaluated at
+# a ladder of context-window budgets — n_packs, overflow share and
+# utilization per capacity, the "which sequence length wastes the
+# least compute" table a training team reads before picking a context
+# budget. The token tier (one row per doc) explodes ×|ladder| and one
+# (capacity, source)-keyed window assigns all three packings in a
+# single range exchange; the rollup is ≤ |ladder| rows. Utilization
+# may exceed 1 per pack (the packer's bins are targets, docs straddle
+# boundaries) — the corpus-level ratio is the KPI.
+
+PACK_LADDER = (128, 256, 512)
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(normalize(F.col("text")), " ")).alias("tok"),
+    )
+    ladder = F.array(*[F.lit(c) for c in PACK_LADDER])
+    stacked = tok.select(
+        F.explode(ladder).alias("capacity"), "source", "doc_id", "tok"
+    )
+    win = (
+        Window.partitionBy("capacity", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = stacked.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("tok").over(win), F.lit(0)) / F.col("capacity")
+        ).cast("long"),
+    )
+    per_pack = packed.groupBy("capacity", "source", "pack_id").agg(
+        F.sum("tok").cast("long").alias("_ptok")
+    )
+    return (
+        per_pack.groupBy("capacity")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("_ptok").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("_ptok") > F.col("capacity"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_overflow_packs"),
+        )
+        .select(
+            "capacity",
+            "n_packs",
+            "total_tokens",
+            "n_overflow_packs",
+            (
+                F.floor(
+                    F.col("total_tokens").cast("double")
+                    / (F.col("n_packs") * F.col("capacity"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("utilization"),
+        )
+        .orderBy("capacity")
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT source, doc_id, len(string_split({NORM_SQL}, ' ')) AS tok
+  FROM documents
+),
+ladder(capacity) AS (
+  VALUES {", ".join(f"({c})" for c in PACK_LADDER)}
+),
+packed AS (
+  SELECT l.capacity, t.source, t.doc_id, t.tok,
+         CAST(floor(
+           COALESCE(SUM(t.tok) OVER (
+             PARTITION BY l.capacity, t.source ORDER BY t.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / l.capacity) AS BIGINT) AS pack_id
+  FROM ladder l CROSS JOIN tok t
+),
+per_pack AS (
+  SELECT capacity, source, pack_id, CAST(SUM(tok) AS BIGINT) AS ptok
+  FROM packed GROUP BY 1, 2, 3
+)
+SELECT capacity,
+       COUNT(*) AS n_packs,
+       CAST(SUM(ptok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN ptok > capacity THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow_packs,
+       floor(CAST(SUM(ptok) AS DOUBLE) / (COUNT(*) * capacity) * 1e6 + 0.5)
+         / 1e6 AS utilization
+FROM per_pack
+GROUP BY 1
+ORDER BY 1
+"""

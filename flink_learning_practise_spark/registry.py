@@ -168,6 +168,11 @@ def _populate() -> None:
     )
     register("q_mmr_rerank", llm.mmr_rerank, llm.MMR_RERANK_SQL)
     register("q_mixture_epochs", cur.mixture_epochs, cur.MIXTURE_EPOCHS_SQL)
+    register(
+        "q_packing_efficiency",
+        cur.packing_efficiency,
+        cur.PACKING_EFFICIENCY_SQL,
+    )
     register("q_order_fill_rate", os_.order_fill_rate, os_.ORDER_FILL_RATE_SQL)
     register("q_spearman_daily", os_.spearman_daily, os_.SPEARMAN_DAILY_SQL)
 

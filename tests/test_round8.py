@@ -295,3 +295,26 @@ class TestMmrRerank:
         # "≤ 0.5·rel" bound does not hold)
         for r in rows[1:]:
             assert 0.5 * r.rel - 0.5 - 1e-12 <= r.mmr_score <= 0.5 * r.rel + 0.5 + 1e-12
+
+
+class TestPackingEfficiency:
+    def test_anchored_to_pack_sequences_and_monotone(self, spark, sf_medium):
+        """The ladder row at PACK_CAPACITY must agree with #71's packer
+        output exactly; utilization improves (or holds) as capacity
+        shrinks for this corpus of sub-capacity docs."""
+        from flink_learning_practise_spark.plans import curation as cur
+
+        rows = {
+            r.capacity: r
+            for r in cur.packing_efficiency(spark, sf_medium).collect()
+        }
+        assert set(rows) == set(cur.PACK_LADDER)
+        packs = cur.pack_sequences(spark, sf_medium).collect()
+        anchor = rows[cur.PACK_CAPACITY]
+        assert anchor.n_packs == len(packs)
+        assert anchor.total_tokens == sum(p.n_tokens for p in packs)
+        for r in rows.values():
+            assert r.n_overflow_packs <= r.n_packs
+            assert 0.0 < r.utilization
+            # total tokens identical across capacities (same corpus)
+            assert r.total_tokens == anchor.total_tokens
