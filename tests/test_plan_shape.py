@@ -102,6 +102,9 @@ ARROW_VECTORIZED = {
     # max(0, ...) recursion over the calendar-bounded daily tier —
     # single Arrow batch by design (ks_drift's bounded-frame rule)
     "q_cusum_revenue",
+    # greedy MMR selection — inherently sequential O(K·POOL) recursion
+    # over a ≤C(POOL,2)-row bounded sims tier, one Arrow batch (r8)
+    "q_mmr_rerank",
 }
 
 
