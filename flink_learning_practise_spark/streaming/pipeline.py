@@ -740,3 +740,224 @@ def burst_alert_stream(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming hybrid retrieval serving (#210s): queries stream in, the
+# sparse (BM25 postings) and dense (embedding) indexes are STATIC
+# snapshots, RRF-fused top-k streams out — the serving half of the
+# batch hybrid_rrf (plans/llm_pipeline.py #210), same shape as
+# stream_ann_probe + ann_topk_batch.
+
+
+class HybridIndexes:
+    """Static serving indexes, built ONCE from snapshot frames.
+
+    ``postings`` (token, doc_id, tf) is corpus-scale — it joins the
+    query stream per micro-batch as a stream-static join keyed on the
+    token (per-task candidates bounded by posting-list length, the
+    BM25 analog of the IVF list bound). ``df_t`` / ``n_avg`` are
+    vocabulary-/single-row-scale; ``dense`` carries precomputed norms
+    so every batch reuses them. Eager localCheckpoints play the role a
+    landed index table would in production serving."""
+
+    def __init__(self, docs: DataFrame, emb: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 vec_id_col: str = "vec_id", emb_col: str = "embedding"):
+        from ..operators.dedup import widen
+        from ..operators.similarity import with_norm
+        from ..operators.text import normalize
+
+        toks = (
+            widen(docs)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(
+                    F.split(normalize(F.col(text_col)), " ")
+                ).alias("token"),
+            )
+            .filter(F.col("token") != "")
+        )
+        self.postings = (
+            toks.groupBy("token", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        self.dl = (
+            toks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("dl"))
+            .localCheckpoint(eager=True)
+        )
+        self.df_t = (
+            self.postings.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .localCheckpoint(eager=True)
+        )
+        self.n_avg = (
+            self.dl.agg(
+                F.count(F.lit(1)).alias("_N"),
+                (
+                    F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_avgdl"),
+            ).localCheckpoint(eager=True)
+        )
+        self.dense = (
+            with_norm(emb, emb_col)
+            .select(
+                F.col(vec_id_col).alias("match_id"),
+                F.col(emb_col).alias("_iemb"),
+                F.col("norm").alias("_inorm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def hybrid_topk_batch(
+    batch: DataFrame,
+    indexes: HybridIndexes,
+    k: int = 20,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id: str = "query_id",
+    terms_col: str = "terms",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """foreachBatch companion: RRF-fused top-k per query in the batch.
+
+    Mirrors the batch #210 numerics EXACTLY (idf round@9,
+    contribution round@9 → decimal(18,9) sums → round@6, cosine
+    round@6, rank ties by id, fusion floor-quantized @1e9), so a
+    single-query stream reproduces q_hybrid_rrf bit-for-bit. A corpus
+    doc with vec_id == the query's id is excluded from the dense
+    branch (self-exclusion, the kNN rule)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_col, with_norm
+
+    # ---- sparse branch: query terms join the static postings ----
+    qt = batch.select(query_id, F.explode(terms_col).alias("token"))
+    tf_q = qt.join(indexes.postings, "token")
+    scored = (
+        tf_q.join(indexes.dl, "doc_id")
+        .join(F.broadcast(indexes.df_t), "token")  # broadcast-policy-exempt: vocab tier for the batch's terms
+        .crossJoin(F.broadcast(indexes.n_avg))  # single-row scalars
+        .withColumn(
+            "_idf",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                9,
+            ),
+        )
+        .withColumn(
+            "_c",
+            F.round(
+                F.col("_idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+        .groupBy(query_id, "doc_id")
+        .agg(F.round(F.sum("_c").cast("double"), 6).alias("bm25"))
+    )
+    sw = W.partitionBy(query_id).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse = (
+        scored.withColumn("sparse_rank", F.row_number().over(sw))
+        .filter(F.col("sparse_rank") <= k)
+        .select(query_id, "doc_id", "sparse_rank")
+    )
+    # ---- dense branch: batch queries scan the static norms ----
+    q = with_norm(batch.select(query_id, emb_col), emb_col).select(
+        F.col(query_id),
+        F.col(emb_col).alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    dscored = indexes.dense.join(
+        F.broadcast(q),  # broadcast-policy-exempt: one micro-batch of queries
+        F.col(query_id) != F.col("match_id"),  # self-exclusion by id
+    ).withColumn(
+        "cosine", cosine_col("q_emb", "_iemb", "q_norm", "_inorm")
+    )
+    dw = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("match_id"))
+    dense = (
+        dscored.withColumn("dense_rank", F.row_number().over(dw))
+        .filter(F.col("dense_rank") <= k)
+        # both branches share the batch's lineage — alias the join keys
+        # so the full-outer condition isn't an ambiguous self-join
+        .select(
+            F.col(query_id).alias("_dq"),
+            F.col("match_id").alias("d_id"),
+            "dense_rank",
+        )
+    )
+    # ---- RRF fusion, the #210 expression verbatim ----
+    fused = sparse.join(
+        dense,
+        (sparse[query_id] == dense["_dq"])
+        & (sparse["doc_id"] == dense["d_id"]),
+        "full_outer",
+    ).select(
+        F.coalesce(sparse[query_id], F.col("_dq")).alias(query_id),
+        F.coalesce(F.col("doc_id"), F.col("d_id")).alias("doc_id"),
+        "sparse_rank",
+        "dense_rank",
+        (
+            F.floor(
+                (
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(rrf_k) + F.col("sparse_rank")),
+                        F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")),
+                        F.lit(0.0),
+                    )
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("rrf_score"),
+    )
+    fw = W.partitionBy(query_id).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(fw))
+        .filter(F.col("fused_rank") <= k)
+    )
+
+
+def stream_hybrid_rrf(
+    queries_stream: DataFrame,
+    indexes: HybridIndexes,
+    sink_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    k: int = 20,
+    rrf_k: int = 60,
+):
+    """Continuous hybrid-retrieval serving: wire a query stream
+    (query_id, terms array<string>, embedding array<float>) through
+    :func:`hybrid_topk_batch` per micro-batch and hand the fused
+    top-k to ``sink_fn``. Stateless — all per-query work completes
+    inside its micro-batch (a query's terms arrive in its own row),
+    so there is no watermark or state store; the indexes are
+    checkpointed snapshots exactly like stream_ann_probe's IVF index."""
+    def fuse(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink_fn(
+            hybrid_topk_batch(batch, indexes, k=k, rrf_k=rrf_k), batch_id
+        )
+
+    return (
+        queries_stream.writeStream.foreachBatch(fuse)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

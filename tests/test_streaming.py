@@ -2142,3 +2142,64 @@ def test_streaming_burst_alerts(spark, tmp_path):
     # no alert for the 1-event window or for user 2 anywhere
     assert ("2024-01-01 00:00:30", 1) not in got
     assert not any(u == 2 for (_, u) in got)
+
+
+def test_stream_hybrid_rrf_matches_batch(spark, sf_small, tmp_path):
+    """Streaming hybrid retrieval serving (#210s) must reproduce the
+    batch q_hybrid_rrf result for the same fixed query: terms =
+    BM25_TERMS, embedding = vec 0's, self-excluded by id. The indexes
+    are static snapshots of the same corpus."""
+    from flink_learning_practise_spark.datasets import load
+    from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+    docs = load(spark, sf_small, "documents")
+    emb = load(spark, sf_small, "embeddings")
+    indexes = sp.HybridIndexes(docs, emb)
+
+    qvec = (
+        emb.filter(F.col("vec_id") == llm.RRF_QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    qdir = str(tmp_path / "hybrid_queries")
+    write_events(
+        qdir,
+        [
+            {
+                "query_id": llm.RRF_QUERY_VEC_ID,
+                "terms": list(llm.BM25_TERMS),
+                "embedding": [float(x) for x in qvec],
+            }
+        ],
+    )
+    stream = file_stream_source(
+        spark,
+        qdir,
+        "query_id BIGINT, terms ARRAY<STRING>, embedding ARRAY<FLOAT>",
+        fmt="json",
+    )
+    assert stream.isStreaming
+    got = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = (
+                r["sparse_rank"], r["dense_rank"], r["rrf_score"]
+            )
+
+    q = sp.stream_hybrid_rrf(
+        stream,
+        indexes,
+        sink,
+        checkpoint=str(tmp_path / "hybrid_ckpt"),
+        k=llm.RRF_TOP_N,
+        rrf_k=llm.RRF_K,
+    ).start()
+    sp.run_until_drained(q)
+
+    expect = {
+        r.doc_id: (r.sparse_rank, r.dense_rank, r.rrf_score)
+        for r in llm.hybrid_rrf(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert len(got) == llm.RRF_TOP_N
