@@ -71,3 +71,48 @@ def test_backlog_never_exceeds_window():
         "frozen until the backlog drains (VERDICT r6 ask #1/#2); "
         f"over-registered: {never[WINDOW:][:10]}"
     )
+
+
+def test_reorder_rule_on_synthetic_history(monkeypatch):
+    """Pins _reorder_for_window's sort rule directly (the other tests
+    exercise it only through the real CORRECTNESS files): never-present
+    first in registration order, then present-but-never-green, then
+    greens by ascending last-green round with registration-order ties."""
+    from flink_learning_practise_spark import registry as reg
+
+    orig_registry = dict(reg._REGISTRY)
+    try:
+        reg._REGISTRY.clear()
+        for name in ["g_r3", "fail", "new_b", "g_r2", "new_a", "g_r2_late"]:
+            reg._REGISTRY[name] = reg.Query(name, lambda s, d: None, None)
+        monkeypatch.setattr(
+            reg,
+            "driver_history",
+            lambda: (
+                {"g_r3", "fail", "g_r2", "g_r2_late"},  # ever checked
+                {"g_r3": 3, "g_r2": 2, "g_r2_late": 2},  # last green
+            ),
+        )
+        reg._reorder_for_window()
+        assert list(reg._REGISTRY) == [
+            "new_b",      # never checked, registration order
+            "new_a",
+            "fail",       # checked but never green — keeps priority
+            "g_r2",       # oldest green, registration order breaks the tie
+            "g_r2_late",
+            "g_r3",
+        ]
+    finally:
+        reg._REGISTRY.clear()
+        reg._REGISTRY.update(orig_registry)
+
+
+def test_row_green_rule():
+    from flink_learning_practise_spark.registry import _row_green
+
+    assert _row_green({"rows_match": True, "hash_match": True, "err": None})
+    assert not _row_green({"hash_match": False, "err": None})
+    assert not _row_green({"err": "AnalysisException"})
+    assert _row_green({"err": "no_oracle", "spark_rows": 3})
+    assert not _row_green({"err": "no_oracle", "spark_rows": 0})
+    assert not _row_green({"err": "no_oracle"})
