@@ -784,3 +784,91 @@ def streaming_holt(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing (the unbounded twin of #71
+# operators/curation.pack_sequences): per-source state is ONE running
+# token count + the doc-id high-water mark — two longs per source, a
+# bounded catalog, so NoTimeout is the contract (evicting would restart
+# pack numbering mid-stream; the activity-bitmap rule). Each arriving
+# document is assigned pack_id = floor(tokens_before_it / capacity),
+# exactly the batch packer's running-sum rule, so an in-doc-id-order
+# stream reproduces the batch assignment bit-for-bit (pytest-pinned).
+# Out-of-order arrivals behind the carried mark are dropped — a
+# running-sum assignment cannot absorb late docs without renumbering
+# everything after them; the batch op is the reprocessing authority
+# (the streaming-EWMA late contract).
+
+PACK_OUTPUT_SCHEMA = (
+    "source STRING, doc_id BIGINT, n_tokens BIGINT, pack_id BIGINT"
+)
+PACK_STATE_SCHEMA = "cum_tokens BIGINT, last_doc BIGINT"
+
+
+def _pack_fn(capacity: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        cum, last = state.get if state.exists else (0, -1)
+        rows: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["doc_id"].tolist(), pdf["tok"].tolist())
+            )
+        rows.sort()  # doc_id order within the micro-batch
+        out = {"doc_id": [], "n_tokens": [], "pack_id": []}
+        emitted = False
+        for d, tok in rows:
+            if d <= last:
+                continue  # behind the carried high-water mark: drop
+            out["doc_id"].append(int(d))
+            out["n_tokens"].append(int(tok))
+            out["pack_id"].append(int(cum) // capacity)
+            cum = int(cum) + int(tok)
+            last = int(d)
+            emitted = True
+        # fresh key with nothing but dropped rows: don't pin state
+        if emitted or state.exists:
+            state.update((int(cum), int(last)))
+        if out["doc_id"]:
+            yield pd.DataFrame(
+                {
+                    "source": [source] * len(out["doc_id"]),
+                    **out,
+                }
+            )
+
+    return fn
+
+
+def streaming_pack(
+    df: DataFrame,
+    capacity: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Continuous sequence packing: documents stream in, each is
+    tokenized map-side (the batch op's normalize+split, JVM-only) and
+    assigned its running-sum pack id per shard. Output one row per doc:
+    (source, doc_id, n_tokens, pack_id)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import normalize
+
+    tok = df.select(
+        F.col(shard_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(normalize(F.col(text_col)), " "))
+        .cast("long")
+        .alias("tok"),
+    )
+    return tok.groupBy("source").applyInPandasWithState(
+        _pack_fn(capacity),
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2203,3 +2203,69 @@ def test_stream_hybrid_rrf_matches_batch(spark, sf_small, tmp_path):
     }
     assert got == expect
     assert len(got) == llm.RRF_TOP_N
+
+
+def test_streaming_pack_matches_batch(spark, sf_small, tmp_path):
+    """Streaming sequence packing (#71s) must reproduce the batch
+    packer's per-pack rollup when docs arrive in doc_id order — state
+    (running token count) carries across micro-batches: the corpus is
+    dropped as two files with processAllAvailable between drops."""
+    from flink_learning_practise_spark.datasets import load
+    from flink_learning_practise_spark.plans.curation import (
+        PACK_CAPACITY,
+        pack_sequences,
+    )
+    from flink_learning_practise_spark.streaming.stateful import streaming_pack
+
+    docs = [
+        r.asDict()
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    cut = len(docs) // 2
+    src_dir = str(tmp_path / "pack_docs")
+    write_events(src_dir, docs[:cut])
+
+    stream = file_stream_source(
+        spark,
+        src_dir,
+        "doc_id BIGINT, source STRING, text STRING",
+        fmt="json",
+    )
+    out = streaming_pack(stream, capacity=PACK_CAPACITY)
+    assert out.isStreaming
+    q = memory_sink(out, "pack_stream", mode="append").start()
+    q.processAllAvailable()
+    write_events(src_dir, docs[cut:])  # second drop, live query
+    q.processAllAvailable()
+    q.stop()
+
+    got = {}
+    for r in (
+        spark.table("pack_stream")
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .collect()
+    ):
+        got[(r.source, r.pack_id)] = (
+            r.n_docs, r.n_tokens, r.first_doc, r.last_doc
+        )
+    expect = {
+        (r.source, r.pack_id): (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(spark, sf_small).collect()
+    }
+    assert got == expect
+    # the split point must actually exercise cross-batch state: at
+    # least one pack spans the two drops
+    spanning = [
+        k for k, (_, _, first, last) in expect.items()
+        if first < docs[cut]["doc_id"] <= last
+    ]
+    assert spanning
