@@ -4097,6 +4097,17 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             similarity.cosine_col("e_a", "e_b", "n_a", "n_b").alias("sim"),
         )
     )
+    # rel rides as SELF-rows (ida == idb, sim null) so a degenerate
+    # pool of one candidate — which produces ZERO pair rows — still
+    # reaches the greedy with its relevance (the SQL oracle's s1 picks
+    # the argmax from cand regardless of pair count)
+    rel_rows = pool.select(
+        F.col("doc_id").alias("ida"),
+        F.col("doc_id").alias("idb"),
+        F.col("rel").alias("rel_a"),
+        F.col("rel").alias("rel_b"),
+        F.lit(None).cast("double").alias("sim"),
+    )
 
     def greedy(batches):
         rows = [pdf for pdf in batches]
@@ -4106,12 +4117,14 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel: dict[int, float] = {}
         sim: dict[tuple[int, int], float] = {}
         for r in pdf.itertuples(index=False):
-            rel[int(r.ida)] = float(r.rel_a)
-            rel[int(r.idb)] = float(r.rel_b)
-            sim[(int(r.ida), int(r.idb))] = float(r.sim)
+            a_, b_ = int(r.ida), int(r.idb)
+            rel[a_] = float(r.rel_a)
+            rel[b_] = float(r.rel_b)
+            if a_ != b_:
+                sim[(a_, b_)] = float(r.sim)
         selected: list[int] = []
         out = []
-        while rel and len(selected) < MMR_K:
+        while len(selected) < MMR_K:
             best = None
             for d, rd in rel.items():
                 if d in selected:
@@ -4138,7 +4151,8 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        sims.repartition(1)  # bounded tier: one task holds ≤C(POOL,2) rows
+        sims.unionByName(rel_rows)
+        .repartition(1)  # bounded tier: one task holds ≤C(POOL,2)+POOL rows
         .mapInPandas(greedy, "step int, doc_id long, rel double, mmr_score double")
         .orderBy("step")
     )
@@ -4150,8 +4164,12 @@ def _mmr_sql() -> str:
     max-sim-to-selected is a scalar MAX over the symmetric sims tier
     restricted to the union of earlier picks."""
     lam = MMR_LAMBDA
+    # norms is referenced 4x (scored's two sides + sims' two sides) —
+    # DuckDB 1.0 inlines plain CTEs, so hint it MATERIALIZED here
+    # (locally: other oracles reference NORM_CTE once and stay plain)
+    norm_cte = NORM_CTE.replace("norms AS (", "norms AS MATERIALIZED (", 1)
     head = f"""
-WITH {NORM_CTE},
+WITH {norm_cte},
 scored AS (
   SELECT b.vec_id AS doc_id,
          round(

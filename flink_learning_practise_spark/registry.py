@@ -152,9 +152,10 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- round-8 registrations (8 new: RAG-stack completion, training-
-    # data schedule/eval ops, SLA + rank-correlation analytics). They
-    # lead the window as never-driver-checked; the remaining 42 slots
+    # ---- round-8 registrations (10 new: RAG-stack completion — RRF
+    # fusion, MMR re-ranking, hard negatives — plus training-data
+    # schedule/eval ops and SLA + rank-correlation analytics). They
+    # lead the window as never-driver-checked; the remaining 40 slots
     # rotate the r2/r3 LLM block + oldest r4 greens via
     # _reorder_for_window. ----
     register("q_hybrid_rrf", llm.hybrid_rrf, llm.HYBRID_RRF_SQL)

@@ -837,11 +837,19 @@ def hybrid_topk_batch(
     from ..operators.similarity import cosine_col, with_norm
 
     # ---- sparse branch: query terms join the static postings ----
-    qt = batch.select(query_id, F.explode(terms_col).alias("token"))
+    # distinct: BM25 sums per UNIQUE term (the batch #210 semantics) —
+    # a repeated term in the query array must not double its postings
+    qt = batch.select(query_id, F.explode(terms_col).alias("token")).distinct()
     tf_q = qt.join(indexes.postings, "token")
+    # df stats restricted to the batch's terms BEFORE the broadcast —
+    # df_t is vocabulary-scale (grows with the corpus); only the
+    # ≤|batch terms|-row slice is bounded enough to hint
+    batch_df_t = indexes.df_t.join(
+        qt.select("token").distinct(), "token", "left_semi"
+    )
     scored = (
         tf_q.join(indexes.dl, "doc_id")
-        .join(F.broadcast(indexes.df_t), "token")  # broadcast-policy-exempt: vocab tier for the batch's terms
+        .join(F.broadcast(batch_df_t), "token")  # broadcast-policy-exempt: ≤|batch terms| rows
         .crossJoin(F.broadcast(indexes.n_avg))  # single-row scalars
         .withColumn(
             "_idf",

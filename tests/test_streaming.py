@@ -2167,7 +2167,9 @@ def test_stream_hybrid_rrf_matches_batch(spark, sf_small, tmp_path):
         [
             {
                 "query_id": llm.RRF_QUERY_VEC_ID,
-                "terms": list(llm.BM25_TERMS),
+                # repeated term: BM25 sums per UNIQUE term, so the
+                # duplicate must not double its postings (review r8)
+                "terms": list(llm.BM25_TERMS) + [llm.BM25_TERMS[0]],
                 "embedding": [float(x) for x in qvec],
             }
         ],

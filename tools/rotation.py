@@ -21,8 +21,6 @@ green-age buckets for everything else.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import sys
 
@@ -33,22 +31,21 @@ from flink_learning_practise_spark.registry import all_queries  # noqa: E402
 WINDOW = 50
 
 
-# Green semantics live in the registry since r8 (the registry now
-# self-orders by this same rule at import time — see
+# Green/history semantics live in the registry since r8 (the registry
+# now self-orders by this same rule at import time — see
 # registry._reorder_for_window); re-exported here for inspection and
 # for tests/test_analytics_extras.py::test_rotation_green_row_semantics.
-from flink_learning_practise_spark.registry import _row_green  # noqa: E402
+from flink_learning_practise_spark.registry import (  # noqa: E402
+    _row_green,
+    driver_history,
+)
 
 
 def last_green_by_query(repo_root: str) -> dict[str, int]:
-    last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
-        rnd = int(digits)
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                if _row_green(row):
-                    last[name] = max(last.get(name, 0), rnd)
+    """Delegates to the registry's parser so the preview can never
+    drift from the order the registry actually applies (a second
+    parser here disagreed on edge inputs — review r8)."""
+    _, last = driver_history()
     return last
 
 
@@ -83,4 +80,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `rotation.py | head` closing early is fine
+        pass
