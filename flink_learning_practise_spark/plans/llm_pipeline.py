@@ -660,7 +660,9 @@ def _shared_bm25_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_sess[sf_dir]
 
 
-_BM25_TIER_CONSUMER_FNS = frozenset({"bm25_search", "hybrid_rrf"})
+_BM25_TIER_CONSUMER_FNS = frozenset(
+    {"bm25_search", "hybrid_rrf", "retrieval_overlap"}
+)
 
 
 def bm25_tier_consumers() -> tuple[str, ...]:
@@ -3654,7 +3656,10 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(RRF_TOP_N)
 
 
-HYBRID_RRF_SQL = f"""
+# The sparse/dense branch CTE chain is shared by the fusion oracle
+# (#210) and the overlap diagnostic (#220) — one builder so the two
+# can never drift.
+_RETRIEVAL_BRANCH_CTES = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
   FROM documents
@@ -3715,6 +3720,9 @@ dense AS MATERIALIZED (
     FROM dscored
   ) WHERE rank <= {RRF_TOP_N}
 )
+"""
+
+HYBRID_RRF_SQL = f"""{_RETRIEVAL_BRANCH_CTES}
 SELECT COALESCE(s.doc_id, d.d_id) AS doc_id,
        s.sparse_rank, d.dense_rank,
        floor((COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sparse_rank),
@@ -4228,3 +4236,76 @@ sel{k} AS MATERIALIZED (
 
 
 MMR_RERANK_SQL = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# #220 sparse↔dense retrieval overlap: how much of the BM25 top-N and
+# the dense top-N is the SAME documents — the diagnostic that justifies
+# (or refutes) running hybrid fusion at all (near-zero overlap ⇒ the
+# branches see different relevance signals ⇒ RRF adds recall; total
+# overlap ⇒ one branch suffices). One bounded full-outer join of the
+# two ≤N-row lists + a single-row aggregate; cost = the two branch
+# retrievals, which the shared BM25 tier already amortizes.
+
+
+def retrieval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sparse = _shared_bm25_tier(spark, sf_dir).select(
+        F.col("doc_id").alias("s_id")
+    )
+    dense = similarity.knn_bruteforce(
+        emb,
+        emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID),
+        k=RRF_TOP_N,
+    ).select(F.col("neighbor_id").alias("d_id"))
+    both = sparse.join(dense, sparse["s_id"] == dense["d_id"], "full_outer")
+    return both.agg(
+        F.lit(RRF_TOP_N).cast("int").alias("k"),
+        F.count("s_id").alias("n_sparse"),
+        F.count("d_id").alias("n_dense"),
+        F.sum(
+            F.when(F.col("s_id").isNotNull() & F.col("d_id").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+    ).select(
+        "k",
+        "n_sparse",
+        "n_dense",
+        "n_common",
+        (F.col("n_sparse") - F.col("n_common")).alias("n_sparse_only"),
+        (F.col("n_dense") - F.col("n_common")).alias("n_dense_only"),
+        (
+            F.floor(
+                F.col("n_common").cast("double")
+                / (F.col("n_sparse") + F.col("n_dense") - F.col("n_common"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("jaccard_at_k"),
+    )
+
+
+RETRIEVAL_OVERLAP_SQL = f"""{_RETRIEVAL_BRANCH_CTES},
+olists AS (
+  SELECT s.doc_id AS s_id, d.d_id
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.d_id
+),
+agg AS (
+  SELECT CAST({RRF_TOP_N} AS INT) AS k,
+         COUNT(s_id) AS n_sparse,
+         COUNT(d_id) AS n_dense,
+         CAST(SUM(CASE WHEN s_id IS NOT NULL AND d_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM olists
+)
+SELECT k, n_sparse, n_dense, n_common,
+       n_sparse - n_common AS n_sparse_only,
+       n_dense - n_common AS n_dense_only,
+       floor(CAST(n_common AS DOUBLE)
+             / (n_sparse + n_dense - n_common) * 1e6 + 0.5) / 1e6
+         AS jaccard_at_k
+FROM agg
+"""

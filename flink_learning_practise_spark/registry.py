@@ -168,6 +168,11 @@ def _populate() -> None:
         llm.DEDUP_THRESHOLD_SWEEP_SQL,
     )
     register("q_mmr_rerank", llm.mmr_rerank, llm.MMR_RERANK_SQL)
+    register(
+        "q_retrieval_overlap",
+        llm.retrieval_overlap,
+        llm.RETRIEVAL_OVERLAP_SQL,
+    )
     register("q_mixture_epochs", cur.mixture_epochs, cur.MIXTURE_EPOCHS_SQL)
     register(
         "q_packing_efficiency",

@@ -318,3 +318,30 @@ class TestPackingEfficiency:
             assert 0.0 < r.utilization
             # total tokens identical across capacities (same corpus)
             assert r.total_tokens == anchor.total_tokens
+
+
+class TestRetrievalOverlap:
+    def test_counts_match_python_sets(self, spark, sf_medium):
+        from flink_learning_practise_spark.operators import similarity
+        from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+        emb = load(spark, sf_medium, "embeddings")
+        sparse = {
+            r.doc_id for r in llm.bm25_search(spark, sf_medium).collect()
+        }
+        dense = {
+            r.neighbor_id
+            for r in similarity.knn_bruteforce(
+                emb,
+                emb.filter(F.col("vec_id") == llm.RRF_QUERY_VEC_ID),
+                k=llm.RRF_TOP_N,
+            ).collect()
+        }
+        row = llm.retrieval_overlap(spark, sf_medium).collect()[0]
+        assert row.n_sparse == len(sparse)
+        assert row.n_dense == len(dense)
+        assert row.n_common == len(sparse & dense)
+        assert row.n_sparse_only == len(sparse - dense)
+        assert row.n_dense_only == len(dense - sparse)
+        union = len(sparse | dense)
+        assert abs(row.jaccard_at_k - len(sparse & dense) / union) < 2e-6
