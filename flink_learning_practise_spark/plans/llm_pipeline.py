@@ -4309,3 +4309,95 @@ SELECT k, n_sparse, n_dense, n_common,
          AS jaccard_at_k
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# #221 ANN recall calibration: recall@K of the LSH (#43) and IVF-Flat
+# (#43b) scale paths against the brute-force baseline (#42), per query
+# and family — promotes the pytest-only recall floors to a
+# driver-value-checked query, the number an ANN rollout is actually
+# judged on ("how much recall does the candidate pruning cost?").
+# All three retrievals are the existing bounded-query operators; the
+# comparison is a (query, neighbor) equi-join of ≤Q·K-row lists. The
+# oracle nests the three published per-family SQL bodies as derived
+# tables (DuckDB supports WITH inside a subquery), so it can never
+# drift from the per-family oracles.
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    bf = similarity.knn_bruteforce(emb, queries, k=KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    fams = {
+        "ivf": similarity.knn_ivf(
+            emb, queries, k=KNN_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+        ),
+        "lsh": similarity.knn_lsh(
+            emb, queries, k=KNN_K, planes=LSH_PLANES, tables=LSH_TABLES,
+            dim=EMB_DIM,
+        ),
+    }
+    qids = bf.select("query_id").distinct()
+    out = None
+    for fam, approx in fams.items():
+        hits = (
+            bf.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        # a query whose buckets missed every true neighbor has NO hit
+        # row — it must surface as recall 0, not vanish
+        fam_rows = qids.join(hits, "query_id", "left").select(
+            F.lit(fam).alias("family"),
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                    / KNN_K
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall_at_k"),
+        )
+        out = fam_rows if out is None else out.unionByName(fam_rows)
+    return out.orderBy("family", "query_id")
+
+
+ANN_RECALL_SQL = f"""
+WITH bf AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL}) bf_sub
+),
+ivf_t AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({KNN_IVF_SQL}) ivf_sub
+),
+lsh_t AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({KNN_LSH_SQL}) lsh_sub
+),
+qids AS (SELECT DISTINCT query_id FROM bf),
+fams AS (
+  SELECT 'ivf' AS family, query_id, neighbor_id FROM ivf_t
+  UNION ALL
+  SELECT 'lsh' AS family, query_id, neighbor_id FROM lsh_t
+),
+hits AS (
+  SELECT f.family, f.query_id, COUNT(*) AS n_hits
+  FROM fams f JOIN bf USING (query_id, neighbor_id)
+  GROUP BY 1, 2
+)
+SELECT fam.family, q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {KNN_K} * 1e6 + 0.5)
+         / 1e6 AS recall_at_k
+FROM (SELECT 'ivf' AS family UNION ALL SELECT 'lsh') fam
+CROSS JOIN qids q
+LEFT JOIN hits h ON h.family = fam.family AND h.query_id = q.query_id
+ORDER BY 1, 2
+"""

@@ -173,6 +173,7 @@ def _populate() -> None:
         llm.retrieval_overlap,
         llm.RETRIEVAL_OVERLAP_SQL,
     )
+    register("q_ann_recall", llm.ann_recall, llm.ANN_RECALL_SQL)
     register("q_mixture_epochs", cur.mixture_epochs, cur.MIXTURE_EPOCHS_SQL)
     register(
         "q_packing_efficiency",

@@ -345,3 +345,42 @@ class TestRetrievalOverlap:
         assert row.n_dense_only == len(dense - sparse)
         union = len(sparse | dense)
         assert abs(row.jaccard_at_k - len(sparse & dense) / union) < 2e-6
+
+
+class TestAnnRecall:
+    def test_recall_consistent_with_set_intersections(self, spark, sf_medium):
+        """Recompute recall@K from the three operators' collected
+        result sets — and pin the family recall floors the SURVEY
+        claims (LSH ≥ 0.5, IVF ≥ 0.5 mean recall on this corpus)."""
+        from flink_learning_practise_spark.operators import similarity
+        from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+        emb = load(spark, sf_medium, "embeddings")
+        queries = emb.filter(F.col("vec_id") < llm.KNN_QUERY_MAX_ID)
+        bf: dict[int, set] = {}
+        for r in similarity.knn_bruteforce(emb, queries, k=llm.KNN_K).collect():
+            bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        fams = {
+            "ivf": similarity.knn_ivf(
+                emb, queries, k=llm.KNN_K,
+                nlist=llm.IVF_NLIST, nprobe=llm.IVF_NPROBE,
+            ),
+            "lsh": similarity.knn_lsh(
+                emb, queries, k=llm.KNN_K, planes=llm.LSH_PLANES,
+                tables=llm.LSH_TABLES, dim=llm.EMB_DIM,
+            ),
+        }
+        approx: dict[tuple[str, int], set] = {}
+        for fam, df in fams.items():
+            for r in df.collect():
+                approx.setdefault((fam, r.query_id), set()).add(r.neighbor_id)
+        rows = llm.ann_recall(spark, sf_medium).collect()
+        assert len(rows) == 2 * len(bf)
+        means: dict[str, list[float]] = {}
+        for r in rows:
+            want = len(bf[r.query_id] & approx.get((r.family, r.query_id), set()))
+            assert r.n_hits == want, (r.family, r.query_id)
+            assert abs(r.recall_at_k - want / llm.KNN_K) < 2e-6
+            means.setdefault(r.family, []).append(r.recall_at_k)
+        for fam, vals in means.items():
+            assert sum(vals) / len(vals) >= 0.5, (fam, vals)
