@@ -149,7 +149,8 @@ def main() -> None:
         # against a warm memo and the build costs are explicit in the
         # evidence sidecar AND included in the stdout total.
         reset_shared_caches()
-        for tname, (builder, _cons) in tiers.items():
+        cold_memo: set[str] = set()  # consumers of a failed tier build
+        for tname, (builder, cons) in tiers.items():
             tb0 = time.perf_counter()
             try:
                 builder(spark, sf_dir)  # eager localCheckpoint
@@ -160,9 +161,15 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 errors.setdefault(f"_build:{tname}",
                                   f"{type(e).__name__}: {e}"[:300])
+                # a consumer running against a cold memo would pay the
+                # tier build inside its own timing, contradicting the
+                # warm-memo evidence contract (advice r8) — skip them
+                # for this pass (their earlier warm samples, if any,
+                # remain valid)
+                cold_memo.update(cons)
         t0 = time.perf_counter()
         for n in names:
-            if n in errors:
+            if n in errors or n in cold_memo:
                 continue
             # one failing query must not lose the whole run's JSON:
             # record the error, keep timing everything else.

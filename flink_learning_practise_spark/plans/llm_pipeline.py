@@ -183,9 +183,10 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {EMBED_THRESHOLD}
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_bruteforce(emb, queries, k=KNN_K)
+    # the shared dense tier sliced at rank <= KNN_K — an EXACT prefix
+    # of the deeper tier list (the ranking is a total order: cosine
+    # DESC, neighbor_id), so this equals ranking at KNN_K directly
+    return _shared_dense_topk(spark, sf_dir).filter(F.col("rank") <= KNN_K)
 
 
 KNN_BRUTEFORCE_SQL = f"""
@@ -678,6 +679,68 @@ def bm25_tier_consumers() -> tuple[str, ...]:
     )
 
 
+_DENSE_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def dense_tier_k() -> int:
+    """Rank depth of the shared dense tier: deep enough that EVERY
+    consumer's top-K is an exact prefix (the ranking is a total order —
+    cosine DESC, neighbor_id — so filtering rank <= k on a deeper list
+    is identical to ranking at k directly)."""
+    return max(KNN_K, RRF_TOP_N, MMR_POOL)
+
+
+def _shared_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force dense top-K lists (#42's scorer) for the bounded
+    query set ``vec_id < KNN_QUERY_MAX_ID``, at rank depth
+    :func:`dense_tier_k`, computed ONCE per (session, sf_dir) and
+    eagerly localCheckpointed (third shared tier, r8 verdict ask #2).
+    Six queries re-derived this exact corpus cosine scan per
+    invocation — q_knn_bruteforce, q_knn_label_purity, q_ann_recall
+    (its baseline side), q_hybrid_rrf / q_retrieval_overlap /
+    q_mmr_rerank (the RRF_QUERY_VEC_ID slice) — ~2-3 s/pass at sf0.1.
+    The checkpoint is ≤ KNN_QUERY_MAX_ID · dense_tier_k() rows (200) —
+    trivially bounded. q_hard_negatives is NOT a consumer: its
+    different-label predicate filters BEFORE the top-K, so its lists
+    are not derivable from the unfiltered tier. Same lifecycle as the
+    other memos: weak per-session key, 2-sf_dir cap, oldest evicted."""
+    per_sess = _DENSE_TIER_MEMO.setdefault(spark, {})
+    if sf_dir not in per_sess:
+        while len(per_sess) >= 2:
+            per_sess.pop(next(iter(per_sess)))
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+        per_sess[sf_dir] = similarity.knn_bruteforce(
+            emb, queries, k=dense_tier_k()
+        ).localCheckpoint(eager=True)
+    return per_sess[sf_dir]
+
+
+_DENSE_TIER_CONSUMER_FNS = frozenset({
+    "knn_bruteforce",
+    "knn_label_purity",
+    "ann_recall",
+    "hybrid_rrf",
+    "retrieval_overlap",
+    "mmr_rerank",
+})
+
+
+def dense_tier_consumers() -> tuple[str, ...]:
+    """Registered query names that consume the shared dense top-K tier,
+    in CURRENT registry order (same contract as
+    :func:`pair_tier_consumers`)."""
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _DENSE_TIER_CONSUMER_FNS
+    )
+
+
 def shared_tiers() -> dict[str, tuple]:
     """Every memoized shared tier: name → (builder, consumer names in
     registry order). bench.py re-pays + times each build once per pass
@@ -687,6 +750,7 @@ def shared_tiers() -> dict[str, tuple]:
     return {
         "ppjoin_pair_tier": (_shared_pair_tier, pair_tier_consumers()),
         "bm25_topn_tier": (_shared_bm25_tier, bm25_tier_consumers()),
+        "dense_topk_tier": (_shared_dense_topk, dense_tier_consumers()),
     }
 
 
@@ -699,6 +763,7 @@ def reset_shared_caches() -> None:
     post-first-invocation sample)."""
     _PAIR_TIER_MEMO.clear()
     _BM25_TIER_MEMO.clear()
+    _DENSE_TIER_MEMO.clear()
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3609,26 +3674,37 @@ ORDER BY 1
 # cost profile is exactly the two underlying retrieval queries.
 
 RRF_K = 60  # the canonical constant from the TREC fusion literature
-RRF_TOP_N = 20
+# MUST equal BM25_TOP_N: the hybrid/overlap SQL oracles hardcode the
+# sparse branch as LIMIT RRF_TOP_N while the Spark side reuses the
+# shared BM25 tier bounded by BM25_TOP_N — defining one from the other
+# makes the coupling unbreakable (advice r8)
+RRF_TOP_N = BM25_TOP_N
 RRF_QUERY_VEC_ID = 0  # dense query = this vector (doc/vec ids align)
 
 
 def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings")
     # sparse branch: the shared BM25 top-N tier (N=20, checkpointed)
     sparse = _shared_bm25_tier(spark, sf_dir)
     sw = Window.orderBy(F.desc("bm25"), "doc_id")  # 20-row frame
     sparse_r = sparse.select(
         "doc_id", F.row_number().over(sw).alias("sparse_rank")
     )
-    # dense branch: exact cosine top-N for the fixed query vector
-    dense = similarity.knn_bruteforce(
-        emb,
-        emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID),
-        k=RRF_TOP_N,
-    ).select(F.col("neighbor_id").alias("d_id"), F.col("rank").alias("dense_rank"))
+    # dense branch: the shared dense tier's RRF_QUERY_VEC_ID slice
+    # (per-query rank is partitioned, so the slice IS the exact cosine
+    # top-N for the fixed query vector)
+    dense = (
+        _shared_dense_topk(spark, sf_dir)
+        .filter(
+            (F.col("query_id") == RRF_QUERY_VEC_ID)
+            & (F.col("rank") <= RRF_TOP_N)
+        )
+        .select(
+            F.col("neighbor_id").alias("d_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+    )
     fused = sparse_r.join(
         dense, sparse_r["doc_id"] == dense["d_id"], "full_outer"
     ).select(
@@ -4071,11 +4147,16 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
-    cand = similarity.knn_bruteforce(
-        emb,
-        emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID),
-        k=MMR_POOL,
-    ).select(F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("rel"))
+    cand = (
+        _shared_dense_topk(spark, sf_dir)
+        .filter(
+            (F.col("query_id") == RRF_QUERY_VEC_ID)
+            & (F.col("rank") <= MMR_POOL)
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("rel")
+        )
+    )
     pool = cand.join(
         similarity.with_norm(emb).select(
             F.col("vec_id").alias("doc_id"), "embedding", "norm"
@@ -4249,15 +4330,17 @@ MMR_RERANK_SQL = _mmr_sql()
 
 
 def retrieval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
     sparse = _shared_bm25_tier(spark, sf_dir).select(
         F.col("doc_id").alias("s_id")
     )
-    dense = similarity.knn_bruteforce(
-        emb,
-        emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID),
-        k=RRF_TOP_N,
-    ).select(F.col("neighbor_id").alias("d_id"))
+    dense = (
+        _shared_dense_topk(spark, sf_dir)
+        .filter(
+            (F.col("query_id") == RRF_QUERY_VEC_ID)
+            & (F.col("rank") <= RRF_TOP_N)
+        )
+        .select(F.col("neighbor_id").alias("d_id"))
+    )
     both = sparse.join(dense, sparse["s_id"] == dense["d_id"], "full_outer")
     return both.agg(
         F.lit(RRF_TOP_N).cast("int").alias("k"),
@@ -4327,8 +4410,12 @@ FROM agg
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    bf = similarity.knn_bruteforce(emb, queries, k=KNN_K).select(
-        "query_id", "neighbor_id"
+    # baseline side from the shared dense tier (exact rank prefix);
+    # the IVF/LSH branches being calibrated still run live
+    bf = (
+        _shared_dense_topk(spark, sf_dir)
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id")
     )
     fams = {
         "ivf": similarity.knn_ivf(

@@ -152,7 +152,7 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
-    # ---- round-8 registrations (10 new: RAG-stack completion — RRF
+    # ---- round-8 registrations (12 new: RAG-stack completion — RRF
     # fusion, MMR re-ranking, hard negatives — plus training-data
     # schedule/eval ops and SLA + rank-correlation analytics). They
     # lead the window as never-driver-checked; the remaining 40 slots

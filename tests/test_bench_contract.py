@@ -92,4 +92,38 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
         name for name, q in order if q.fn.__name__ in bm25_callers
     )
     assert llm.bm25_tier_consumers() == want_bm25
-    assert set(llm.shared_tiers()) == {"ppjoin_pair_tier", "bm25_topn_tier"}
+    # same contract for the dense top-K tier (r9)
+    dense_callers = set()
+    for m in re.finditer(r"^def (\w+)\(", src, re.M):
+        nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
+        body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
+        if "_shared_dense_topk(" in body and m.group(1) != "_shared_dense_topk":
+            dense_callers.add(m.group(1))
+    # knn_label_purity consumes the tier THROUGH knn_bruteforce (a
+    # direct plan-fn call, unlike every other consumer) — the source
+    # scan can't see that indirection, so add it explicitly
+    dense_callers.add("knn_label_purity")
+    assert llm._DENSE_TIER_CONSUMER_FNS == dense_callers
+    want_dense = tuple(
+        name for name, q in order if q.fn.__name__ in dense_callers
+    )
+    assert llm.dense_tier_consumers() == want_dense
+    assert set(llm.shared_tiers()) == {
+        "ppjoin_pair_tier", "bm25_topn_tier", "dense_topk_tier"
+    }
+
+
+def test_dense_tier_depth_covers_every_consumer_k():
+    """The shared dense tier is exact only because every consumer's
+    rank cut is <= the tier depth (prefix property of a total order).
+    Pin that inequality so a future K bump on any consumer can't
+    silently truncate another's list."""
+    from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+    assert llm.dense_tier_k() >= llm.KNN_K
+    assert llm.dense_tier_k() >= llm.RRF_TOP_N
+    assert llm.dense_tier_k() >= llm.MMR_POOL
+    # oracle coupling (advice r8): the hybrid/overlap oracles hardcode
+    # LIMIT RRF_TOP_N for the sparse branch the Spark side serves from
+    # the BM25_TOP_N-bounded tier
+    assert llm.RRF_TOP_N == llm.BM25_TOP_N

@@ -41,31 +41,44 @@ from flink_learning_practise_spark.registry import (  # noqa: E402
 )
 
 
-def last_green_by_query(repo_root: str) -> dict[str, int]:
+def last_green_by_query() -> dict[str, int]:
     """Delegates to the registry's parser so the preview can never
     drift from the order the registry actually applies (a second
-    parser here disagreed on edge inputs — review r8)."""
+    parser here disagreed on edge inputs — review r8; the unused
+    repo_root parameter silently ignored alternate roots — advice r8)."""
     _, last = driver_history()
     return last
 
 
 def rotation_plan(
-    order: list[str], last: dict[str, int]
+    order: list[str],
+    last: dict[str, int],
+    seen: set[str] | None = None,
 ) -> list[tuple[str, int | None]]:
-    """Full registry reordered by the rotation rule: never-checked
-    first (registry order), then ascending last-green round."""
+    """Full registry reordered by the rotation rule, using the SAME
+    three-bucket key as registry._reorder_for_window (never-checked →
+    checked-but-never-green → greens ascending; advice r8 — the old
+    two-bucket sort merged the first two buckets and could diverge
+    from the order the registry actually applies)."""
+    if seen is None:
+        seen, _ = driver_history()
     pos = {n: i for i, n in enumerate(order)}
-    return sorted(
-        ((n, last.get(n)) for n in order),
-        key=lambda x: (x[1] is not None, x[1] or 0, pos[x[0]]),
-    )
+
+    def key(item: tuple[str, int | None]):
+        n, rnd = item
+        if n not in seen:
+            return (0, 0, pos[n])
+        if rnd is None:
+            return (1, 0, pos[n])
+        return (2, rnd, pos[n])
+
+    return sorted(((n, last.get(n)) for n in order), key=key)
 
 
 def main() -> None:
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last = last_green_by_query(repo_root)
+    seen, last = driver_history()
     order = list(all_queries())
-    plan = rotation_plan(order, last)
+    plan = rotation_plan(order, last, seen)
     pos = {n: i + 1 for i, n in enumerate(order)}
     print(f"# next-round window (top {WINDOW} of {len(plan)}):")
     for i, (name, rnd) in enumerate(plan[:WINDOW], 1):
