@@ -4132,3 +4132,172 @@ FROM e
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# #228 burstiness index per event type (Goh & Barabási, EPL 2008):
+# B = (σ−μ)/(σ+μ) over per-user inter-event gaps — the scale-free
+# companion to #206's Fano factor (B→−1 periodic, 0 Poisson, →1
+# heavy-tailed bursts). Gaps come from the SAME per-user lag walk as
+# #152 (partitioned by (user, type) — many keys, never a per-type
+# funnel); gap seconds are exact longs, both moments ride decimal, so
+# σ and μ are engine-identical before the single closed form.
+
+
+def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("_prev")).alias(
+                "gap_sec"
+            ),
+        )
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_sec").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(
+            (F.col("gap_sec") * F.col("gap_sec")).cast("decimal(38,0)")
+        ).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("_s1").cast("double") / n
+    var = F.col("_s2").cast("double") / n - mu * mu
+    sigma = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n_gaps",
+        (F.floor(mu * 1e6 + F.lit(0.5)) / 1e6).alias("mean_gap_sec"),
+        (F.floor(sigma * 1e6 + F.lit(0.5)) / 1e6).alias("std_gap_sec"),
+        (F.floor((sigma - mu) / (sigma + mu) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "burstiness"
+        ),
+    ).orderBy("event_type")
+
+
+BURSTINESS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+           AS BIGINT) AS gap_sec
+  FROM events
+),
+g2 AS (SELECT event_type, gap_sec FROM g WHERE gap_sec IS NOT NULL),
+m AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         SUM(gap_sec) AS s1, SUM(gap_sec * gap_sec) AS s2
+  FROM g2 GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       floor(CAST(s1 AS DOUBLE) / n_gaps * 1e6 + 0.5) / 1e6 AS mean_gap_sec,
+       floor(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                  - (CAST(s1 AS DOUBLE) / n_gaps)
+                    * (CAST(s1 AS DOUBLE) / n_gaps)) * 1e6 + 0.5) / 1e6
+         AS std_gap_sec,
+       floor((sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                   - (CAST(s1 AS DOUBLE) / n_gaps)
+                     * (CAST(s1 AS DOUBLE) / n_gaps))
+              - CAST(s1 AS DOUBLE) / n_gaps)
+             / (sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                     - (CAST(s1 AS DOUBLE) / n_gaps)
+                       * (CAST(s1 AS DOUBLE) / n_gaps))
+                + CAST(s1 AS DOUBLE) / n_gaps) * 1e6 + 0.5) / 1e6
+         AS burstiness
+FROM m
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# #229 weekly trend/seasonal decomposition of the daily event count:
+# classic moving-average decomposition (trend = centered 7-day mean,
+# seasonal = per-weekday mean of the detrended series, residual = the
+# rest) — the additive STL-lite every ops dashboard runs. The daily
+# tier is calendar-bounded (≤ years×365 rows at ANY corpus scale), so
+# the unpartitioned ordered window over it is a bounded frame, same
+# proof as q_spearman_daily. Weekday comes from epoch-day arithmetic
+# ((days since 1970-01-01 + 4) mod 7, 0=Sunday) — engine-identical by
+# construction, no locale-dependent dayofweek.
+
+
+def weekly_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dw = Window.orderBy("d").rowsBetween(-3, 3)  # calendar-bounded tier
+    trended = daily.select(
+        "d",
+        "cnt",
+        F.avg(F.col("cnt")).over(dw).alias("trend"),
+        (
+            (
+                F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+                + F.lit(4)
+            )
+            % 7
+        ).alias("weekday"),
+    ).withColumn("detrended", F.col("cnt").cast("double") - F.col("trend"))
+    seasonal = trended.groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("detrended").alias("_seas"),
+    )
+    resid = trended.join(seasonal.select("weekday", "_seas"), "weekday").select(
+        "weekday",
+        F.abs(F.col("detrended") - F.col("_seas")).alias("_ar"),
+    )
+    mar = resid.groupBy("weekday").agg(F.avg("_ar").alias("_mar"))
+    return (
+        seasonal.join(mar, "weekday")
+        .select(
+            "weekday",
+            "n_days",
+            (F.floor(F.col("_seas") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "seasonal_offset"
+            ),
+            (F.floor(F.col("_mar") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "mean_abs_residual"
+            ),
+        )
+        .orderBy("weekday")
+    )
+
+
+WEEKLY_DECOMPOSITION_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+trended AS MATERIALIZED (
+  SELECT d, cnt,
+         AVG(cnt) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend,
+         CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS BIGINT)
+           AS weekday,
+         CAST(cnt AS DOUBLE)
+           - AVG(cnt) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS detrended
+  FROM daily
+),
+seasonal AS (
+  SELECT weekday, COUNT(*) AS n_days, AVG(detrended) AS seas
+  FROM trended GROUP BY 1
+),
+mar AS (
+  SELECT t.weekday, AVG(abs(t.detrended - s.seas)) AS mar
+  FROM trended t JOIN seasonal s ON t.weekday = s.weekday
+  GROUP BY 1
+)
+SELECT s.weekday, s.n_days,
+       floor(s.seas * 1e6 + 0.5) / 1e6 AS seasonal_offset,
+       floor(m.mar * 1e6 + 0.5) / 1e6 AS mean_abs_residual
+FROM seasonal s JOIN mar m ON s.weekday = m.weekday
+ORDER BY s.weekday
+"""

@@ -297,8 +297,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KNN_IVF_SQL = f"""
-WITH {NORM_CTE},
+# the quantizer + list-assignment CTE chain is shared by the IVF
+# retrieval oracle (#43b) and the list-balance diagnostic (#224) —
+# one builder so the two can never drift
+_IVF_ASSIGN_CTES = f"""{NORM_CTE},
 cent AS (
   SELECT embedding, nrm, c FROM (
     SELECT embedding, nrm,
@@ -319,7 +321,10 @@ assigned AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
     FROM scores
   ) WHERE rn = 1
-),
+)"""
+
+KNN_IVF_SQL = f"""
+WITH {_IVF_ASSIGN_CTES},
 probes AS (
   SELECT vec_id AS query_id, c AS list_id FROM (
     SELECT vec_id, c,
@@ -662,7 +667,7 @@ def _shared_bm25_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TIER_CONSUMER_FNS = frozenset(
-    {"bm25_search", "hybrid_rrf", "retrieval_overlap"}
+    {"bm25_search", "hybrid_rrf", "retrieval_overlap", "rbo_overlap"}
 )
 
 
@@ -725,6 +730,7 @@ _DENSE_TIER_CONSUMER_FNS = frozenset({
     "hybrid_rrf",
     "retrieval_overlap",
     "mmr_rerank",
+    "rbo_overlap",
 })
 
 
@@ -4487,4 +4493,492 @@ FROM (SELECT 'ivf' AS family UNION ALL SELECT 'lsh') fam
 CROSS JOIN qids q
 LEFT JOIN hits h ON h.family = fam.family AND h.query_id = q.query_id
 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# #222 rank-biased overlap of the sparse vs dense rankings (Webber,
+# Moffat & Zobel TOIS 2010, truncated lower bound): the rank-AWARE
+# companion to #220's set-level jaccard_at_k — two lists can share all
+# 20 members yet order them oppositely, and RBO is what quantifies
+# that. Both inputs are the existing bounded shared tiers (20-row BM25
+# top-N + the dense tier's query slice), so the whole query is
+# constant-sized at any corpus scale: the matched join is <= N rows and
+# the depth explode <= N^2 rows. RBO_min = sum over matched docs of
+# (1-p)·sum_{d=max(r_s,r_d)}^{N} p^(d-1)/d — each matched doc starts
+# contributing at the first depth where it is in BOTH prefixes.
+
+RBO_P = 0.9  # the conventional persistence from the RBO paper (§5.2)
+
+
+def rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sparse = _shared_bm25_tier(spark, sf_dir)
+    sw = Window.orderBy(F.desc("bm25"), "doc_id")  # 20-row frame
+    s = sparse.select("doc_id", F.row_number().over(sw).alias("s_rank"))
+    d = (
+        _shared_dense_topk(spark, sf_dir)
+        .filter(
+            (F.col("query_id") == RRF_QUERY_VEC_ID)
+            & (F.col("rank") <= RRF_TOP_N)
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("d_rank"))
+    )
+    matched = s.join(d, "doc_id").select(
+        "doc_id", F.greatest("s_rank", "d_rank").alias("m")
+    )
+    terms = matched.withColumn(
+        "d", F.explode(F.sequence(F.col("m"), F.lit(RRF_TOP_N)))
+    )
+    return terms.agg(
+        F.lit(RRF_TOP_N).cast("int").alias("k"),
+        F.lit(RBO_P).alias("p"),
+        F.count_distinct("doc_id").alias("n_matched"),
+        (
+            F.floor(
+                F.coalesce(
+                    F.sum(
+                        F.lit(1.0 - RBO_P)
+                        * F.pow(F.lit(RBO_P), F.col("d") - 1)
+                        / F.col("d")
+                    ),
+                    F.lit(0.0),
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("rbo"),
+    )
+
+
+RBO_OVERLAP_SQL = f"""{_RETRIEVAL_BRANCH_CTES},
+matched AS (
+  SELECT s.doc_id, greatest(s.sparse_rank, d.dense_rank) AS m
+  FROM sparse s JOIN dense d ON s.doc_id = d.d_id
+),
+terms AS (
+  SELECT doc_id, i AS d
+  FROM matched, unnest(generate_series(m, {RRF_TOP_N})) t(i)
+)
+SELECT CAST({RRF_TOP_N} AS INT) AS k,
+       CAST({RBO_P} AS DOUBLE) AS p,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_matched,
+       floor(COALESCE(SUM((1.0 - {RBO_P}) * power({RBO_P}, d - 1) / d), 0.0)
+             * 1e6 + 0.5) / 1e6 AS rbo
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# #223 embedding dimension health screen: per-coordinate mean/variance
+# /range over the whole corpus — the standard "dead or dominant
+# dimensions" audit run before trusting cosine distances (a dimension
+# with variance ~0 wastes index width; one with outsized variance
+# dominates every dot product). Components quantize to integer micros
+# FIRST (floor(x·1e6 + 0.5), engine-identical), so every moment is an
+# exact integer in both engines — no dsum drift by construction. One
+# map-side posexplode + one 64-group hash aggregate; output is
+# EMB_DIM rows at any corpus scale.
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode("embedding").alias("_i", "_x")).select(
+        (F.col("_i") + 1).alias("dim"),
+        F.floor(F.col("_x").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("micros"),
+    )
+    per_dim = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("micros").cast("decimal(38,0)")).alias("_s1"),
+        # micros^2 <= ~1e13 fits a long per row; route the SUM through
+        # decimal(38,0) so the moment can't overflow at any corpus size
+        F.sum(
+            (F.col("micros") * F.col("micros")).cast("decimal(38,0)")
+        ).alias("_s2"),
+        F.min("micros").alias("_mn"),
+        F.max("micros").alias("_mx"),
+    )
+    n = F.col("n_vecs").cast("double")
+    m1 = F.col("_s1").cast("double") / n / 1e6
+    m2 = F.col("_s2").cast("double") / n / 1e12
+    return per_dim.select(
+        "dim",
+        "n_vecs",
+        (F.floor(m1 * 1e6 + F.lit(0.5)) / 1e6).alias("mean_val"),
+        (F.floor((m2 - m1 * m1) * 1e6 + F.lit(0.5)) / 1e6).alias("var_val"),
+        (F.col("_mn").cast("double") / 1e6).alias("min_val"),
+        (F.col("_mx").cast("double") / 1e6).alias("max_val"),
+    ).orderBy("dim")
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH comp AS MATERIALIZED (
+  SELECT i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS micros
+  FROM embeddings, unnest(generate_series(1, {EMB_DIM})) t(i)
+),
+per_dim AS (
+  SELECT dim, COUNT(*) AS n_vecs,
+         SUM(micros) AS s1, SUM(micros * micros) AS s2,
+         MIN(micros) AS mn, MAX(micros) AS mx
+  FROM comp GROUP BY 1
+)
+SELECT dim, n_vecs,
+       floor(CAST(s1 AS DOUBLE) / n_vecs / 1e6 * 1e6 + 0.5) / 1e6 AS mean_val,
+       floor((CAST(s2 AS DOUBLE) / n_vecs / 1e12
+              - (CAST(s1 AS DOUBLE) / n_vecs / 1e6)
+                * (CAST(s1 AS DOUBLE) / n_vecs / 1e6)) * 1e6 + 0.5) / 1e6
+         AS var_val,
+       CAST(mn AS DOUBLE) / 1e6 AS min_val,
+       CAST(mx AS DOUBLE) / 1e6 AS max_val
+FROM per_dim
+ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# #224 IVF list-balance diagnostic: the per-list population of the #43b
+# coarse quantizer plus each list's share of the corpus — the number an
+# ANN operator watches in production, because list skew IS tail
+# latency (a probe that lands on a 10x-overfull list scores 10x the
+# vectors). Assignment is the same map-only inlined-centroid argmax as
+# knn_ivf (zero shuffle until the 16-group count); the oracle reuses
+# the exact _IVF_ASSIGN_CTES chain so it can never drift from #43b.
+
+
+def ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _ivf_scores_expr, ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs, norms = ivf_centroids(emb, IVF_NLIST)
+    scores = _ivf_scores_expr("embedding", vecs, norms)
+    assigned = emb.select(
+        F.expr(
+            f"CAST(array_position(({scores}), array_max({scores})) AS INT)"
+        ).alias("list_id")
+    )
+    per_list = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = per_list.agg(F.sum("n_vecs").alias("_t"))  # single row
+    return (
+        per_list.crossJoin(F.broadcast(tot))  # broadcast-policy-exempt: 1-row aggregate
+        .select(
+            "list_id",
+            "n_vecs",
+            (
+                F.floor(
+                    F.col("n_vecs").cast("double") / F.col("_t") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("share"),
+            (
+                F.floor(
+                    F.col("n_vecs").cast("double")
+                    / (F.col("_t").cast("double") / IVF_NLIST)
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("load_factor"),
+        )
+        .orderBy("list_id")
+    )
+
+
+IVF_BALANCE_SQL = f"""
+WITH {_IVF_ASSIGN_CTES},
+per_list AS (
+  SELECT list_id, COUNT(*) AS n_vecs FROM assigned GROUP BY 1
+),
+tot AS (SELECT SUM(n_vecs) AS t FROM per_list)
+SELECT list_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+       floor(CAST(n_vecs AS DOUBLE) / t * 1e6 + 0.5) / 1e6 AS share,
+       floor(CAST(n_vecs AS DOUBLE) / (CAST(t AS DOUBLE) / {IVF_NLIST})
+             * 1e6 + 0.5) / 1e6 AS load_factor
+FROM per_list, tot
+ORDER BY list_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #225 pairwise Jensen-Shannon divergence between source token
+# distributions — the SYMMETRIC, bounded ([0, ln 2]) companion to #97's
+# per-source-vs-corpus KL: the matrix a mixture designer reads to see
+# WHICH feeds duplicate each other's coverage. Token probabilities are
+# exact count ratios; tokens absent from one side contribute exactly
+# p·ln2 (the mixture m = p/2 there), so the whole sum decomposes into
+# an INNER join over shared tokens plus closed-form remainders —
+# no outer join over the vocabulary. Shuffles: one per-(source, token)
+# count, one token-keyed self-join, one pair-group aggregate.
+
+LN2 = 0.6931471805599453  # double(ln 2), inlined in BOTH engines
+
+
+def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(text.words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = counts.join(totals, "source").select(
+        "source",
+        "token",
+        (F.col("c").cast("double") / F.col("tot")).alias("p"),
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"), "token", F.col("p").alias("pb")
+    )
+    shared = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
+    agg = shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_tokens"),
+        F.sum(
+            F.col("pa")
+            * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))
+        ).alias("_ja"),
+        F.sum(
+            F.col("pb")
+            * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))
+        ).alias("_jb"),
+        F.sum("pa").alias("_sa"),
+        F.sum("pb").alias("_sb"),
+    )
+    js = F.lit(0.5) * (F.col("_ja") + (F.lit(1.0) - F.col("_sa")) * LN2) + F.lit(
+        0.5
+    ) * (F.col("_jb") + (F.lit(1.0) - F.col("_sb")) * LN2)
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_tokens",
+        (F.floor(js * 1e6 + F.lit(0.5)) / 1e6).alias("js_nats"),
+    ).orderBy("source_a", "source_b")
+
+
+JS_DIVERGENCE_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, t.token
+  FROM (SELECT source, string_split({NORM_SQL}, ' ') AS w FROM documents),
+       unnest(w) AS t(token)
+  WHERE t.token <> ''
+),
+counts AS MATERIALIZED (
+  SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY 1),
+probs AS MATERIALIZED (
+  SELECT c.source, c.token, CAST(c.c AS DOUBLE) / t.tot AS p
+  FROM counts c JOIN totals t ON c.source = t.source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.p AS pa, b.p AS pb
+  FROM probs a JOIN probs b ON a.token = b.token AND a.source < b.source
+)
+SELECT source_a, source_b, COUNT(*) AS n_shared_tokens,
+       floor((0.5 * (SUM(pa * ln(2.0 * pa / (pa + pb)))
+                     + (1.0 - SUM(pa)) * {LN2!r})
+              + 0.5 * (SUM(pb * ln(2.0 * pb / (pa + pb)))
+                       + (1.0 - SUM(pb)) * {LN2!r})) * 1e6 + 0.5) / 1e6
+         AS js_nats
+FROM shared
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# #226 per-document token-entropy census: Shannon entropy of each doc's
+# token distribution, normalized by ln(vocab) — the distribution-aware
+# refinement of #170's type-token ratio (TTR can't tell "one token
+# repeated" from "head-heavy Zipf"; entropy can). Deterministic to the
+# last bit where it matters: H = ln(n) − Σc·ln(c)/n over EXACT integer
+# counts, quantized to micros per doc before banding and averaging, so
+# band membership and the band means are engine-identical by
+# construction. Two keyed aggregates ((doc, token) then doc) + one
+# 3-group rollup; map-side combine does the heavy lifting at scale.
+
+ENTROPY_BANDS = (500_000, 800_000)  # micros of normalized entropy
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("_sclnc"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("_sclnc") / F.col("n")
+    hn = F.when(F.col("v") <= 1, F.lit(0.0)).otherwise(
+        h / F.log(F.col("v").cast("double"))
+    )
+    quant = per_doc.select(
+        F.floor(h * 1e6 + F.lit(0.5)).cast("long").alias("h_micros"),
+        F.floor(hn * 1e6 + F.lit(0.5)).cast("long").alias("hn_micros"),
+    ).select(
+        "h_micros",
+        "hn_micros",
+        F.when(F.col("hn_micros") < ENTROPY_BANDS[0], F.lit("repetitive"))
+        .when(F.col("hn_micros") < ENTROPY_BANDS[1], F.lit("mixed"))
+        .otherwise(F.lit("diverse"))
+        .alias("band"),
+    )
+    return (
+        quant.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("h_micros").alias("_sh"),
+            F.sum("hn_micros").alias("_shn"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            (
+                F.floor(
+                    F.col("_sh").cast("double") / F.col("n_docs") + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_entropy_nats"),
+            (
+                F.floor(
+                    F.col("_shn").cast("double") / F.col("n_docs") + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_norm_entropy"),
+        )
+        .orderBy("band")
+    )
+
+
+TOKEN_ENTROPY_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t.token
+  FROM (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents),
+       unnest(w) AS t(token)
+  WHERE t.token <> ''
+),
+tc AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS v,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclnc
+  FROM tc GROUP BY 1
+),
+quant AS (
+  SELECT CAST(floor((ln(CAST(n AS DOUBLE)) - sclnc / n) * 1e6 + 0.5)
+              AS BIGINT) AS h_micros,
+         CAST(floor(CASE WHEN v <= 1 THEN 0.0
+                    ELSE (ln(CAST(n AS DOUBLE)) - sclnc / n)
+                         / ln(CAST(v AS DOUBLE)) END * 1e6 + 0.5)
+              AS BIGINT) AS hn_micros
+  FROM per_doc
+),
+banded AS (
+  SELECT h_micros, hn_micros,
+         CASE WHEN hn_micros < {ENTROPY_BANDS[0]} THEN 'repetitive'
+              WHEN hn_micros < {ENTROPY_BANDS[1]} THEN 'mixed'
+              ELSE 'diverse' END AS band
+  FROM quant
+)
+SELECT band, COUNT(*) AS n_docs,
+       floor(CAST(SUM(h_micros) AS DOUBLE) / COUNT(*) + 0.5) / 1e6
+         AS mean_entropy_nats,
+       floor(CAST(SUM(hn_micros) AS DOUBLE) / COUNT(*) + 0.5) / 1e6
+         AS mean_norm_entropy
+FROM banded
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# #227 per-source log-length distribution fit: MLE lognormal parameters
+# (mu, sigma of ln n_chars) plus the skewness of the log — the check
+# behind "doc lengths are lognormal, so plan token budgets from mu/
+# sigma, and a skewed log means a mixture". Per-row ln quantizes to
+# micros, then ALL THREE moments ride exact integer sums (the cube
+# through decimal(38,0)/HUGEINT — the 'genuinely wide moment' class of
+# SURVEY §8), so engines agree bit-for-bit before the final closed
+# forms. One scan, one |sources|-group aggregate.
+
+
+def length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    q = docs.select(
+        "source",
+        F.floor(F.log(F.col("n_chars").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("l"),
+    )
+    m = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("l").cast("decimal(38,0)")).alias("_s1"),
+        F.sum((F.col("l") * F.col("l")).cast("decimal(38,0)")).alias("_s2"),
+        F.sum(
+            (F.col("l") * F.col("l")).cast("decimal(38,0)") * F.col("l")
+        ).alias("_s3"),
+    )
+    n = F.col("n_docs").cast("double")
+    mu = F.col("_s1").cast("double") / n / 1e6
+    m2 = F.col("_s2").cast("double") / n / 1e12
+    m3 = F.col("_s3").cast("double") / n / 1e18
+    var = m2 - mu * mu
+    skew = (m3 - 3 * mu * m2 + 2 * mu * mu * mu) / F.pow(var, F.lit(1.5))
+    return m.select(
+        "source",
+        "n_docs",
+        (F.floor(mu * 1e6 + F.lit(0.5)) / 1e6).alias("mu_ln"),
+        (F.floor(F.sqrt(var) * 1e6 + F.lit(0.5)) / 1e6).alias("sigma_ln"),
+        (F.floor(skew * 1e6 + F.lit(0.5)) / 1e6).alias("skew_ln"),
+        (F.floor(F.exp(mu) * 1e2 + F.lit(0.5)) / 1e2).alias("median_chars_est"),
+    ).orderBy("source")
+
+
+LENGTH_FIT_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT source,
+         CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS l
+  FROM documents WHERE n_chars > 0
+),
+m AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(l) AS s1,
+         SUM(l * l) AS s2,
+         SUM(CAST(l * l AS HUGEINT) * l) AS s3
+  FROM q GROUP BY 1
+)
+SELECT source, n_docs,
+       floor(CAST(s1 AS DOUBLE) / n_docs / 1e6 * 1e6 + 0.5) / 1e6 AS mu_ln,
+       floor(sqrt(CAST(s2 AS DOUBLE) / n_docs / 1e12
+                  - (CAST(s1 AS DOUBLE) / n_docs / 1e6)
+                    * (CAST(s1 AS DOUBLE) / n_docs / 1e6)) * 1e6 + 0.5) / 1e6
+         AS sigma_ln,
+       floor((CAST(s3 AS DOUBLE) / n_docs / 1e18
+              - 3 * (CAST(s1 AS DOUBLE) / n_docs / 1e6)
+                  * (CAST(s2 AS DOUBLE) / n_docs / 1e12)
+              + 2 * (CAST(s1 AS DOUBLE) / n_docs / 1e6)
+                  * (CAST(s1 AS DOUBLE) / n_docs / 1e6)
+                  * (CAST(s1 AS DOUBLE) / n_docs / 1e6))
+             / power(CAST(s2 AS DOUBLE) / n_docs / 1e12
+                     - (CAST(s1 AS DOUBLE) / n_docs / 1e6)
+                       * (CAST(s1 AS DOUBLE) / n_docs / 1e6), 1.5)
+             * 1e6 + 0.5) / 1e6 AS skew_ln,
+       floor(exp(CAST(s1 AS DOUBLE) / n_docs / 1e6) * 1e2 + 0.5) / 1e2
+         AS median_chars_est
+FROM m
+ORDER BY source
 """

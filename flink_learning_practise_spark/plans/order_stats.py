@@ -3444,3 +3444,145 @@ SELECT n_days,
          * 1e6 + 0.5) / 1e6 AS spearman_rho
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# #230 repeat-purchase rate by brand: of the distinct (customer, part)
+# relationships a brand has, what share ordered that part in MORE than
+# one distinct order — the retention-at-SKU-granularity KPI behind
+# "which brands get re-bought vs bought once". Shuffles: one keyed
+# join orders⋈lineitem (AQE broadcasts the dim-side part join), one
+# (part, cust) distinct-order aggregate, one |brands|-group rollup —
+# all keys high-cardinality, no funnel.
+
+
+def reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_ord"))
+    )
+    return (
+        cp.join(part, cp["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("n_ord") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat"),
+        )
+        .select(
+            "p_brand",
+            "n_pairs",
+            "n_repeat",
+            (
+                F.floor(
+                    F.col("n_repeat").cast("double") / F.col("n_pairs") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("reorder_rate"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+REORDER_RATE_SQL = """
+WITH cp AS MATERIALIZED (
+  SELECT l.l_partkey, o.o_custkey, COUNT(DISTINCT l.l_orderkey) AS n_ord
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT p.p_brand, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN cp.n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       floor(CAST(SUM(CASE WHEN cp.n_ord >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS reorder_rate
+FROM cp JOIN part p ON cp.l_partkey = p.p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# #231 open-order backlog by month: how many orders were placed but not
+# yet fully shipped at any point — the WIP metric behind fulfillment
+# capacity planning. Sweep-line over order-level [orderdate,
+# last_shipdate] intervals: +1/−1 deltas per date, one cumulative sum
+# over the CALENDAR-BOUNDED distinct-date tier (≤ years×365 rows at
+# any corpus scale — the same bounded-frame proof as
+# q_weekly_decomposition/q_spearman_daily), then a per-month rollup of
+# the step function (peak + end-of-month level land on delta dates by
+# construction, since the backlog only changes there).
+
+
+def order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_d"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.to_date("o_orderdate").alias("start_d"), "end_d")
+    )
+    deltas = (
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.date_add(F.col("end_d"), 1).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.d", "e.delta")
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    cw = Window.orderBy("d")  # calendar-bounded distinct-date tier
+    stepped = deltas.select(
+        "d", F.sum("net").over(cw).alias("backlog")
+    ).select(F.trunc("d", "month").alias("month"), "d", "backlog")
+    return (
+        stepped.groupBy("month")
+        .agg(
+            F.max("backlog").alias("peak_backlog"),
+            F.max_by("backlog", "d").alias("eom_backlog"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDER_BACKLOG_SQL = """
+WITH spans AS MATERIALIZED (
+  SELECT CAST(o.o_orderdate AS DATE) AS start_d, e.end_d
+  FROM (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS end_d
+        FROM lineitem GROUP BY 1) e
+  JOIN orders o ON e.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM (
+    SELECT start_d AS d, 1 AS delta FROM spans
+    UNION ALL
+    SELECT end_d + 1, -1 FROM spans
+  ) GROUP BY 1
+),
+stepped AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS month, d,
+         SUM(net) OVER (ORDER BY d) AS backlog
+  FROM deltas
+)
+SELECT month,
+       CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+       CAST(max_by(backlog, d) AS BIGINT) AS eom_backlog
+FROM stepped
+GROUP BY 1
+ORDER BY 1
+"""

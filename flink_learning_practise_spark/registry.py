@@ -152,6 +152,33 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
+    # ---- round-9 registrations (10 new: retrieval-quality diagnostics
+    # — rank-biased overlap, IVF list balance, embedding dimension
+    # health — plus corpus-distribution fits (JS divergence, token
+    # entropy, lognormal length) and events/orders analytics
+    # (burstiness, weekly decomposition, reorder rate, open-order
+    # backlog). They lead the window as never-driver-checked; the
+    # remaining 40 slots rotate the 26 r4-stale greens + oldest r5
+    # greens via _reorder_for_window. ----
+    register("q_rbo_overlap", llm.rbo_overlap, llm.RBO_OVERLAP_SQL)
+    register(
+        "q_embedding_dim_stats",
+        llm.embedding_dim_stats,
+        llm.EMBEDDING_DIM_STATS_SQL,
+    )
+    register("q_ivf_balance", llm.ivf_balance, llm.IVF_BALANCE_SQL)
+    register("q_js_divergence", llm.js_divergence, llm.JS_DIVERGENCE_SQL)
+    register("q_token_entropy", llm.token_entropy, llm.TOKEN_ENTROPY_SQL)
+    register("q_length_fit", llm.length_fit, llm.LENGTH_FIT_SQL)
+    register("q_burstiness", ea.burstiness, ea.BURSTINESS_SQL)
+    register(
+        "q_weekly_decomposition",
+        ea.weekly_decomposition,
+        ea.WEEKLY_DECOMPOSITION_SQL,
+    )
+    register("q_reorder_rate", os_.reorder_rate, os_.REORDER_RATE_SQL)
+    register("q_order_backlog", os_.order_backlog, os_.ORDER_BACKLOG_SQL)
+
     # ---- round-8 registrations (12 new: RAG-stack completion — RRF
     # fusion, MMR re-ranking, hard negatives — plus training-data
     # schedule/eval ops and SLA + rank-correlation analytics). They

@@ -185,6 +185,15 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # tied-rank windows over the daily tier — calendar-bounded
     # (≤ years×365 rows at any corpus scale)
     "q_spearman_daily",
+    # sparse-branch rank over the BM25 top-N — exactly RRF_TOP_N (20)
+    # rows (hybrid_rrf's rule)
+    "q_rbo_overlap",
+    # centered 7-day moving average over the daily tier —
+    # calendar-bounded (spearman's rule)
+    "q_weekly_decomposition",
+    # sweep-line cumulative sum over the DISTINCT delta-date tier —
+    # calendar-bounded (≤ years×365 + 1 rows at any corpus scale)
+    "q_order_backlog",
 }
 
 
