@@ -969,3 +969,73 @@ def stream_hybrid_rrf(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming open-order backlog (the unbounded twin of #231
+# plans/order_stats.order_backlog): a live order-lifecycle stream
+# (placed / final-shipment events) folded into the same sweep-line
+# step function the batch plan computes from order spans.
+
+
+def stream_daily_order_deltas(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    kind_col: str = "kind",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Finalized daily net backlog deltas from a lifecycle stream.
+
+    Batch-parity semantics (#231): an order opens on its placement day
+    (+1) and still counts as open ON its final-shipment day, so the −1
+    lands on the day AFTER — exactly the batch sweep's ``end_d + 1``.
+    The shifted column carries the watermark (withWatermark AFTER the
+    shift, so append-mode finalization tracks the effective day), and
+    the per-day state is one long per open window — bounded by the
+    watermark horizon regardless of order rate."""
+    eff = F.when(
+        F.col(kind_col) == "shipped_final",
+        F.col(ts_col) + F.expr("INTERVAL 1 DAY"),
+    ).otherwise(F.col(ts_col))
+    delta = F.when(F.col(kind_col) == "shipped_final", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    return (
+        stream.select(eff.alias("eff_ts"), delta.alias("delta"))
+        .withWatermark("eff_ts", watermark_delay)
+        .groupBy(F.window("eff_ts", "1 day").alias("w"))
+        .agg(F.sum("delta").cast("long").alias("net"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "net")
+    )
+
+
+class BacklogSink:
+    """foreachBatch fold of finalized daily deltas into the cumulative
+    backlog step function — the streaming stand-in for the batch plan's
+    ordered cumulative window. Append mode + a monotone watermark mean
+    windows finalize in event-time order ACROSS batches (a later batch
+    can only add later days), so a single running total is sufficient
+    state; within a batch days are sorted before folding. The collect
+    is the finalized-day tier — calendar-bounded (≤ days-per-batch
+    rows), the same boundedness class as the batch query's date tier."""
+
+    def __init__(self) -> None:
+        self.total = 0
+        self.rows: list[tuple] = []  # (day, net, backlog)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        for r in sorted(
+            batch.select("day", "net").collect(), key=lambda r: r.day
+        ):
+            self.total += int(r.net)
+            self.rows.append((r.day, int(r.net), self.total))
+
+    def monthly(self) -> dict:
+        """(month-first-day → (peak, end-of-month backlog)) rollup of
+        the step function — the batch plan's output shape."""
+        out: dict = {}
+        for day, _net, backlog in self.rows:
+            m = day.replace(day=1)
+            peak, _ = out.get(m, (backlog, backlog))
+            out[m] = (max(peak, backlog), backlog)
+        return out

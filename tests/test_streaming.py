@@ -2271,3 +2271,90 @@ def test_streaming_pack_matches_batch(spark, sf_small, tmp_path):
         if first < docs[cut]["doc_id"] <= last
     ]
     assert spanning
+
+
+def test_streaming_order_backlog_matches_sweep(spark, tmp_path):
+    """Two micro-batches of order-lifecycle events fold into the same
+    backlog step function the batch sweep line (#231) produces: +1 on
+    the placement day, −1 the day AFTER the final shipment, cumulative
+    in event-time order across batches; the monthly rollup matches the
+    hand-computed sweep on the union of the data."""
+    import datetime as _dt
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        BacklogSink,
+        stream_daily_order_deltas,
+    )
+
+    src = str(tmp_path / "bl_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = [
+        {"ts": "2024-01-01 08:00:00", "order_id": 1, "kind": "placed"},
+        {"ts": "2024-01-01 09:00:00", "order_id": 2, "kind": "placed"},
+        {"ts": "2024-01-03 10:00:00", "order_id": 1, "kind": "shipped_final"},
+        {"ts": "2024-01-05 10:00:00", "order_id": 3, "kind": "placed"},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b1))
+    stream = spark.readStream.schema(
+        "ts timestamp, order_id long, kind string"
+    ).json(src)
+    sink = BacklogSink()
+    q = (
+        stream_daily_order_deltas(stream, watermark_delay="1 day")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    b2 = [
+        {"ts": "2024-01-31 10:00:00", "order_id": 2, "kind": "shipped_final"},
+        {"ts": "2024-02-02 09:00:00", "order_id": 4, "kind": "placed"},
+        {"ts": "2024-02-20 10:00:00", "order_id": 3, "kind": "shipped_final"},
+        {"ts": "2024-02-20 11:00:00", "order_id": 4, "kind": "shipped_final"},
+        # watermark pusher so every prior day finalizes
+        {"ts": "2024-03-05 00:00:00", "order_id": 5, "kind": "placed"},
+        {"ts": "2024-03-09 00:00:00", "order_id": 5, "kind": "shipped_final"},
+        {"ts": "2024-03-20 00:00:00", "order_id": 6, "kind": "placed"},
+        # April pusher: advances the watermark past every March day so
+        # the whole March step function finalizes; its own day stays
+        # open, so April is the (allowed-missing) final month
+        {"ts": "2024-04-25 00:00:00", "order_id": 7, "kind": "placed"},
+    ]
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+
+    # hand sweep on the union: delta map day -> net
+    events = b1 + b2
+    deltas: dict = {}
+    for e in events:
+        d = _dt.date.fromisoformat(e["ts"][:10])
+        if e["kind"] == "shipped_final":
+            d = d + _dt.timedelta(days=1)
+            deltas[d] = deltas.get(d, 0) - 1
+        else:
+            deltas[d] = deltas.get(d, 0) + 1
+    total, expect_monthly = 0, {}
+    for d in sorted(deltas):
+        total += deltas[d]
+        m = d.replace(day=1)
+        peak, _ = expect_monthly.get(m, (total, total))
+        expect_monthly[m] = (max(peak, total), total)
+
+    got = sink.monthly()
+    # the stream can only fold days whose window FINALIZED (watermark
+    # passed); the last event day may still be open — compare the
+    # months the sink emitted, and require it emitted every month the
+    # sweep has except possibly the final one
+    assert got, "sink saw no finalized days"
+    for m, pe in got.items():
+        assert expect_monthly[m] == pe, (m, pe, expect_monthly[m])
+    assert set(expect_monthly) - set(got) <= {max(expect_monthly)}
+    # cumulative order: backlog after January must be 1 (orders 1, 2
+    # shipped; order 3 open)
+    jan = _dt.date(2024, 1, 1)
+    assert got[jan][0] == 2  # peak two concurrent open orders
