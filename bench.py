@@ -259,8 +259,44 @@ def main() -> None:
             json.dump(evidence, f, indent=1)
     except OSError as e:  # evidence is best-effort; the stdout line is the contract
         print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
+    append_history(evidence)
     print(json.dumps(out))
     spark.stop()
+
+
+def append_history(evidence: dict) -> None:
+    """Append a compact per-query snapshot to the COMMITTED
+    ``BENCH_HISTORY.jsonl`` — the sidecar is overwritten (and
+    gitignored) every run, so until r9 no per-query timing survived
+    between rounds and regressions could only be detected at the total
+    level (r8 verdict, Performance section). One line per bench run,
+    in file order (the driver's end-of-round snapshot commit picks the
+    round's runs up); per-query values are the min-across-passes
+    timings, rounded to 3 decimals to keep a 236-query line ~6 KB.
+    Best-effort like the sidecar."""
+    line = {
+        "sf": evidence.get("sf"),
+        "n_queries": evidence.get("n_queries"),
+        "n_errors": evidence.get("n_errors"),
+        "total_sec": evidence.get("value"),
+        "max_spread": evidence.get("max_spread"),
+        "loadavg_1m": evidence.get("loadavg_1m"),
+        "cpu_busy_frac": evidence.get("cpu_busy_frac"),
+        "tier_build_sec": {
+            t: v.get("build_sec")
+            for t, v in evidence.get("shared_tiers", {}).items()
+        },
+        "queries": {
+            n: round(v, 3) for n, v in evidence.get("queries", {}).items()
+        },
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HISTORY.jsonl")
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(line, sort_keys=True) + "\n")
+    except OSError as e:
+        print(f"bench: could not append {path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

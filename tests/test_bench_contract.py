@@ -127,3 +127,31 @@ def test_dense_tier_depth_covers_every_consumer_k():
     # LIMIT RRF_TOP_N for the sparse branch the Spark side serves from
     # the BM25_TOP_N-bounded tier
     assert llm.RRF_TOP_N == llm.BM25_TOP_N
+
+
+def test_bench_history_line_is_compact_and_appended(tmp_path, monkeypatch):
+    """append_history writes ONE valid JSON line per run with per-query
+    mins — the committed cross-round regression record (r8 verdict:
+    per-query evidence did not survive between rounds)."""
+    import os
+
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    ev = {
+        "sf": 0.1, "n_queries": 2, "n_errors": 0, "value": 1.23,
+        "max_spread": 0.1, "loadavg_1m": [1.0], "cpu_busy_frac": 0.5,
+        "shared_tiers": {"t": {"build_sec": 0.4}},
+        "queries": {"q_a": 0.61234, "q_b": 0.61},
+    }
+    bench.append_history(ev)
+    bench.append_history(ev)
+    lines = (tmp_path / "BENCH_HISTORY.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["queries"] == {"q_a": 0.612, "q_b": 0.61}
+    assert rec["tier_build_sec"] == {"t": 0.4}
+    assert len(lines[0]) < 400
+    # the source wires it into main after the sidecar write
+    import inspect
+    assert "append_history(evidence)" in inspect.getsource(bench.main)
