@@ -4937,7 +4937,11 @@ def length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = F.col("_s2").cast("double") / n / 1e12
     m3 = F.col("_s3").cast("double") / n / 1e18
     var = m2 - mu * mu
-    skew = (m3 - 3 * mu * m2 + 2 * mu * mu * mu) / F.pow(var, F.lit(1.5))
+    # a degenerate source (all docs one length) has var = 0; define its
+    # skew as 0 instead of dividing by zero (engine-identical guard)
+    skew = F.when(var <= 0, F.lit(0.0)).otherwise(
+        (m3 - 3 * mu * m2 + 2 * mu * mu * mu) / F.pow(var, F.lit(1.5))
+    )
     return m.select(
         "source",
         "n_docs",
@@ -4967,7 +4971,11 @@ SELECT source, n_docs,
                   - (CAST(s1 AS DOUBLE) / n_docs / 1e6)
                     * (CAST(s1 AS DOUBLE) / n_docs / 1e6)) * 1e6 + 0.5) / 1e6
          AS sigma_ln,
-       floor((CAST(s3 AS DOUBLE) / n_docs / 1e18
+       floor(CASE WHEN CAST(s2 AS DOUBLE) / n_docs / 1e12
+                       - (CAST(s1 AS DOUBLE) / n_docs / 1e6)
+                         * (CAST(s1 AS DOUBLE) / n_docs / 1e6) <= 0
+                  THEN 0.0
+                  ELSE (CAST(s3 AS DOUBLE) / n_docs / 1e18
               - 3 * (CAST(s1 AS DOUBLE) / n_docs / 1e6)
                   * (CAST(s2 AS DOUBLE) / n_docs / 1e12)
               + 2 * (CAST(s1 AS DOUBLE) / n_docs / 1e6)
@@ -4976,7 +4984,7 @@ SELECT source, n_docs,
              / power(CAST(s2 AS DOUBLE) / n_docs / 1e12
                      - (CAST(s1 AS DOUBLE) / n_docs / 1e6)
                        * (CAST(s1 AS DOUBLE) / n_docs / 1e6), 1.5)
-             * 1e6 + 0.5) / 1e6 AS skew_ln,
+             END * 1e6 + 0.5) / 1e6 AS skew_ln,
        floor(exp(CAST(s1 AS DOUBLE) / n_docs / 1e6) * 1e2 + 0.5) / 1e2
          AS median_chars_est
 FROM m
