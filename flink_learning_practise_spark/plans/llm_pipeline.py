@@ -225,11 +225,9 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision ~0.6), giving measured recall@5 = 0.6 at ~4× candidate
     # pruning. Real embedding corpora (neighbor cosine 0.8+) support
     # more planes/fewer tables at far higher recall.
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_lsh(
-        emb, queries, k=KNN_K, planes=LSH_PLANES, tables=LSH_TABLES, dim=EMB_DIM
-    )
+    # Serves from the shared LSH top-K tier (r9): the bucketing scan is
+    # built once per (session, sf_dir) and reused by ann_recall.
+    return _shared_lsh_topk(spark, sf_dir)
 
 
 KNN_LSH_SQL = f"""
@@ -290,11 +288,10 @@ IVF_NPROBE = 4
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_ivf(
-        emb, queries, k=KNN_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
-    )
+    # serves from the shared IVF top-K tier (r9): the centroid scoring
+    # + probe scan is built once per (session, sf_dir), reused by
+    # ann_recall
+    return _shared_ivf_topk(spark, sf_dir)
 
 
 # the quantizer + list-assignment CTE chain is shared by the IVF
@@ -747,6 +744,80 @@ def dense_tier_consumers() -> tuple[str, ...]:
     )
 
 
+_LSH_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH approximate top-K lists (#43's output) for the bounded
+    query set, checkpointed once per (session, sf_dir) — consumed
+    identically by q_knn_lsh and q_ann_recall's LSH branch, which each
+    re-derived the 16-table × 6-plane bucketing scan (~1.3 s at sf0.1).
+    ≤ KNN_QUERY_MAX_ID · KNN_K rows; same lifecycle as the other memos."""
+    per_sess = _LSH_TIER_MEMO.setdefault(spark, {})
+    if sf_dir not in per_sess:
+        while len(per_sess) >= 2:
+            per_sess.pop(next(iter(per_sess)))
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+        per_sess[sf_dir] = similarity.knn_lsh(
+            emb, queries, k=KNN_K, planes=LSH_PLANES, tables=LSH_TABLES,
+            dim=EMB_DIM,
+        ).localCheckpoint(eager=True)
+    return per_sess[sf_dir]
+
+
+_LSH_TIER_CONSUMER_FNS = frozenset({"knn_lsh", "ann_recall"})
+
+
+def lsh_tier_consumers() -> tuple[str, ...]:
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _LSH_TIER_CONSUMER_FNS
+    )
+
+
+_IVF_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-Flat approximate top-K lists (#43b's output) for the
+    bounded query set, checkpointed once per (session, sf_dir) —
+    consumed identically by q_knn_ivf and q_ann_recall's IVF branch
+    (each previously re-derived the centroid scoring + probe scan,
+    ~1.0 s at sf0.1). q_ivf_balance is NOT a consumer: it needs the
+    full-corpus list ASSIGNMENT, not the query top-K."""
+    per_sess = _IVF_TIER_MEMO.setdefault(spark, {})
+    if sf_dir not in per_sess:
+        while len(per_sess) >= 2:
+            per_sess.pop(next(iter(per_sess)))
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+        per_sess[sf_dir] = similarity.knn_ivf(
+            emb, queries, k=KNN_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+        ).localCheckpoint(eager=True)
+    return per_sess[sf_dir]
+
+
+_IVF_TIER_CONSUMER_FNS = frozenset({"knn_ivf", "ann_recall"})
+
+
+def ivf_tier_consumers() -> tuple[str, ...]:
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _IVF_TIER_CONSUMER_FNS
+    )
+
+
 def shared_tiers() -> dict[str, tuple]:
     """Every memoized shared tier: name → (builder, consumer names in
     registry order). bench.py re-pays + times each build once per pass
@@ -757,6 +828,8 @@ def shared_tiers() -> dict[str, tuple]:
         "ppjoin_pair_tier": (_shared_pair_tier, pair_tier_consumers()),
         "bm25_topn_tier": (_shared_bm25_tier, bm25_tier_consumers()),
         "dense_topk_tier": (_shared_dense_topk, dense_tier_consumers()),
+        "lsh_topk_tier": (_shared_lsh_topk, lsh_tier_consumers()),
+        "ivf_topk_tier": (_shared_ivf_topk, ivf_tier_consumers()),
     }
 
 
@@ -770,6 +843,8 @@ def reset_shared_caches() -> None:
     _PAIR_TIER_MEMO.clear()
     _BM25_TIER_MEMO.clear()
     _DENSE_TIER_MEMO.clear()
+    _LSH_TIER_MEMO.clear()
+    _IVF_TIER_MEMO.clear()
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4414,23 +4489,17 @@ FROM agg
 
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
     # baseline side from the shared dense tier (exact rank prefix);
-    # the IVF/LSH branches being calibrated still run live
+    # the IVF/LSH branches come from their own shared tiers (r9) —
+    # identical frames to the standalone #43/#43b queries
     bf = (
         _shared_dense_topk(spark, sf_dir)
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "neighbor_id")
     )
     fams = {
-        "ivf": similarity.knn_ivf(
-            emb, queries, k=KNN_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
-        ),
-        "lsh": similarity.knn_lsh(
-            emb, queries, k=KNN_K, planes=LSH_PLANES, tables=LSH_TABLES,
-            dim=EMB_DIM,
-        ),
+        "ivf": _shared_ivf_topk(spark, sf_dir),
+        "lsh": _shared_lsh_topk(spark, sf_dir),
     }
     qids = bf.select("query_id").distinct()
     out = None

@@ -108,8 +108,26 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
         name for name, q in order if q.fn.__name__ in dense_callers
     )
     assert llm.dense_tier_consumers() == want_dense
+    # same contract for the LSH / IVF top-K tiers (r9)
+    for builder, static, getter in (
+        ("_shared_lsh_topk", llm._LSH_TIER_CONSUMER_FNS,
+         llm.lsh_tier_consumers),
+        ("_shared_ivf_topk", llm._IVF_TIER_CONSUMER_FNS,
+         llm.ivf_tier_consumers),
+    ):
+        callers_t = set()
+        for m in re.finditer(r"^def (\w+)\(", src, re.M):
+            nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
+            body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
+            if f"{builder}(" in body and m.group(1) != builder:
+                callers_t.add(m.group(1))
+        assert static == callers_t, (builder, sorted(callers_t))
+        assert getter() == tuple(
+            name for name, q in order if q.fn.__name__ in callers_t
+        )
     assert set(llm.shared_tiers()) == {
-        "ppjoin_pair_tier", "bm25_topn_tier", "dense_topk_tier"
+        "ppjoin_pair_tier", "bm25_topn_tier", "dense_topk_tier",
+        "lsh_topk_tier", "ivf_topk_tier",
     }
 
 
