@@ -1039,3 +1039,111 @@ class BacklogSink:
             peak, _ = out.get(m, (backlog, backlog))
             out[m] = (max(peak, backlog), backlog)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming token-distribution drift (the TEXT companion of the PSI
+# value-drift monitor above, and the unbounded twin of #225's pairwise
+# JS divergence): per closed event-time window, the Jensen-Shannon
+# divergence of the window's token distribution against a fixed
+# reference corpus — "is the incoming feed still the language we
+# trained on", in nats, bounded [0, ln 2].
+
+_LN2 = 0.6931471805599453  # double(ln 2), the batch op's constant
+
+
+def token_reference(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reference token probabilities from a batch snapshot corpus
+    (#225's tokenization: normalized whitespace split). Checkpointed so
+    the per-micro-batch join doesn't re-scan the corpus."""
+    from ..operators.text import words
+
+    toks = df.select(
+        F.explode(words(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))  # single row
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("token", (F.col("c") / F.col("t")).alias("p_ref"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def windowed_token_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "10 minutes",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """APPEND-mode per-(window, token) counts — emits only complete
+    windows (the histogram/trending pattern), which is what makes the
+    JS companion exact. State is windows-in-flight × window vocabulary;
+    at feed scale cap the vocabulary upstream (hash-bucket rare tokens)
+    if window vocab outgrows executor state."""
+    from ..operators.text import words
+
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.col(ts_col), F.explode(words(F.col(text_col))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy(F.window(ts_col, window).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )
+
+
+def token_js_batch(batch: DataFrame, ref_probs: DataFrame) -> DataFrame:
+    """foreachBatch companion of :func:`windowed_token_counts`: JS
+    divergence per closed window vs the reference, by the batch op's
+    closed form (#225) — inner join over SHARED tokens plus p·ln2 for
+    each side's unshared mass, so the vocabulary never outer-joins. A
+    window sharing NO tokens with the reference emits exactly ln 2."""
+    tot = batch.groupBy("window_start", "window_end").agg(
+        F.sum("n").alias("n_tokens")
+    )
+    p = batch.join(tot, ["window_start", "window_end"]).withColumn(
+        "p", F.col("n").cast("double") / F.col("n_tokens")
+    )
+    shared = p.join(ref_probs, "token")
+    agg = shared.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_shared_tokens"),
+        F.sum(
+            F.col("p")
+            * F.log(F.lit(2.0) * F.col("p") / (F.col("p") + F.col("p_ref")))
+        ).alias("_ja"),
+        F.sum(
+            F.col("p_ref")
+            * F.log(
+                F.lit(2.0) * F.col("p_ref") / (F.col("p") + F.col("p_ref"))
+            )
+        ).alias("_jb"),
+        F.sum("p").alias("_sa"),
+        F.sum("p_ref").alias("_sb"),
+    )
+    joined = tot.join(agg, ["window_start", "window_end"], "left")
+    z = F.lit(0.0)
+    js = F.lit(0.5) * (
+        F.coalesce(F.col("_ja"), z)
+        + (F.lit(1.0) - F.coalesce(F.col("_sa"), z)) * _LN2
+    ) + F.lit(0.5) * (
+        F.coalesce(F.col("_jb"), z)
+        + (F.lit(1.0) - F.coalesce(F.col("_sb"), z)) * _LN2
+    )
+    return joined.select(
+        "window_start",
+        "window_end",
+        "n_tokens",
+        F.coalesce(F.col("n_shared_tokens"), F.lit(0)).alias(
+            "n_shared_tokens"
+        ),
+        F.round(js, 9).alias("js_nats"),
+    )

@@ -2358,3 +2358,71 @@ def test_streaming_order_backlog_matches_sweep(spark, tmp_path):
     # shipped; order 3 open)
     jan = _dt.date(2024, 1, 1)
     assert got[jan][0] == 2  # peak two concurrent open orders
+
+
+def test_streaming_token_js_drift(spark, tmp_path):
+    """Token-JS drift per closed window vs a fixed reference: an
+    identical-distribution window scores ~0, a fully-disjoint window
+    scores exactly ln 2, and a mixed window matches the hand-computed
+    closed form."""
+    import json as _json
+    import math
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        token_js_batch,
+        token_reference,
+        windowed_token_counts,
+    )
+
+    ref_docs = spark.createDataFrame(
+        [("a b a b",), ("a b",)], "text string"
+    )  # ref: P(a)=P(b)=0.5
+    ref = token_reference(ref_docs)
+
+    src = str(tmp_path / "js_in")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        # window 1 [00:00, 00:10): same distribution as ref -> js ~ 0
+        {"ts": "2024-01-01 00:01:00", "text": "a b a b"},
+        # window 2 [00:10, 00:20): disjoint vocab -> js = ln 2
+        {"ts": "2024-01-01 00:11:00", "text": "x y x y"},
+        # window 3 [00:20, 00:30): mixed -> hand-computed below
+        {"ts": "2024-01-01 00:21:00", "text": "a x"},
+        # watermark pusher so all three close
+        {"ts": "2024-01-01 01:00:00", "text": "z"},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("ts timestamp, text string").json(src)
+    got: dict = {}
+
+    def sink(batch, _bid):
+        for r in token_js_batch(batch, ref).collect():
+            got[r.window_start.minute] = (
+                r.n_tokens,
+                r.n_shared_tokens,
+                r.js_nats,
+            )
+
+    q = (
+        windowed_token_counts(
+            stream, window="10 minutes", watermark_delay="1 minute"
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert set(got) >= {0, 10, 20}
+    assert got[0] == (4, 2, 0.0)  # identical distribution
+    n, s, js = got[10]
+    assert (n, s) == (4, 0) and abs(js - math.log(2)) < 1e-9  # disjoint
+    # window 3: P(a)=P(x)=0.5 vs ref P(a)=P(b)=0.5; shared = {a}
+    # js = 0.5*(pa*ln(2pa/(pa+ra)) + (1-pa)*ln2)
+    #    + 0.5*(ra*ln(2ra/(pa+ra)) + (1-ra)*ln2) with pa=ra=0.5
+    expect = 0.5 * (0.0 + 0.5 * math.log(2)) * 2
+    n, s, js = got[20]
+    assert (n, s) == (2, 1) and abs(js - expect) < 1e-9
