@@ -173,3 +173,23 @@ def test_bench_history_line_is_compact_and_appended(tmp_path, monkeypatch):
     # the source wires it into main after the sidecar write
     import inspect
     assert "append_history(evidence)" in inspect.getsource(bench.main)
+
+
+def test_bench_compare_report_shape():
+    """bench_compare classifies per-query deltas with both a relative
+    and an absolute floor (pure function — no history file needed)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from bench_compare import compare
+
+    base = {"queries": {"q_a": 1.0, "q_b": 0.1, "q_c": 2.0, "q_gone": 1.0}}
+    head = {"queries": {"q_a": 1.5, "q_b": 0.2, "q_c": 1.2, "q_new": 0.5}}
+    rep = compare(base, head, threshold=0.3, min_abs=0.3)
+    assert rep["slower"] == [("q_a", 1.0, 1.5)]  # q_b: +100% but < min_abs
+    assert rep["faster"] == [("q_c", 2.0, 1.2)]
+    assert rep["added"] == ["q_new"] and rep["removed"] == ["q_gone"]
