@@ -1147,3 +1147,89 @@ def token_js_batch(batch: DataFrame, ref_probs: DataFrame) -> DataFrame:
         ),
         F.round(js, 9).alias("js_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding-dimension drift (the EMBEDDING companion of the
+# PSI value monitor and the token-JS text monitor — the unbounded twin
+# of #223's dimension health screen): per closed window and coordinate,
+# the mean shift in reference-sigma units. An upstream encoder change
+# or a corrupted feature column shows up as specific dims drifting
+# while the rest hold — exactly what a whole-vector norm check misses.
+
+
+def windowed_dim_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    emb_col: str = "embedding",
+    window: str = "10 minutes",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """APPEND-mode per-(window, dim) moment tier: components quantize
+    to integer micros first (#223's discipline — exact, associative
+    sums), so the foreachBatch companion computes means from exact
+    integers. State is windows-in-flight × EMB dims — bounded."""
+    comp = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.col(ts_col),
+            F.posexplode(emb_col).alias("_i", "_x"),
+        )
+        .select(
+            F.col(ts_col),
+            (F.col("_i") + 1).alias("dim"),
+            F.floor(F.col("_x").cast("double") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("micros"),
+        )
+    )
+    return (
+        comp.groupBy(F.window(ts_col, window).alias("w"), "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("micros").cast("decimal(38,0)")).alias("s1"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "dim",
+            "n",
+            "s1",
+        )
+    )
+
+
+def dim_drift_batch(
+    batch: DataFrame, ref_stats: DataFrame, z_flag: float = 3.0
+) -> DataFrame:
+    """foreachBatch companion of :func:`windowed_dim_stats`: per closed
+    window, each dim's mean shift vs the reference in reference-sigma
+    units (z = |mean_w − mean_ref| / sqrt(var_ref + eps)), rolled up to
+    the window's max-z dim and the count of dims over ``z_flag``.
+    ``ref_stats`` is the #223 batch output shape
+    (dim, mean_val, var_val) — build it offline from the training
+    snapshot. eps guards a dead reference dim (var 0)."""
+    eps = 1e-12
+    joined = (
+        batch.withColumn(
+            "mean_w", F.col("s1").cast("double") / F.col("n") / 1e6
+        )
+        .join(F.broadcast(ref_stats.select("dim", "mean_val", "var_val")), "dim")
+        .withColumn(
+            "z",
+            F.abs(F.col("mean_w") - F.col("mean_val"))
+            / F.sqrt(F.col("var_val") + eps),
+        )
+    )
+    return (
+        joined.groupBy("window_start", "window_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.max_by("dim", "z").alias("worst_dim"),
+            F.round(F.max("z"), 6).alias("max_z"),
+            F.sum(F.when(F.col("z") > z_flag, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("window_start")
+    )

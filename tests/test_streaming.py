@@ -2426,3 +2426,67 @@ def test_streaming_token_js_drift(spark, tmp_path):
     expect = 0.5 * (0.0 + 0.5 * math.log(2)) * 2
     n, s, js = got[20]
     assert (n, s) == (2, 1) and abs(js - expect) < 1e-9
+
+
+def test_streaming_dim_drift_flags_shifted_dim(spark, tmp_path):
+    """Dimension drift per closed window vs a batch reference: a window
+    drawn from the reference distribution scores ~0 everywhere; a
+    window with ONE coordinate shifted by many reference sigmas flags
+    exactly that dim."""
+    import json as _json
+    import os
+
+    from flink_learning_practise_spark.streaming.pipeline import (
+        dim_drift_batch,
+        windowed_dim_stats,
+    )
+
+    # reference: dim 1 mean 0 var 0.01, dim 2 mean 1 var 0.01, dim 3
+    # mean -1 var 0.01 (the #223 output shape)
+    ref = spark.createDataFrame(
+        [(1, 0.0, 0.01), (2, 1.0, 0.01), (3, -1.0, 0.01)],
+        "dim int, mean_val double, var_val double",
+    )
+    src = str(tmp_path / "dd_in")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        # window 1: on-reference vectors
+        {"ts": "2024-01-01 00:01:00", "embedding": [0.0, 1.0, -1.0]},
+        {"ts": "2024-01-01 00:02:00", "embedding": [0.1, 0.9, -1.1]},
+        {"ts": "2024-01-01 00:03:00", "embedding": [-0.1, 1.1, -0.9]},
+        # window 2: dim 2 shifted by +1 (10 reference sigmas)
+        {"ts": "2024-01-01 00:11:00", "embedding": [0.0, 2.0, -1.0]},
+        {"ts": "2024-01-01 00:12:00", "embedding": [0.0, 2.0, -1.0]},
+        # pusher closes both windows
+        {"ts": "2024-01-01 01:00:00", "embedding": [0.0, 1.0, -1.0]},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "ts timestamp, embedding array<float>"
+    ).json(src)
+    got: dict = {}
+
+    def sink(batch, _bid):
+        for r in dim_drift_batch(batch, ref).collect():
+            got[r.window_start.minute] = (
+                r.n_dims, r.worst_dim, r.max_z, r.n_flagged,
+            )
+
+    q = (
+        windowed_dim_stats(
+            stream, window="10 minutes", watermark_delay="1 minute"
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert set(got) >= {0, 10}
+    n_dims, _worst, max_z, n_flagged = got[0]
+    assert n_dims == 3 and n_flagged == 0 and max_z < 1.0
+    n_dims, worst, max_z, n_flagged = got[10]
+    assert n_dims == 3 and worst == 2 and n_flagged == 1
+    assert abs(max_z - 10.0) < 0.01  # +1 shift / sigma 0.1
