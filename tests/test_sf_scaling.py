@@ -20,13 +20,18 @@ import pytest
 from flink_learning_practise_spark.registry import all_queries
 
 # Plan-diverse probes: scan-agg, multi-join, window, prefix-sum,
-# shuffle-heavy dedup, graph-free text map.
+# shuffle-heavy dedup, graph-free text map — plus the r9 shapes that
+# add new data-proportional work: the vocabulary-keyed token self-join
+# (JS divergence) and the distinct-aggregate over the orders⋈lineitem
+# join (reorder rate).
 PROBES = (
     "q_sql_pricing_summary",
     "q_shipping_priority",
     "q_weighted_percentiles",
     "q_tumbling_window",
     "q_quality_score",
+    "q_js_divergence",
+    "q_reorder_rate",
 )
 # Sub-linear bound for a 10x decade, with generous slack for shared-box
 # noise: a one-task funnel would show ~10x.
