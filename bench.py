@@ -54,6 +54,16 @@ from flink_learning_practise_spark.session import get_spark
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 SPREAD_RERUN = 0.5  # extra sample when (max-min)/min exceeds this
 
+# Load-aware pass gating (VERDICT r9 ask #1a): six same-code r9 runs
+# spanned 122-225 s purely from 13-17% external CPU load, so before
+# each pass bench samples whole-box busy and waits (bounded — never
+# blocks the driver) for it to fall under the threshold.  The gate
+# shares ONE wait budget across the whole run; when the budget is
+# spent the pass runs anyway and the observed busy fractions land in
+# the evidence sidecar so a reader can attribute an inflated pass.
+QUIET_BUSY = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_BUSY", "0.10"))
+QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "90"))
+
 # Hard cap on the serialized stdout line (driver tail-captures ~2,000
 # chars); test_bench_contract.py asserts compact_line() stays under it.
 STDOUT_LINE_MAX = 1800
@@ -99,6 +109,42 @@ def _loadavg() -> float | None:
         return None
 
 
+def _busy_sample(window_sec: float = 1.0) -> float | None:
+    """Whole-box busy-CPU fraction over a short window, or None
+    off-Linux.  Sampled between passes while Spark is idle, so it
+    measures EXTERNAL load (plus JVM background threads, ~0)."""
+    a = _cpu_ticks()
+    if a is None:
+        return None
+    time.sleep(window_sec)
+    b = _cpu_ticks()
+    if b is None or b[1] <= a[1]:
+        return None
+    return (b[0] - a[0]) / (b[1] - a[1])
+
+
+def quiet_gate(budget: list[float], threshold: float = QUIET_BUSY) -> dict:
+    """Bounded wait for external CPU busy to fall under ``threshold``.
+
+    ``budget`` is a one-element mutable wait budget (seconds) shared by
+    every gate in the run — the TOTAL added wall time is capped at
+    QUIET_WAIT_MAX regardless of pass count, so the driver can never
+    hang on a permanently-busy box.  Returns the observed busy samples
+    + seconds waited for the evidence sidecar."""
+    waited = 0.0
+    hist: list[float | None] = []
+    while True:
+        s = _busy_sample()
+        hist.append(None if s is None else round(s, 3))
+        if s is None or s <= threshold or budget[0] <= 0:
+            break
+        step = min(5.0, budget[0])
+        time.sleep(step)
+        waited += step
+        budget[0] -= step
+    return {"busy": hist, "waited_sec": round(waited, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -140,7 +186,11 @@ def main() -> None:
 
     tiers = shared_tiers()
     tier_build_samples: dict[str, list[float]] = {t: [] for t in tiers}
+    quiet_budget = [QUIET_WAIT_MAX]  # shared across every gate
+    gates: list[dict] = []
+    skipped_by_pass: dict[int, list[str]] = {}
     for p in range(PASSES + 1):  # pass 0 = compile warm-up, discarded
+        gates.append(quiet_gate(quiet_budget))
         # re-pay every shared-tier build each pass, each timed as its
         # OWN line (r5 verdict ask): before the reset-per-pass +
         # explicit builds, checkpoint costs landed on whichever
@@ -154,19 +204,28 @@ def main() -> None:
             tb0 = time.perf_counter()
             try:
                 builder(spark, sf_dir)  # eager localCheckpoint
-                if p > 0:
-                    tier_build_samples[tname].append(
-                        time.perf_counter() - tb0
-                    )
-            except Exception as e:  # noqa: BLE001
-                errors.setdefault(f"_build:{tname}",
-                                  f"{type(e).__name__}: {e}"[:300])
-                # a consumer running against a cold memo would pay the
-                # tier build inside its own timing, contradicting the
-                # warm-memo evidence contract (advice r8) — skip them
-                # for this pass (their earlier warm samples, if any,
-                # remain valid)
-                cold_memo.update(cons)
+            except Exception:  # noqa: BLE001
+                # retry once (advice r9): a TRANSIENT pass-0 failure
+                # would otherwise cost every consumer its codegen
+                # warm-up, inflating their first counted sample with
+                # Janino compile time
+                tb0 = time.perf_counter()
+                try:
+                    builder(spark, sf_dir)
+                except Exception as e:  # noqa: BLE001
+                    errors.setdefault(f"_build:{tname}",
+                                      f"{type(e).__name__}: {e}"[:300])
+                    # a consumer running against a cold memo would pay
+                    # the tier build inside its own timing,
+                    # contradicting the warm-memo evidence contract
+                    # (advice r8) — skip them for this pass (their
+                    # earlier warm samples, if any, remain valid)
+                    cold_memo.update(cons)
+                    continue
+            if p > 0:
+                tier_build_samples[tname].append(time.perf_counter() - tb0)
+        if cold_memo:
+            skipped_by_pass[p] = sorted(cold_memo)
         t0 = time.perf_counter()
         for n in names:
             if n in errors or n in cold_memo:
@@ -184,6 +243,12 @@ def main() -> None:
         load_points.append(_loadavg())
 
     samples = {n: s for n, s in samples.items() if s}
+    # Consumers whose tier build failed in EVERY pass have no samples
+    # and no error row of their own — record them explicitly so
+    # bench_compare reports "skipped", not "removed" (advice r9).
+    skipped = sorted(
+        n for n in names if n not in samples and n not in errors
+    )
     # Targeted re-sample for unstable queries (skip sub-0.3s noise floor).
     for n, s in samples.items():
         if min(s) >= 0.3 and (max(s) - min(s)) / min(s) > SPREAD_RERUN:
@@ -236,7 +301,14 @@ def main() -> None:
         "pass_wall_sec": pass_wall,  # [warmup, pass1, pass2, ...]
         "loadavg_1m": load_points,  # before warmup, after each pass
         "cpu_busy_frac": busy_frac,  # whole-box busy share during the run
+        # per-pass quiet gates: external busy samples observed before
+        # the pass started + seconds spent waiting for quiet (bounded
+        # by QUIET_WAIT_MAX across the whole run)
+        "quiet_gates": gates,
+        "quiet_busy_threshold": QUIET_BUSY,
         "errors": errors,  # queries that threw (excluded from timings)
+        "skipped": skipped,  # no samples, no own error (failed tier)
+        "skipped_by_pass": skipped_by_pass,
         # shared-tier accounting: these queries reuse checkpointed
         # tiers; each build is re-paid + TIMED once per pass (before
         # any consumer runs), so per-query mins are warm-memo and the
@@ -282,6 +354,7 @@ def append_history(evidence: dict) -> None:
         "max_spread": evidence.get("max_spread"),
         "loadavg_1m": evidence.get("loadavg_1m"),
         "cpu_busy_frac": evidence.get("cpu_busy_frac"),
+        "skipped": evidence.get("skipped"),
         "tier_build_sec": {
             t: v.get("build_sec")
             for t, v in evidence.get("shared_tiers", {}).items()

@@ -4170,14 +4170,20 @@ def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = F.col("_s1").cast("double") / n
     var = F.col("_s2").cast("double") / n - mu * mu
     sigma = F.sqrt(var)
+    # Degenerate type (every gap exactly 0, e.g. duplicate timestamps):
+    # (σ−μ)/(σ+μ) is 0/0 — Spark's floor(NaN)→0 vs DuckDB's NaN would
+    # diverge. Guard on the EXACT integer moment (gaps ≥ 0, so s1 = 0
+    # iff all gaps are 0 iff σ+μ = 0) identically in both engines;
+    # define the degenerate burstiness as 0.0 (length_fit's rule).
+    b = F.when(F.col("_s1") == 0, F.lit(0.0)).otherwise(
+        (sigma - mu) / (sigma + mu)
+    )
     return m.select(
         "event_type",
         "n_gaps",
         (F.floor(mu * 1e6 + F.lit(0.5)) / 1e6).alias("mean_gap_sec"),
         (F.floor(sigma * 1e6 + F.lit(0.5)) / 1e6).alias("std_gap_sec"),
-        (F.floor((sigma - mu) / (sigma + mu) * 1e6 + F.lit(0.5)) / 1e6).alias(
-            "burstiness"
-        ),
+        (F.floor(b * 1e6 + F.lit(0.5)) / 1e6).alias("burstiness"),
     ).orderBy("event_type")
 
 
@@ -4201,14 +4207,15 @@ SELECT event_type, n_gaps,
                   - (CAST(s1 AS DOUBLE) / n_gaps)
                     * (CAST(s1 AS DOUBLE) / n_gaps)) * 1e6 + 0.5) / 1e6
          AS std_gap_sec,
-       floor((sqrt(CAST(s2 AS DOUBLE) / n_gaps
+       floor(CASE WHEN s1 = 0 THEN 0.0 ELSE
+             (sqrt(CAST(s2 AS DOUBLE) / n_gaps
                    - (CAST(s1 AS DOUBLE) / n_gaps)
                      * (CAST(s1 AS DOUBLE) / n_gaps))
               - CAST(s1 AS DOUBLE) / n_gaps)
              / (sqrt(CAST(s2 AS DOUBLE) / n_gaps
                      - (CAST(s1 AS DOUBLE) / n_gaps)
                        * (CAST(s1 AS DOUBLE) / n_gaps))
-                + CAST(s1 AS DOUBLE) / n_gaps) * 1e6 + 0.5) / 1e6
+                + CAST(s1 AS DOUBLE) / n_gaps) END * 1e6 + 0.5) / 1e6
          AS burstiness
 FROM m
 ORDER BY event_type

@@ -4692,7 +4692,12 @@ WITH comp AS MATERIALIZED (
   FROM embeddings, unnest(generate_series(1, {EMB_DIM})) t(i)
 ),
 per_dim AS (
-  SELECT dim, COUNT(*) AS n_vecs,
+  -- COUNT(micros), not COUNT(*): the generate_series cross join emits a
+  -- row even where embedding[i] is NULL (short/NULL arrays), while the
+  -- Spark posexplode only emits real components — counting non-null
+  -- keeps n_vecs and the /n_vecs divisors engine-identical on ragged
+  -- input by construction (advice r9).
+  SELECT dim, COUNT(micros) AS n_vecs,
          SUM(micros) AS s1, SUM(micros * micros) AS s2,
          MIN(micros) AS mn, MAX(micros) AS mx
   FROM comp GROUP BY 1
@@ -4824,15 +4829,36 @@ def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pa").alias("_sa"),
         F.sum("pb").alias("_sb"),
     )
+    # Every unordered source pair must appear: a pair sharing ZERO
+    # tokens is the maximally-drifted case (JS = ln 2 exactly) and the
+    # inner join above would silently drop it (advice r9; the
+    # streaming twin token_js_batch already emits ln 2 via left join).
+    # The pair frame is the distinct-source dim squared — tiny.
+    src = totals.select("source")
+    pairs = src.select(F.col("source").alias("source_a")).join(
+        F.broadcast(  # broadcast-policy-exempt: distinct-source dim
+            src.select(F.col("source").alias("source_b"))
+        ),
+        F.col("source_a") < F.col("source_b"),
+    )
     js = F.lit(0.5) * (F.col("_ja") + (F.lit(1.0) - F.col("_sa")) * LN2) + F.lit(
         0.5
     ) * (F.col("_jb") + (F.lit(1.0) - F.col("_sb")) * LN2)
-    return agg.select(
-        "source_a",
-        "source_b",
-        "n_shared_tokens",
-        (F.floor(js * 1e6 + F.lit(0.5)) / 1e6).alias("js_nats"),
-    ).orderBy("source_a", "source_b")
+    return (
+        pairs.join(agg, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_shared_tokens"), F.lit(0).cast("long")).alias(
+                "n_shared_tokens"
+            ),
+            F.coalesce(
+                F.floor(js * 1e6 + F.lit(0.5)) / 1e6,
+                F.lit(0.693147),  # floor(ln 2 * 1e6 + 0.5) / 1e6
+            ).alias("js_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )
 
 
 JS_DIVERGENCE_SQL = f"""
@@ -4853,15 +4879,26 @@ probs AS MATERIALIZED (
 shared AS (
   SELECT a.source AS source_a, b.source AS source_b, a.p AS pa, b.p AS pb
   FROM probs a JOIN probs b ON a.token = b.token AND a.source < b.source
-)
-SELECT source_a, source_b, COUNT(*) AS n_shared_tokens,
-       floor((0.5 * (SUM(pa * ln(2.0 * pa / (pa + pb)))
-                     + (1.0 - SUM(pa)) * {LN2!r})
-              + 0.5 * (SUM(pb * ln(2.0 * pb / (pa + pb)))
-                       + (1.0 - SUM(pb)) * {LN2!r})) * 1e6 + 0.5) / 1e6
-         AS js_nats
-FROM shared
-GROUP BY 1, 2
+),
+agg AS (
+  SELECT source_a, source_b, COUNT(*) AS n_shared_tokens,
+         floor((0.5 * (SUM(pa * ln(2.0 * pa / (pa + pb)))
+                       + (1.0 - SUM(pa)) * {LN2!r})
+                + 0.5 * (SUM(pb * ln(2.0 * pb / (pa + pb)))
+                         + (1.0 - SUM(pb)) * {LN2!r})) * 1e6 + 0.5) / 1e6
+           AS js_nats
+  FROM shared
+  GROUP BY 1, 2
+),
+-- every unordered source pair: zero-shared-token pairs are JS = ln 2,
+-- not absent (matches the Spark side's left join over the pair dim)
+sources AS (SELECT DISTINCT source FROM totals)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(g.n_shared_tokens, 0) AS BIGINT) AS n_shared_tokens,
+       COALESCE(g.js_nats, 0.693147) AS js_nats
+FROM (SELECT a.source AS source_a, b.source AS source_b
+      FROM sources a JOIN sources b ON a.source < b.source) p
+LEFT JOIN agg g ON p.source_a = g.source_a AND p.source_b = g.source_b
 ORDER BY 1, 2
 """
 

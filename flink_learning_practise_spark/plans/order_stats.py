@@ -3515,8 +3515,10 @@ ORDER BY 1
 # over the CALENDAR-BOUNDED distinct-date tier (≤ years×365 rows at
 # any corpus scale — the same bounded-frame proof as
 # q_weekly_decomposition/q_spearman_daily), then a per-month rollup of
-# the step function (peak + end-of-month level land on delta dates by
-# construction, since the backlog only changes there).
+# the step function. The end-of-month level lands on the month's last
+# delta date; the peak must ALSO consider the carry-in level held from
+# month start until the first delta (a month whose first delta is
+# negative peaks at the carried level, not at any in-month row).
 
 
 def order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3547,13 +3549,25 @@ def order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").cast("long").alias("net"))
     )
     cw = Window.orderBy("d")  # calendar-bounded distinct-date tier
-    stepped = deltas.select(
-        "d", F.sum("net").over(cw).alias("backlog")
-    ).select(F.trunc("d", "month").alias("month"), "d", "backlog")
+    # carry_in = the level held during [month-start, first delta): the
+    # step value BEFORE this date's delta (lag over the same bounded
+    # tier). Without it, a month whose first delta is negative
+    # under-reports its true peak (advice r9, medium).
+    stepped = (
+        deltas.select("d", F.sum("net").over(cw).alias("backlog"))
+        .select(
+            F.trunc("d", "month").alias("month"),
+            "d",
+            "backlog",
+            F.lag("backlog", 1, 0).over(cw).alias("carry_in"),
+        )
+    )
     return (
         stepped.groupBy("month")
         .agg(
-            F.max("backlog").alias("peak_backlog"),
+            F.greatest(
+                F.max("backlog"), F.min_by("carry_in", "d")
+            ).alias("peak_backlog"),
             F.max_by("backlog", "d").alias("eom_backlog"),
         )
         .orderBy("month")
@@ -3574,13 +3588,17 @@ deltas AS (
     SELECT end_d + 1, -1 FROM spans
   ) GROUP BY 1
 ),
+cum AS (
+  SELECT d, SUM(net) OVER (ORDER BY d) AS backlog FROM deltas
+),
 stepped AS (
-  SELECT CAST(date_trunc('month', d) AS DATE) AS month, d,
-         SUM(net) OVER (ORDER BY d) AS backlog
-  FROM deltas
+  SELECT CAST(date_trunc('month', d) AS DATE) AS month, d, backlog,
+         COALESCE(LAG(backlog) OVER (ORDER BY d), 0) AS carry_in
+  FROM cum
 )
 SELECT month,
-       CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+       CAST(GREATEST(MAX(backlog), MIN_BY(carry_in, d)) AS BIGINT)
+         AS peak_backlog,
        CAST(max_by(backlog, d) AS BIGINT) AS eom_backlog
 FROM stepped
 GROUP BY 1

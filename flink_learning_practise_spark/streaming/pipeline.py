@@ -1032,12 +1032,21 @@ class BacklogSink:
 
     def monthly(self) -> dict:
         """(month-first-day → (peak, end-of-month backlog)) rollup of
-        the step function — the batch plan's output shape."""
+        the step function — the batch plan's output shape. The peak
+        seeds from the CARRY-IN level (the running total before the
+        month's first delta), matching the batch plan's lag-based
+        carry_in: a month whose first delta is negative peaks at the
+        carried level, not at any in-month row."""
         out: dict = {}
+        prev = 0
         for day, _net, backlog in self.rows:
             m = day.replace(day=1)
-            peak, _ = out.get(m, (backlog, backlog))
-            out[m] = (max(peak, backlog), backlog)
+            if m in out:
+                peak, _ = out[m]
+                out[m] = (max(peak, backlog), backlog)
+            else:
+                out[m] = (max(prev, backlog), backlog)
+            prev = backlog
         return out
 
 

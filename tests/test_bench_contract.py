@@ -185,11 +185,22 @@ def test_bench_compare_report_shape():
         0,
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
     )
-    from bench_compare import compare
+    from bench_compare import compare, min_envelope
 
-    base = {"queries": {"q_a": 1.0, "q_b": 0.1, "q_c": 2.0, "q_gone": 1.0}}
-    head = {"queries": {"q_a": 1.5, "q_b": 0.2, "q_c": 1.2, "q_new": 0.5}}
-    rep = compare(base, head, threshold=0.3, min_abs=0.3)
+    base_q = {"q_a": 1.0, "q_b": 0.1, "q_c": 2.0, "q_gone": 1.0,
+              "q_skip": 1.0}
+    head = {"queries": {"q_a": 1.5, "q_b": 0.2, "q_c": 1.2, "q_new": 0.5},
+            "skipped": ["q_skip"]}
+    rep = compare(base_q, head, threshold=0.3, min_abs=0.3)
     assert rep["slower"] == [("q_a", 1.0, 1.5)]  # q_b: +100% but < min_abs
     assert rep["faster"] == [("q_c", 2.0, 1.2)]
     assert rep["added"] == ["q_new"] and rep["removed"] == ["q_gone"]
+    # a query the head run SKIPPED (its tier build failed every pass)
+    # is reported as skipped, never as removed (advice r9)
+    assert rep["skipped"] == ["q_skip"]
+    # min-envelope (VERDICT r9 ask #1c): per-query min across runs
+    env = min_envelope([
+        {"queries": {"q_a": 1.2, "q_b": 0.3}},
+        {"queries": {"q_a": 0.9, "q_b": 0.5, "q_c": 2.0}},
+    ])
+    assert env == {"q_a": 0.9, "q_b": 0.3, "q_c": 2.0}

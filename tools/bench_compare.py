@@ -1,14 +1,25 @@
-"""Diff per-query timings between two BENCH_HISTORY.jsonl runs.
+"""Diff per-query timings between BENCH_HISTORY.jsonl runs.
 
 BENCH_HISTORY.jsonl (appended by bench.py, committed) is the
 cross-round per-query record; this tool turns it into an actionable
-regression report: queries slower than --threshold (relative) AND
---min-abs (absolute seconds) between the two selected runs, plus the
-shared-tier build deltas and the load context of both runs (compare
-`cpu_busy_frac` before blaming code — see SURVEY §8 r9 notes).
+regression report. Two modes:
+
+* run-vs-run (``--base``/``--head``): queries slower than --threshold
+  (relative) AND --min-abs (absolute seconds) between the two runs.
+* min-envelope (``--envelope``, VERDICT r9 ask #1c): compare the head
+  run against the PER-QUERY MIN across all prior runs. Six same-code
+  r9 runs spanned 122-225 s from external load alone, so a single base
+  run is itself noisy — a query is only a believable regression when
+  its head time exceeds the best time the SAME code (or its ancestors)
+  ever posted, not just the previous sample.
+
+Both modes print the shared-tier build deltas and the load context
+(compare ``cpu_busy_frac`` before blaming code — SURVEY §8 r9 notes).
+Queries listed in a run's ``skipped`` field (consumers of a tier whose
+build failed every pass) are reported as skipped, never as removed.
 
 Run: python tools/bench_compare.py [--base -2] [--head -1]
-     [--threshold 0.3] [--min-abs 0.3] [--sf 0.1]
+     [--threshold 0.3] [--min-abs 0.3] [--sf 0.1] [--envelope]
 Exit code 0 always (reporting, not gating) — the parity suite is the
 gate; perf regressions need a human (or a verdict) in the loop.
 """
@@ -33,10 +44,26 @@ def load_runs(path: str, sf: float | None) -> list[dict]:
     return runs
 
 
-def compare(base: dict, head: dict, threshold: float, min_abs: float) -> dict:
-    b, h = base["queries"], head["queries"]
-    slower, faster, added, removed = [], [], [], []
-    for q in sorted(set(b) | set(h)):
+def min_envelope(runs: list[dict]) -> dict[str, float]:
+    """Per-query min across runs — the noise floor the box has proven
+    reachable for each query."""
+    env: dict[str, float] = {}
+    for rec in runs:
+        for q, v in (rec.get("queries") or {}).items():
+            if q not in env or v < env[q]:
+                env[q] = v
+    return env
+
+
+def compare(base_q: dict, head: dict, threshold: float,
+            min_abs: float) -> dict:
+    b, h = base_q, head["queries"]
+    head_skipped = set(head.get("skipped") or [])
+    slower, faster, added, removed, skipped = [], [], [], [], []
+    for q in sorted(set(b) | set(h) | head_skipped):
+        if q in head_skipped:
+            skipped.append(q)
+            continue
         if q not in b:
             added.append(q)
             continue
@@ -53,6 +80,7 @@ def compare(base: dict, head: dict, threshold: float, min_abs: float) -> dict:
         "faster": faster,
         "added": added,
         "removed": removed,
+        "skipped": skipped,
     }
 
 
@@ -66,6 +94,9 @@ def main() -> None:
     ap.add_argument("--min-abs", type=float, default=0.3,
                     help="absolute slowdown floor in seconds")
     ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--envelope", action="store_true",
+                    help="compare head against the per-query min across "
+                         "all PRIOR runs instead of a single base run")
     args = ap.parse_args()
 
     path = os.path.join(
@@ -77,13 +108,31 @@ def main() -> None:
         print(f"# need >=2 sf={args.sf} runs in BENCH_HISTORY.jsonl "
               f"(have {len(runs)})")
         return
-    base, head = runs[args.base], runs[args.head]
-    rep = compare(base, head, args.threshold, args.min_abs)
-    print(f"# base total {base['total_sec']:.1f}s "
-          f"(busy {base.get('cpu_busy_frac')}), "
+    head = runs[args.head]
+    if args.envelope:
+        prior = runs[: args.head if args.head >= 0 else len(runs) + args.head]
+        base_q = min_envelope(prior)
+        base_total = sum(base_q.values())
+        base_label = f"min-envelope of {len(prior)} runs"
+        base_busy = None
+        tb: dict = {}
+        for rec in prior:
+            for t, v in (rec.get("tier_build_sec") or {}).items():
+                if v is not None and (t not in tb or v < tb[t]):
+                    tb[t] = v
+    else:
+        base = runs[args.base]
+        base_q = base["queries"]
+        base_total = base["total_sec"]
+        base_label = "base"
+        base_busy = base.get("cpu_busy_frac")
+        tb = base.get("tier_build_sec") or {}
+    rep = compare(base_q, head, args.threshold, args.min_abs)
+    print(f"# {base_label} total {base_total:.1f}s "
+          f"(busy {base_busy}), "
           f"head total {head['total_sec']:.1f}s "
           f"(busy {head.get('cpu_busy_frac')})")
-    tb, th = base.get("tier_build_sec") or {}, head.get("tier_build_sec") or {}
+    th = head.get("tier_build_sec") or {}
     for t in sorted(set(tb) | set(th)):
         print(f"# tier {t}: {tb.get(t)} -> {th.get(t)}")
     for tag in ("slower", "faster"):
@@ -93,6 +142,9 @@ def main() -> None:
         print("added:", " ".join(rep["added"]))
     if rep["removed"]:
         print("removed:", " ".join(rep["removed"]))
+    if rep["skipped"]:
+        print("skipped (failed tier, not removed):",
+              " ".join(rep["skipped"]))
     if not any(rep.values()):
         print("# no per-query deltas above threshold")
 
