@@ -664,7 +664,8 @@ def _shared_bm25_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TIER_CONSUMER_FNS = frozenset(
-    {"bm25_search", "hybrid_rrf", "retrieval_overlap", "rbo_overlap"}
+    {"bm25_search", "hybrid_rrf", "retrieval_overlap", "rbo_overlap",
+     "rerank_inference"}  # consumes the tier via hybrid_rrf's fusion
 )
 
 
@@ -728,6 +729,7 @@ _DENSE_TIER_CONSUMER_FNS = frozenset({
     "retrieval_overlap",
     "mmr_rerank",
     "rbo_overlap",
+    "rerank_inference",  # consumes the tier via hybrid_rrf's fusion
 })
 
 
@@ -5095,4 +5097,297 @@ SELECT source, n_docs,
          AS median_chars_est
 FROM m
 ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# #232 semantic decontamination: benchmark leakage in EMBEDDING space —
+# the paraphrase-shaped contamination the shingle-based passes (#72
+# exact, #113 near-dup) structurally miss, caught the way SemDeDup
+# (Abbas et al. 2023) catches semantic duplicates: map-only assignment
+# of every vector to the shared IVF coarse quantizer, then cosine ≥ τ
+# between corpus and benchmark vectors WITHIN a list. The benchmark
+# side (vec_id % SEMDECON_MOD == 0 plays the held-out eval suite, #72's
+# convention) is bounded by construction — a benchmark is a fixed test
+# suite, not corpus-proportional — so it broadcasts and the whole scan
+# is one map-side join: zero shuffle of the corpus at any scale. The
+# oracle replays the exact _IVF_ASSIGN_CTES chain (#43b's discipline),
+# so assignment can never drift from the IVF family.
+
+SEMDECON_MOD = 97  # same held-out stand-in as curation.DECON_MOD
+SEMDECON_TAU = 0.4  # same leak threshold as SEMDEDUP_TAU
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vecs, cnorms = similarity.ivf_centroids(emb, IVF_NLIST)
+    assigned = similarity.assign_to_centroids(
+        emb.select("vec_id", "embedding"), vecs, cnorms, keep_norm=True
+    )
+    bench = assigned.filter(
+        F.col("vec_id") % SEMDECON_MOD == 0
+    ).select(
+        F.col("vec_id").alias("bench_id"),
+        "list_id",
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    corp = assigned.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
+        "vec_id",
+        "list_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    pairs = corp.join(
+        # broadcast-policy-exempt: benchmark sets are bounded by
+        # construction (a fixed eval suite), not corpus-proportional
+        F.broadcast(bench),
+        "list_id",
+    ).withColumn(
+        "cosine",
+        similarity.cosine_col("c_emb", "b_emb", "c_norm", "b_norm"),
+    )
+    return (
+        pairs.filter(F.col("cosine") >= SEMDECON_TAU)
+        .select("vec_id", "bench_id", "list_id", "cosine")
+        .orderBy("vec_id", "bench_id")
+    )
+
+
+DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH {_IVF_ASSIGN_CTES},
+bench AS (
+  SELECT a.vec_id AS bench_id, a.list_id, n.embedding, n.nrm
+  FROM assigned a JOIN norms n ON n.vec_id = a.vec_id
+  WHERE a.vec_id % {SEMDECON_MOD} = 0
+),
+corp AS (
+  SELECT a.vec_id, a.list_id, n.embedding, n.nrm
+  FROM assigned a JOIN norms n ON n.vec_id = a.vec_id
+  WHERE a.vec_id % {SEMDECON_MOD} <> 0
+)
+SELECT vec_id, bench_id, list_id, cosine FROM (
+  SELECT c.vec_id, b.bench_id, c.list_id,
+         round(
+           (SELECT SUM(CAST(c.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) AS t(i))
+           / (c.nrm * b.nrm), 6) AS cosine
+  FROM corp c JOIN bench b USING (list_id)
+)
+WHERE cosine >= {SEMDECON_TAU}
+ORDER BY vec_id, bench_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #233 BPE merge-pair induction — the tokenizer-TRAINING step behind
+# the fertility audit (#212) and vocab induction (#77): Sennrich et
+# al. 2016's algorithm, run for a fixed number of rounds. The corpus
+# collapses to its word-frequency tier ONCE (one distributed token
+# count — the only corpus-scale stage), capped at the BPE_VOCAB most
+# frequent words (count DESC, word ASC — engine-identical), each word
+# spelled as a space-separated symbol string. Per round: count
+# adjacent symbol pairs weighted by word frequency (a tiny distributed
+# aggregate over the ≤BPE_VOCAB-row tier), take the arg-max pair
+# (count DESC, left ASC, right ASC — ONE collected row per round, the
+# bounded convergence-scalar class the graph loops use), and apply the
+# merge with two literal-replace passes (replace consumes the shared
+# separator space, so pass two catches the occurrences pass one's
+# consumption split — verified equivalent to greedy left-to-right BPE
+# application in both engines). The oracle unrolls the exact rounds as
+# a CTE chain (LPA/k-core's discipline). Rounds on a capped tier are
+# O(rounds · vocab) regardless of corpus size: 100 TB-safe.
+
+BPE_VOCAB = 200
+BPE_ROUNDS = 6
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text.words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(BPE_VOCAB)
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)  # ≤ BPE_VOCAB rows by construction
+    )
+    _pairs_expr = (
+        "explode(transform("
+        "slice(split(trim(syms), ' '), 1, size(split(trim(syms), ' ')) - 1),"
+        " (x, i) -> struct(x AS ls, split(trim(syms), ' ')[i + 1] AS rs)))"
+    )
+    out_rows: list[tuple] = []
+    cur = vocab
+    for rnd in range(1, BPE_ROUNDS + 1):
+        best = (
+            cur.select(F.expr(_pairs_expr).alias("p"), "cnt")
+            .select("p.ls", "p.rs", "cnt")
+            .groupBy("ls", "rs")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "ls", "rs")
+            .limit(1)
+            .collect()  # bounded: ONE argmax row per round
+        )
+        if not best:
+            break
+        ls, rs, c = best[0].ls, best[0].rs, int(best[0].pair_count)
+        out_rows.append((rnd, ls, rs, ls + rs, c))
+        pat, rep = f" {ls} {rs} ", f" {ls}{rs} "
+        cur = cur.select(
+            F.replace(
+                F.replace(F.col("syms"), F.lit(pat), F.lit(rep)),
+                F.lit(pat),
+                F.lit(rep),
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=False)  # truncate per-round lineage
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_round")
+
+
+def _bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled-round oracle (LPA/k-core's discipline): each round's
+    pair count, arg-max merge and two-pass replace as explicit CTEs —
+    a pure function of the documents table that replays the Spark
+    loop's exact tie-breaks."""
+    parts = [
+        f"""toks AS (
+  SELECT tok, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split({NORM_SQL}, ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+),
+vocab1 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS syms, cnt
+  FROM toks ORDER BY cnt DESC, tok LIMIT {BPE_VOCAB}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""pairs{r} AS (
+  SELECT v.s[i] AS ls, v.s[i + 1] AS rs, v.cnt
+  FROM (SELECT string_split(trim(syms), ' ') AS s, cnt FROM vocab{r}) v,
+       unnest(generate_series(1, len(v.s) - 1)) t(i)
+),
+best{r} AS (
+  SELECT ls, rs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM pairs{r} GROUP BY 1, 2
+  ORDER BY pair_count DESC, ls, rs LIMIT 1
+),
+vocab{r + 1} AS MATERIALIZED (
+  SELECT replace(replace(v.syms,
+                         ' ' || b.ls || ' ' || b.rs || ' ',
+                         ' ' || b.ls || b.rs || ' '),
+                 ' ' || b.ls || ' ' || b.rs || ' ',
+                 ' ' || b.ls || b.rs || ' ') AS syms, v.cnt
+  FROM vocab{r} v CROSS JOIN best{r} b
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, ls AS left_sym, rs AS right_sym, "
+        f"ls || rs AS merged, pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM (\n{selects}\n) ORDER BY merge_round"
+    )
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()
+
+
+# ---------------------------------------------------------------------------
+# #234 inference-reranked retrieval: the standard two-stage serving
+# stack — cheap first-stage retrieval (the #210 RRF fusion of BM25 +
+# dense) feeding an expensive cross-encoder re-rank (Nogueira & Cho
+# 2019), with #85's Arrow-batched scorer playing the cross-encoder
+# (deterministic md5 fake — the SQL oracle replays it bit-for-bit, so
+# the mapInPandas plumbing is value-verified). The model only ever
+# sees the fused ≤RRF_TOP_N-row pool — join-pruned BEFORE inference,
+# so the re-rank stage costs O(top-N), not O(corpus), at any scale.
+
+
+def rerank_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumes the fused #210 list, itself served from the shared
+    _shared_bm25_tier( and _shared_dense_topk( memos (warm-memo bench
+    accounting rides those consumer lists). The two unpartitioned rank
+    windows run over the same ≤RRF_TOP_N-row frame (hybrid_rrf's
+    bounded-frame proof)."""
+    from pyspark.sql import Window
+
+    from ..operators import inference
+
+    fused = hybrid_rrf(spark, sf_dir).select("doc_id", "rrf_score")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pool = fused.join(docs, "doc_id")  # ≤ RRF_TOP_N rows after the join
+    scored = inference.score_documents(pool).select(
+        "doc_id", F.col("score").alias("ce_score")
+    )
+    both = fused.join(scored, "doc_id")
+    w_rrf = Window.orderBy(F.desc("rrf_score"), "doc_id")  # ≤N-row frame
+    w_ce = Window.orderBy(F.desc("ce_score"), "doc_id")  # ≤N-row frame
+    return (
+        both.withColumn("rrf_rank", F.row_number().over(w_rrf))
+        .withColumn("ce_rank", F.row_number().over(w_ce))
+        .select(
+            "doc_id",
+            "rrf_rank",
+            "ce_rank",
+            (F.col("rrf_rank") - F.col("ce_rank")).alias("rank_shift"),
+            "ce_score",
+        )
+        .orderBy("ce_rank")
+    )
+
+
+# the fake cross-encoder is MODEL_SCORE_SQL's exact scoring expression
+# (md5-uniform + distinct-token ratio), applied to the fused pool
+RERANK_INFERENCE_SQL = f"""{_RETRIEVAL_BRANCH_CTES},
+fused AS (
+  SELECT COALESCE(s.doc_id, d.d_id) AS doc_id,
+         floor((COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sparse_rank),
+                         CAST(0.0 AS DOUBLE))
+                + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.dense_rank),
+                           CAST(0.0 AS DOUBLE))) * 1e9 + 0.5)
+           / 1e9 AS rrf_score
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.d_id
+  ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP_N}
+),
+scored AS (
+  SELECT f.doc_id, f.rrf_score,
+         round(
+           0.5 * (('0x' || substring(md5(text), 1, 16))::UBIGINT / 18446744073709551616.0)
+           + 0.5 * (CASE WHEN regexp_replace(text, '^\\s+$', '') = '' THEN 0.0
+                         ELSE len(list_distinct(regexp_split_to_array(
+                                  regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''), '\\s+')))
+                              / CAST(len(regexp_split_to_array(
+                                  regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''), '\\s+')) AS DOUBLE)
+                    END), 6) AS ce_score
+  FROM fused f JOIN documents doc ON f.doc_id = doc.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS rrf_rank,
+         CAST(row_number() OVER (ORDER BY ce_score DESC, doc_id) AS INT)
+           AS ce_rank,
+         ce_score
+  FROM scored
+)
+SELECT doc_id, rrf_rank, ce_rank, rrf_rank - ce_rank AS rank_shift, ce_score
+FROM ranked ORDER BY ce_rank
 """

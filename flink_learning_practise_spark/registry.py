@@ -152,6 +152,24 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
+    # ---- round-10 registrations (3 new, per VERDICT r9 ask #3: each
+    # reuses an existing tier so marginal cost is small — semantic
+    # decontamination rides the IVF assignment, BPE merge induction
+    # rides the vocab tier, inference re-ranking rides the fused
+    # BM25+dense top-K). They lead the window as never-driver-checked;
+    # the remaining 47 slots rotate the 36 r5-stale greens first. ----
+    register(
+        "q_decontaminate_semantic",
+        llm.decontaminate_semantic,
+        llm.DECONTAMINATE_SEMANTIC_SQL,
+    )
+    register("q_bpe_merges", llm.bpe_merges, llm.BPE_MERGES_SQL)
+    register(
+        "q_rerank_inference",
+        llm.rerank_inference,
+        llm.RERANK_INFERENCE_SQL,
+    )
+
     # ---- round-9 registrations (10 new: retrieval-quality diagnostics
     # — rank-biased overlap, IVF list balance, embedding dimension
     # health — plus corpus-distribution fits (JS divergence, token

@@ -110,6 +110,10 @@ ARROW_VECTORIZED = {
     # greedy MMR selection — inherently sequential O(K·POOL) recursion
     # over a ≤C(POOL,2)-row bounded sims tier, one Arrow batch (r8)
     "q_mmr_rerank",
+    # Arrow-batched fake cross-encoder over the fused ≤RRF_TOP_N-row
+    # pool — the model stage IS the design (#85's rule), and it only
+    # ever sees the join-pruned top-N, never the corpus (r10)
+    "q_rerank_inference",
 }
 
 
@@ -194,6 +198,10 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # sweep-line cumulative sum over the DISTINCT delta-date tier —
     # calendar-bounded (≤ years×365 + 1 rows at any corpus scale)
     "q_order_backlog",
+    # sparse-branch + two re-rank windows over the fused top-N —
+    # exactly RRF_TOP_N (20) rows by construction (hybrid_rrf's rule:
+    # the LIMIT sits under every window)
+    "q_rerank_inference",
 }
 
 
