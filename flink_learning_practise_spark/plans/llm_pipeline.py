@@ -5187,16 +5187,19 @@ ORDER BY vec_id, bench_id
 # collapses to its word-frequency tier ONCE (one distributed token
 # count — the only corpus-scale stage), capped at the BPE_VOCAB most
 # frequent words (count DESC, word ASC — engine-identical), each word
-# spelled as a space-separated symbol string. Per round: count
-# adjacent symbol pairs weighted by word frequency (a tiny distributed
-# aggregate over the ≤BPE_VOCAB-row tier), take the arg-max pair
-# (count DESC, left ASC, right ASC — ONE collected row per round, the
-# bounded convergence-scalar class the graph loops use), and apply the
-# merge with two literal-replace passes (replace consumes the shared
-# separator space, so pass two catches the occurrences pass one's
-# consumption split — verified equivalent to greedy left-to-right BPE
-# application in both engines). The oracle unrolls the exact rounds as
-# a CTE chain (LPA/k-core's discipline). Rounds on a capped tier are
+# spelled as a TWO-space-separated symbol string wrapped in single
+# spaces. Per round: count adjacent symbol pairs weighted by word
+# frequency (a tiny distributed aggregate over the ≤BPE_VOCAB-row
+# tier), take the arg-max pair (count DESC, left ASC, right ASC — ONE
+# collected row per round, the bounded convergence-scalar class the
+# graph loops use), and apply the merge with ONE literal replace of
+# " l  r " by " lr ": the pattern consumes only one space of each
+# shared two-space separator, so the next occurrence's anchor
+# survives and a single left-to-right non-overlapping replace IS
+# exactly the canonical greedy merge (a naive single-space pattern
+# mis-groups same-symbol runs ≥ 5 — property-tested exhaustively in
+# tests/test_round10.py). The oracle unrolls the exact rounds as a
+# CTE chain (LPA/k-core's discipline). Rounds on a capped tier are
 # O(rounds · vocab) regardless of corpus size: 100 TB-safe.
 
 BPE_VOCAB = 200
@@ -5215,16 +5218,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_VOCAB)
         .select(
             F.concat(
-                F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+                F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1  ")
             ).alias("syms"),
             "cnt",
         )
         .localCheckpoint(eager=True)  # ≤ BPE_VOCAB rows by construction
     )
+    _arr = "filter(split(trim(syms), ' '), x -> x != '')"
     _pairs_expr = (
-        "explode(transform("
-        "slice(split(trim(syms), ' '), 1, size(split(trim(syms), ' ')) - 1),"
-        " (x, i) -> struct(x AS ls, split(trim(syms), ' ')[i + 1] AS rs)))"
+        f"explode(transform(slice({_arr}, 1, size({_arr}) - 1),"
+        f" (x, i) -> struct(x AS ls, {_arr}[i + 1] AS rs)))"
     )
     out_rows: list[tuple] = []
     cur = vocab
@@ -5242,12 +5245,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         ls, rs, c = best[0].ls, best[0].rs, int(best[0].pair_count)
         out_rows.append((rnd, ls, rs, ls + rs, c))
-        pat, rep = f" {ls} {rs} ", f" {ls}{rs} "
+        # anchored single-pass greedy merge (see the design note above)
         cur = cur.select(
             F.replace(
-                F.replace(F.col("syms"), F.lit(pat), F.lit(rep)),
-                F.lit(pat),
-                F.lit(rep),
+                F.col("syms"), F.lit(f" {ls}  {rs} "), F.lit(f" {ls}{rs} ")
             ).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=False)  # truncate per-round lineage
@@ -5260,9 +5261,9 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
     """Unrolled-round oracle (LPA/k-core's discipline): each round's
-    pair count, arg-max merge and two-pass replace as explicit CTEs —
-    a pure function of the documents table that replays the Spark
-    loop's exact tie-breaks."""
+    pair count, arg-max merge and anchored single-pass replace as
+    explicit CTEs — a pure function of the documents table that
+    replays the Spark loop's exact tie-breaks."""
     parts = [
         f"""toks AS (
   SELECT tok, COUNT(*) AS cnt FROM (
@@ -5270,7 +5271,7 @@ def _bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
   ) WHERE tok <> '' GROUP BY tok
 ),
 vocab1 AS MATERIALIZED (
-  SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS syms, cnt
+  SELECT ' ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS syms, cnt
   FROM toks ORDER BY cnt DESC, tok LIMIT {BPE_VOCAB}
 )"""
     ]
@@ -5278,7 +5279,9 @@ vocab1 AS MATERIALIZED (
         parts.append(
             f"""pairs{r} AS (
   SELECT v.s[i] AS ls, v.s[i + 1] AS rs, v.cnt
-  FROM (SELECT string_split(trim(syms), ' ') AS s, cnt FROM vocab{r}) v,
+  FROM (SELECT list_filter(string_split(trim(syms), ' '),
+                           x -> x <> '') AS s, cnt
+        FROM vocab{r}) v,
        unnest(generate_series(1, len(v.s) - 1)) t(i)
 ),
 best{r} AS (
@@ -5287,10 +5290,8 @@ best{r} AS (
   ORDER BY pair_count DESC, ls, rs LIMIT 1
 ),
 vocab{r + 1} AS MATERIALIZED (
-  SELECT replace(replace(v.syms,
-                         ' ' || b.ls || ' ' || b.rs || ' ',
-                         ' ' || b.ls || b.rs || ' '),
-                 ' ' || b.ls || ' ' || b.rs || ' ',
+  SELECT replace(v.syms,
+                 ' ' || b.ls || '  ' || b.rs || ' ',
                  ' ' || b.ls || b.rs || ' ') AS syms, v.cnt
   FROM vocab{r} v CROSS JOIN best{r} b
 )"""

@@ -50,10 +50,16 @@ def test_ivf_balance_shares_sum_to_one(spark, sf_small):
 def test_js_divergence_bounds_and_symmetric_pairs(spark, sf_small):
     rows = rows_of(spark, sf_small, "q_js_divergence")
     assert rows, "no source pairs"
+    n_sources = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    # r10 contract: EVERY unordered pair appears — zero-overlap pairs
+    # carry JS = ln 2 instead of vanishing (advice r9)
+    assert len(rows) == n_sources * (n_sources - 1) // 2
     for r in rows:
         assert r.source_a < r.source_b  # each unordered pair once
         assert -1e-6 <= r.js_nats <= math.log(2) + 1e-6
-        assert r.n_shared_tokens > 0
+        assert r.n_shared_tokens >= 0
+        if r.n_shared_tokens == 0:
+            assert r.js_nats == 0.693147
 
 
 def test_token_entropy_band_partition(spark, sf_small):
