@@ -972,6 +972,90 @@ def stream_hybrid_rrf(
 
 
 # ---------------------------------------------------------------------------
+# Streaming inference-reranked retrieval serving (the unbounded twin
+# of #234 plans/llm_pipeline.rerank_inference): the live two-stage
+# serving stack — per micro-batch of queries, the fused hybrid top-k
+# (#210s above) is join-pruned against the corpus text and re-scored
+# by the Arrow-batched cross-encoder (#85's scorer), so the model only
+# ever sees |batch queries| · k rows, never the corpus.
+
+
+def rerank_topk_batch(
+    batch: DataFrame,
+    indexes: HybridIndexes,
+    texts: DataFrame,
+    k: int = 20,
+    rrf_k: int = 60,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """foreachBatch companion: re-ranked top-k per query in the batch.
+
+    ``texts`` is the (doc_id, text) corpus frame — passed lazily (the
+    join prunes it to the fused pool; no checkpoint needed, Catalyst
+    pushes the column pruning to the scan). The cross-encoder score is
+    a pure function of the text, so docs shared by several queries'
+    lists are scored ONCE (distinct doc_id before inference) and the
+    scores fan back out through the join. Mirrors the batch #234
+    numerics exactly (fused_rank IS rrf_rank: both are row_number over
+    (rrf_score DESC, doc_id)), so a single-query stream reproduces
+    q_rerank_inference bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    from ..operators import inference
+
+    fused = hybrid_topk_batch(
+        batch, indexes, k=k, rrf_k=rrf_k, query_id=query_id
+    )
+    pool_docs = fused.select("doc_id").distinct().join(texts, "doc_id")
+    ce = inference.score_documents(pool_docs).select(
+        "doc_id", F.col("score").alias("ce_score")
+    )
+    both = fused.join(ce, "doc_id")
+    cw = W.partitionBy(query_id).orderBy(F.desc("ce_score"), F.asc("doc_id"))
+    return (
+        both.withColumn("ce_rank", F.row_number().over(cw))
+        .select(
+            query_id,
+            "doc_id",
+            F.col("fused_rank").alias("rrf_rank"),
+            "ce_rank",
+            (F.col("fused_rank") - F.col("ce_rank")).alias("rank_shift"),
+            "ce_score",
+        )
+    )
+
+
+def stream_rerank_serving(
+    queries_stream: DataFrame,
+    indexes: HybridIndexes,
+    texts: DataFrame,
+    sink_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    k: int = 20,
+    rrf_k: int = 60,
+):
+    """Continuous re-ranked retrieval serving: #210s's stream wiring
+    with the cross-encoder stage composed per micro-batch. Stateless —
+    every query completes inside its micro-batch; the retrieval
+    indexes are checkpointed snapshots and the text corpus joins
+    lazily (pruned to the fused pool)."""
+
+    def rerank(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink_fn(
+            rerank_topk_batch(batch, indexes, texts, k=k, rrf_k=rrf_k),
+            batch_id,
+        )
+
+    return (
+        queries_stream.writeStream.foreachBatch(rerank)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming open-order backlog (the unbounded twin of #231
 # plans/order_stats.order_backlog): a live order-lifecycle stream
 # (placed / final-shipment events) folded into the same sweep-line

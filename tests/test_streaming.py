@@ -2207,6 +2207,67 @@ def test_stream_hybrid_rrf_matches_batch(spark, sf_small, tmp_path):
     assert len(got) == llm.RRF_TOP_N
 
 
+def test_stream_rerank_serving_matches_batch(spark, sf_small, tmp_path):
+    """Streaming inference-reranked serving (#234s) must reproduce the
+    batch q_rerank_inference result bit-for-bit for the same fixed
+    query: the fused #210s list re-scored by the deterministic
+    cross-encoder, pruned to the pool before inference."""
+    from flink_learning_practise_spark.datasets import load
+    from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+    docs = load(spark, sf_small, "documents")
+    emb = load(spark, sf_small, "embeddings")
+    indexes = sp.HybridIndexes(docs, emb)
+
+    qvec = (
+        emb.filter(F.col("vec_id") == llm.RRF_QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    qdir = str(tmp_path / "rerank_queries")
+    write_events(
+        qdir,
+        [
+            {
+                "query_id": llm.RRF_QUERY_VEC_ID,
+                "terms": list(llm.BM25_TERMS),
+                "embedding": [float(x) for x in qvec],
+            }
+        ],
+    )
+    stream = file_stream_source(
+        spark,
+        qdir,
+        "query_id BIGINT, terms ARRAY<STRING>, embedding ARRAY<FLOAT>",
+        fmt="json",
+    )
+    got = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = (
+                r["rrf_rank"], r["ce_rank"], r["rank_shift"], r["ce_score"]
+            )
+
+    q = sp.stream_rerank_serving(
+        stream,
+        indexes,
+        docs.select("doc_id", "text"),
+        sink,
+        checkpoint=str(tmp_path / "rerank_ckpt"),
+        k=llm.RRF_TOP_N,
+        rrf_k=llm.RRF_K,
+    ).start()
+    sp.run_until_drained(q)
+
+    expect = {
+        r.doc_id: (r.rrf_rank, r.ce_rank, r.rank_shift, r.ce_score)
+        for r in llm.rerank_inference(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert len(got) == llm.RRF_TOP_N
+
+
 def test_streaming_pack_matches_batch(spark, sf_small, tmp_path):
     """Streaming sequence packing (#71s) must reproduce the batch
     packer's per-pack rollup when docs arrive in doc_id order — state
