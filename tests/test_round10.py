@@ -267,6 +267,43 @@ def test_burstiness_all_zero_gaps_is_defined(spark, tmp_path):
     assert rows["ok"].burstiness == -1.0
 
 
+def test_max_concurrency_counts_midnight_spanning_sessions(spark, tmp_path):
+    """Sibling audit of the backlog carry-in class (advice r9): the
+    other sweep-line query must count a session live at day start.
+    q_max_concurrency is structurally immune — sessions explode per
+    day and clip to day bounds, so the carried level IS an in-day
+    row — and this pins it: user 7's session spans midnight (events
+    23:50 → 00:10, one 20-min-gap session), user 9 is active only on
+    day 2, so day 2 peaks at 2 even though one of the two sessions
+    started the day before."""
+    ts = pd.to_datetime(
+        [
+            "2024-03-01 23:50:00",
+            "2024-03-02 00:10:00",  # same session (gap 20 min < 30)
+            "2024-03-02 00:05:00",
+        ]
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 9],
+            "event_type": ["a", "a", "a"],
+            "ts": ts,
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}"] * 3,
+        }
+    ).astype({"ts": "datetime64[us]"})
+    d = _synthetic_dir(tmp_path, {"events": events})
+    rows = {
+        r.day.isoformat(): r.max_concurrency
+        for r in _parity_rows(spark, "q_max_concurrency", d)
+    }
+    assert rows["2024-03-01"] == 1
+    assert rows["2024-03-02"] == 2, (
+        "midnight-spanning session lost at the day boundary"
+    )
+
+
 def test_token_js_batch_matches_batch_constant():
     assert abs(
         0.693147 - math.floor(math.log(2) * 1e6 + 0.5) / 1e6
