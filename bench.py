@@ -23,6 +23,18 @@ query together.  Instead:
    inflates one pass, not both.
 3. The reported per-query time is the MIN across passes; queries whose
    samples disagree by >50% get one extra targeted sample.
+3b. (round 10) Before each pass a QUIET GATE samples whole-box busy
+   from /proc/stat and waits — bounded by one shared 90 s budget per
+   run, so the driver can never hang — for external busy to fall
+   under 10%; the observed samples + waits are recorded in the
+   evidence (``quiet_gates``). NOTE: the whole-run ``cpu_busy_frac``
+   includes this process's own Spark bursts (~0.14 at sf0.1 on an
+   otherwise idle box) — the gate samples, taken while Spark is idle,
+   are the external-load signal. Tier builds that fail retry once
+   (a transient pass-0 failure must not cost consumers their codegen
+   warm-up); consumers of a tier that failed every pass are recorded
+   in ``skipped`` so bench_compare reports them as skipped, never
+   "removed".
 4. The evidence (per-query sample lists, per-pass wall times, 1-min
    load average before/after each pass, /proc/stat busy-CPU fraction)
    goes to a SIDECAR file ``BENCH_EVIDENCE.json`` next to this script —
