@@ -135,6 +135,65 @@ def _busy_sample(window_sec: float = 1.0) -> float | None:
     return (b[0] - a[0]) / (b[1] - a[1])
 
 
+def cpu_calibration() -> float | None:
+    """Seconds to md5 a fixed 600 MB buffer — a single-core throughput
+    probe for the box itself (round-10 finding: same-code totals
+    drifted 192 → 264 s across one day with quiet gates, free memory
+    and <1% steal, i.e. host-level slowdown invisible to guest
+    counters). Recorded per run so cross-round totals can be
+    NORMALIZED by measured box speed instead of argued about.
+    ~1.1 s on this box at reference speed."""
+    import hashlib
+
+    try:
+        buf = b"\x00" * (1 << 20)
+        h = hashlib.md5()
+        t0 = time.perf_counter()
+        for _ in range(600):
+            h.update(buf)
+        return round(time.perf_counter() - t0, 3)
+    except MemoryError:  # pragma: no cover - calibration is best-effort
+        return None
+
+
+def disk_calibration() -> float | None:
+    """Seconds to write + fsync 64 MB to the Spark-local filesystem —
+    the checkpoint/shuffle-spill path rides this device, and on a
+    shared virtual disk a co-tenant's I/O shows up here long before it
+    shows in CPU counters. ~0.16 s at reference speed."""
+    path = "/tmp/_bench_calib_disk"
+    try:
+        buf = os.urandom(1 << 20)
+        t0 = time.perf_counter()
+        with open(path, "wb") as f:
+            for _ in range(64):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        return round(time.perf_counter() - t0, 3)
+    except OSError:  # pragma: no cover - calibration is best-effort
+        return None
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def spark_calibration(spark) -> float | None:
+    """Seconds for a fixed all-core JVM aggregate (range 50M × sum) —
+    the multi-core/JVM companion of :func:`cpu_calibration`, closer to
+    what actually slows the suite down. Run AFTER codegen warm-up."""
+    try:
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 2) AS s"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+    except Exception:  # pragma: no cover - best-effort  # noqa: BLE001
+        return None
+
+
 def quiet_gate(budget: list[float], threshold: float = QUIET_BUSY) -> dict:
     """Bounded wait for external CPU busy to fall under ``threshold``.
 
@@ -181,6 +240,12 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
+    # Box-speed probes (see the calibration docstrings): the spark one
+    # runs twice, first to pay its own codegen, second measured.
+    calib_py = cpu_calibration()
+    calib_disk = disk_calibration()
+    spark_calibration(spark)
+    calib_spark = spark_calibration(spark)
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -318,6 +383,9 @@ def main() -> None:
         # by QUIET_WAIT_MAX across the whole run)
         "quiet_gates": gates,
         "quiet_busy_threshold": QUIET_BUSY,
+        "calib_py_sec": calib_py,  # fixed single-core md5 workload
+        "calib_disk_sec": calib_disk,  # fixed 64 MB write+fsync
+        "calib_spark_sec": calib_spark,  # fixed 32-core JVM aggregate
         "errors": errors,  # queries that threw (excluded from timings)
         "skipped": skipped,  # no samples, no own error (failed tier)
         "skipped_by_pass": skipped_by_pass,
@@ -367,6 +435,9 @@ def append_history(evidence: dict) -> None:
         "loadavg_1m": evidence.get("loadavg_1m"),
         "cpu_busy_frac": evidence.get("cpu_busy_frac"),
         "skipped": evidence.get("skipped"),
+        "calib_py_sec": evidence.get("calib_py_sec"),
+        "calib_disk_sec": evidence.get("calib_disk_sec"),
+        "calib_spark_sec": evidence.get("calib_spark_sec"),
         "tier_build_sec": {
             t: v.get("build_sec")
             for t, v in evidence.get("shared_tiers", {}).items()
