@@ -132,6 +132,15 @@ def main() -> None:
           f"(busy {base_busy}), "
           f"head total {head['total_sec']:.1f}s "
           f"(busy {head.get('cpu_busy_frac')})")
+    # box-speed context (r10): a slower spark/disk probe explains a
+    # slower total without any plan change — check before blaming code
+    calib = {k: head.get(k) for k in
+             ("calib_py_sec", "calib_disk_sec", "calib_spark_sec")}
+    if any(v is not None for v in calib.values()):
+        print(f"# head box probes: py {calib['calib_py_sec']}s "
+              f"(ref ~1.07), disk {calib['calib_disk_sec']}s "
+              f"(ref ~0.16), spark {calib['calib_spark_sec']}s "
+              f"(ref ~0.76)")
     th = head.get("tier_build_sec") or {}
     for t in sorted(set(tb) | set(th)):
         print(f"# tier {t}: {tb.get(t)} -> {th.get(t)}")
