@@ -35,6 +35,17 @@ query together.  Instead:
    warm-up); consumers of a tier that failed every pass are recorded
    in ``skipped`` so bench_compare reports them as skipped, never
    "removed".
+3c. (round 11, VERDICT r10 ask #1) The three box-speed calibration
+   probes (md5 / fsync / 32-core Spark aggregate) run once PER PASS,
+   right after that pass's quiet gate — a single per-run sample could
+   read "fast box" while the measured passes hit the slow window
+   (r10: calib_spark 0.28 s on the round's slowest total).  Each
+   query sample is then normalized by ITS OWN pass's spark-probe
+   ratio (sample × ref/probe) and ``total_norm_sec`` — the sum of
+   per-query normalized mins + normalized tier builds — lands in the
+   evidence and history next to the raw total, so cross-round
+   comparisons can quote a box-speed-adjusted number instead of
+   arguing about host drift.
 4. The evidence (per-query sample lists, per-pass wall times, 1-min
    load average before/after each pass, /proc/stat busy-CPU fraction)
    goes to a SIDECAR file ``BENCH_EVIDENCE.json`` next to this script —
@@ -79,6 +90,25 @@ QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "90"))
 # Hard cap on the serialized stdout line (driver tail-captures ~2,000
 # chars); test_bench_contract.py asserts compact_line() stays under it.
 STDOUT_LINE_MAX = 1800
+
+# Reference box-speed probe values (seconds), measured on this box at
+# its fastest observed state — the anchors the per-pass normalization
+# scales against. These are CONSTANTS of the comparison, not of the
+# hardware: changing them rescales every normalized total identically,
+# so cross-round ratios are unaffected. NOTE the spark anchor is the
+# warm-JIT floor (min-of-3 sampling, r11): the r10 single-sample probe
+# read 0.76 s typically but 0.25-0.28 s once C2-compiled — the
+# bimodality was JIT state, not box speed, which is why probes are now
+# min-of-N per pass.
+CALIB_REF = {"py": 1.07, "disk": 0.13, "spark": 0.25}
+
+
+def _probe_min(probes: list[dict], key: str) -> float | None:
+    """Best (min) probe value across passes — the box's demonstrated
+    top speed this run; kept under the r10 field names so older
+    bench_compare/history readers keep working."""
+    vals = [p.get(key) for p in probes if p.get(key) is not None]
+    return min(vals) if vals else None
 
 
 def compact_line(timings: dict[str, float], sf: float | None,
@@ -199,14 +229,24 @@ def quiet_gate(budget: list[float], threshold: float = QUIET_BUSY) -> dict:
 
     ``budget`` is a one-element mutable wait budget (seconds) shared by
     every gate in the run — the TOTAL added wall time is capped at
-    QUIET_WAIT_MAX regardless of pass count, so the driver can never
-    hang on a permanently-busy box.  Returns the observed busy samples
-    + seconds waited for the evidence sidecar."""
+    QUIET_WAIT_MAX regardless of pass count (plus one 1 s signal
+    sample per pass, which runs even on a spent budget so the evidence
+    always carries a load reading), so the driver can never hang on a
+    permanently-busy box.  Sleeps AND re-check sampling windows both
+    draw down the budget (advice r10: the 1 s samples were uncounted,
+    so the stated 90 s cap understated worst-case added wall time by
+    ~19 s).  Returns the observed busy samples + seconds waited for
+    the evidence sidecar."""
     waited = 0.0
     hist: list[float | None] = []
     while True:
         s = _busy_sample()
         hist.append(None if s is None else round(s, 3))
+        if len(hist) > 1:
+            # every sample after the per-pass signal sample is part of
+            # the wait loop — charge its 1 s window to the shared budget
+            waited += 1.0
+            budget[0] -= 1.0
         if s is None or s <= threshold or budget[0] <= 0:
             break
         step = min(5.0, budget[0])
@@ -240,12 +280,27 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
-    # Box-speed probes (see the calibration docstrings): the spark one
-    # runs twice, first to pay its own codegen, second measured.
-    calib_py = cpu_calibration()
-    calib_disk = disk_calibration()
+    # Pay the spark probe's own codegen once so every per-pass probe
+    # below measures steady-state JVM throughput, not Janino.
     spark_calibration(spark)
-    calib_spark = spark_calibration(spark)
+
+    def probe_triple() -> dict:
+        """One box-speed reading of each probe (see the calibration
+        docstrings). Run per PASS (VERDICT r10 ask #1): a single
+        per-run sample can read "fast box" while the measured passes
+        hit the slow window. The spark probe is min-of-3 and disk
+        min-of-2 — the r10 single samples were bimodal (spark 1.35 s
+        then 0.25 s within one run: JIT state, not box speed), and a
+        normalizer needs the pass's demonstrated BEST capacity."""
+        spark_s = [spark_calibration(spark) for _ in range(3)]
+        disk_s = [disk_calibration() for _ in range(2)]
+        spark_s = [v for v in spark_s if v is not None]
+        disk_s = [v for v in disk_s if v is not None]
+        return {
+            "py": cpu_calibration(),
+            "disk": min(disk_s) if disk_s else None,
+            "spark": min(spark_s) if spark_s else None,
+        }
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -255,6 +310,7 @@ def main() -> None:
 
     names = list(qs)
     samples: dict[str, list[float]] = {n: [] for n in names}
+    sample_pass: dict[str, list[int]] = {n: [] for n in names}
     pass_wall: list[float] = []
     load_points: list[float | None] = [_loadavg()]
     ticks0 = _cpu_ticks()
@@ -263,11 +319,14 @@ def main() -> None:
 
     tiers = shared_tiers()
     tier_build_samples: dict[str, list[float]] = {t: [] for t in tiers}
+    tier_build_pass: dict[str, list[int]] = {t: [] for t in tiers}
     quiet_budget = [QUIET_WAIT_MAX]  # shared across every gate
     gates: list[dict] = []
+    probes_per_pass: list[dict] = []
     skipped_by_pass: dict[int, list[str]] = {}
     for p in range(PASSES + 1):  # pass 0 = compile warm-up, discarded
         gates.append(quiet_gate(quiet_budget))
+        probes_per_pass.append(probe_triple())
         # re-pay every shared-tier build each pass, each timed as its
         # OWN line (r5 verdict ask): before the reset-per-pass +
         # explicit builds, checkpoint costs landed on whichever
@@ -301,6 +360,7 @@ def main() -> None:
                     continue
             if p > 0:
                 tier_build_samples[tname].append(time.perf_counter() - tb0)
+                tier_build_pass[tname].append(p)
         if cold_memo:
             skipped_by_pass[p] = sorted(cold_memo)
         t0 = time.perf_counter()
@@ -316,6 +376,7 @@ def main() -> None:
                 continue
             if p > 0:
                 samples[n].append(t)
+                sample_pass[n].append(p)
         pass_wall.append(round(time.perf_counter() - t0, 2))
         load_points.append(_loadavg())
 
@@ -327,6 +388,10 @@ def main() -> None:
         n for n in names if n not in samples and n not in errors
     )
     # Targeted re-sample for unstable queries (skip sub-0.3s noise floor).
+    # The extra samples land outside the pass loop, so they get their
+    # own probe triple (appended as the last probes_per_pass entry) for
+    # the per-pass normalization below.
+    extra_probe_idx: int | None = None
     for n, s in samples.items():
         if min(s) >= 0.3 and (max(s) - min(s)) / min(s) > SPREAD_RERUN:
             # a failed EXTRA sample is dropped silently: the query has
@@ -347,10 +412,14 @@ def main() -> None:
                         break
             if rewarm_failed:
                 continue
+            if extra_probe_idx is None:
+                probes_per_pass.append(probe_triple())
+                extra_probe_idx = len(probes_per_pass) - 1
             try:
                 s.append(run_once(n))
             except Exception:  # noqa: BLE001
-                pass
+                continue
+            sample_pass[n].append(extra_probe_idx)
 
     ticks1 = _cpu_ticks()
     busy_frac = None
@@ -366,6 +435,34 @@ def main() -> None:
         t: (round(min(s), 4) if s else None)
         for t, s in tier_build_samples.items()
     }
+
+    # Probe-normalized timings (VERDICT r10 ask #1): scale every sample
+    # by ITS OWN pass's spark-probe ratio (ref/observed) — the suite is
+    # Spark-bound, so the 32-core JVM probe is the speed proxy — then
+    # min across passes. The ratio is clamped to [0.25, 4] so a probe
+    # fluke can never dominate a normalized number.
+    def _ratio(pidx: int) -> float:
+        probe = None
+        if 0 <= pidx < len(probes_per_pass):
+            probe = probes_per_pass[pidx].get("spark")
+        if not probe or probe <= 0:
+            return 1.0
+        return min(4.0, max(0.25, CALIB_REF["spark"] / probe))
+
+    timings_norm = {
+        n: round(min(t * _ratio(pidx)
+                     for t, pidx in zip(s, sample_pass[n])), 4)
+        for n, s in samples.items()
+    }
+    tier_build_norm = {
+        t: (round(min(v * _ratio(pidx)
+                      for v, pidx in zip(s, tier_build_pass[t])), 4)
+            if s else None)
+        for t, s in tier_build_samples.items()
+    }
+    total_norm = round(
+        sum(timings_norm.values())
+        + sum(v or 0.0 for v in tier_build_norm.values()), 4)
     out = compact_line(timings, sf, n_errors=len(errors),
                        extra_sec=sum(v or 0.0 for v in tier_build_sec.values()))
     evidence = {
@@ -383,9 +480,18 @@ def main() -> None:
         # by QUIET_WAIT_MAX across the whole run)
         "quiet_gates": gates,
         "quiet_busy_threshold": QUIET_BUSY,
-        "calib_py_sec": calib_py,  # fixed single-core md5 workload
-        "calib_disk_sec": calib_disk,  # fixed 64 MB write+fsync
-        "calib_spark_sec": calib_spark,  # fixed 32-core JVM aggregate
+        # per-pass box-speed probes (r11: one triple per pass, plus an
+        # extra triple if the targeted re-sample block ran) and the
+        # back-compat mins across counted passes
+        "probes_per_pass": probes_per_pass,
+        "calib_py_sec": _probe_min(probes_per_pass, "py"),
+        "calib_disk_sec": _probe_min(probes_per_pass, "disk"),
+        "calib_spark_sec": _probe_min(probes_per_pass, "spark"),
+        # probe-normalized totals: per-query samples scaled by their own
+        # pass's spark-probe ratio vs CALIB_REF, then min across passes
+        "total_norm_sec": total_norm,
+        "queries_norm": timings_norm,
+        "tier_build_norm": tier_build_norm,
         "errors": errors,  # queries that threw (excluded from timings)
         "skipped": skipped,  # no samples, no own error (failed tier)
         "skipped_by_pass": skipped_by_pass,
@@ -438,6 +544,8 @@ def append_history(evidence: dict) -> None:
         "calib_py_sec": evidence.get("calib_py_sec"),
         "calib_disk_sec": evidence.get("calib_disk_sec"),
         "calib_spark_sec": evidence.get("calib_spark_sec"),
+        "total_norm_sec": evidence.get("total_norm_sec"),
+        "probes_per_pass": evidence.get("probes_per_pass"),
         "tier_build_sec": {
             t: v.get("build_sec")
             for t, v in evidence.get("shared_tiers", {}).items()

@@ -5124,15 +5124,22 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = similarity.assign_to_centroids(
         emb.select("vec_id", "embedding"), vecs, cnorms, keep_norm=True
     )
+    # ragged-array guard (advice r10): a shorter-than-EMB_DIM embedding
+    # yields a NULL zip_with dot here but a PARTIAL generate_series sum
+    # in the oracle — filter both engines to full-dim rows before the
+    # join so short arrays cannot diverge (no-op on the fixed-dim data)
+    full_dim = F.size("embedding") == EMB_DIM
     bench = assigned.filter(
-        F.col("vec_id") % SEMDECON_MOD == 0
+        (F.col("vec_id") % SEMDECON_MOD == 0) & full_dim
     ).select(
         F.col("vec_id").alias("bench_id"),
         "list_id",
         F.col("embedding").alias("b_emb"),
         F.col("norm").alias("b_norm"),
     )
-    corp = assigned.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
+    corp = assigned.filter(
+        (F.col("vec_id") % SEMDECON_MOD != 0) & full_dim
+    ).select(
         "vec_id",
         "list_id",
         F.col("embedding").alias("c_emb"),
@@ -5159,12 +5166,12 @@ WITH {_IVF_ASSIGN_CTES},
 bench AS (
   SELECT a.vec_id AS bench_id, a.list_id, n.embedding, n.nrm
   FROM assigned a JOIN norms n ON n.vec_id = a.vec_id
-  WHERE a.vec_id % {SEMDECON_MOD} = 0
+  WHERE a.vec_id % {SEMDECON_MOD} = 0 AND len(n.embedding) = {EMB_DIM}
 ),
 corp AS (
   SELECT a.vec_id, a.list_id, n.embedding, n.nrm
   FROM assigned a JOIN norms n ON n.vec_id = a.vec_id
-  WHERE a.vec_id % {SEMDECON_MOD} <> 0
+  WHERE a.vec_id % {SEMDECON_MOD} <> 0 AND len(n.embedding) = {EMB_DIM}
 )
 SELECT vec_id, bench_id, list_id, cosine FROM (
   SELECT c.vec_id, b.bench_id, c.list_id,
@@ -5324,8 +5331,10 @@ BPE_MERGES_SQL = _bpe_merges_sql()
 
 def rerank_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumes the fused #210 list, itself served from the shared
-    _shared_bm25_tier( and _shared_dense_topk( memos (warm-memo bench
-    accounting rides those consumer lists). The two unpartitioned rank
+    BM25 / dense retrieval memos — a TRANSITIVE tier consumption,
+    recorded in tests/test_bench_contract._TRANSITIVE_TIER_CONSUMERS
+    so bench's warm-memo accounting sees it (advice r10: this fact
+    must not live in docstring tokens). The two unpartitioned rank
     windows run over the same ≤RRF_TOP_N-row frame (hybrid_rrf's
     bounded-frame proof)."""
     from pyspark.sql import Window

@@ -3562,13 +3562,45 @@ def order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("backlog", 1, 0).over(cw).alias("carry_in"),
         )
     )
+    monthly = stepped.groupBy("month").agg(
+        F.greatest(
+            F.max("backlog"), F.min_by("carry_in", "d")
+        ).alias("peak_backlog"),
+        F.max_by("backlog", "d").alias("eom_backlog"),
+    )
+    # Month densification (advice r10 — the carry-in fix one level up):
+    # a month with a carried backlog but NO delta dates at all (no
+    # order placed or finally shipped) was absent from the output even
+    # though its level is non-zero the whole month — emit it with
+    # peak = eom = the carried level. The month dimension is calendar-
+    # bounded (one row per month of the dataset span), so the sequence
+    # + unpartitioned carry-forward window stay in the bounded-tier
+    # class the date windows above already occupy.
+    bounds = deltas.agg(
+        F.trunc(F.min("d"), "month").alias("mn"),
+        F.trunc(F.max("d"), "month").alias("mx"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 month"))
+        ).alias("month")
+    )
+    mw = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    filled = months.join(monthly, "month", "left").select(
+        "month",
+        "peak_backlog",
+        "eom_backlog",
+        F.last("eom_backlog", ignorenulls=True).over(mw).alias("carry"),
+    )
     return (
-        stepped.groupBy("month")
-        .agg(
-            F.greatest(
-                F.max("backlog"), F.min_by("carry_in", "d")
-            ).alias("peak_backlog"),
-            F.max_by("backlog", "d").alias("eom_backlog"),
+        filled.select(
+            "month",
+            F.coalesce("peak_backlog", "carry")
+            .cast("long")
+            .alias("peak_backlog"),
+            F.coalesce("eom_backlog", "carry")
+            .cast("long")
+            .alias("eom_backlog"),
         )
         .orderBy("month")
     )
@@ -3595,12 +3627,31 @@ stepped AS (
   SELECT CAST(date_trunc('month', d) AS DATE) AS month, d, backlog,
          COALESCE(LAG(backlog) OVER (ORDER BY d), 0) AS carry_in
   FROM cum
+),
+monthly AS (
+  SELECT month,
+         CAST(GREATEST(MAX(backlog), MIN_BY(carry_in, d)) AS BIGINT)
+           AS peak_backlog,
+         CAST(max_by(backlog, d) AS BIGINT) AS eom_backlog
+  FROM stepped
+  GROUP BY 1
+),
+months AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(month) FROM monthly),
+           (SELECT MAX(month) FROM monthly),
+           INTERVAL 1 MONTH)) AS DATE) AS month
+),
+filled AS (
+  SELECT m.month, mo.peak_backlog, mo.eom_backlog,
+         LAST_VALUE(mo.eom_backlog IGNORE NULLS) OVER (
+           ORDER BY m.month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+  FROM months m LEFT JOIN monthly mo USING (month)
 )
 SELECT month,
-       CAST(GREATEST(MAX(backlog), MIN_BY(carry_in, d)) AS BIGINT)
-         AS peak_backlog,
-       CAST(max_by(backlog, d) AS BIGINT) AS eom_backlog
-FROM stepped
-GROUP BY 1
+       CAST(COALESCE(peak_backlog, carry) AS BIGINT) AS peak_backlog,
+       CAST(COALESCE(eom_backlog, carry) AS BIGINT) AS eom_backlog
+FROM filled
 ORDER BY 1
 """

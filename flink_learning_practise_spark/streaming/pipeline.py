@@ -1093,6 +1093,12 @@ def stream_daily_order_deltas(
     )
 
 
+def _next_month(m):
+    """First day of the month after ``m`` (a date on day 1)."""
+    return (m.replace(year=m.year + 1, month=1) if m.month == 12
+            else m.replace(month=m.month + 1))
+
+
 class BacklogSink:
     """foreachBatch fold of finalized daily deltas into the cumulative
     backlog step function — the streaming stand-in for the batch plan's
@@ -1120,17 +1126,25 @@ class BacklogSink:
         seeds from the CARRY-IN level (the running total before the
         month's first delta), matching the batch plan's lag-based
         carry_in: a month whose first delta is negative peaks at the
-        carried level, not at any in-month row."""
+        carried level, not at any in-month row. Months with a carried
+        backlog but no deltas at all are DENSIFIED with
+        peak = eom = carry, matching the batch plan's month
+        densification (advice r10)."""
         out: dict = {}
         prev = 0
+        last_m = None
         for day, _net, backlog in self.rows:
             m = day.replace(day=1)
+            while last_m is not None and _next_month(last_m) < m:
+                last_m = _next_month(last_m)
+                out[last_m] = (prev, prev)  # delta-free month: flat level
             if m in out:
                 peak, _ = out[m]
                 out[m] = (max(peak, backlog), backlog)
             else:
                 out[m] = (max(prev, backlog), backlog)
             prev = backlog
+            last_m = m
         return out
 
 

@@ -50,80 +50,74 @@ def test_bench_main_prints_compact_line_only(monkeypatch):
     assert '"queries": timings' not in src.split("print(json.dumps(out))")[1]
 
 
+def _direct_callers(module, builder: str) -> set[str]:
+    """Module-level functions whose body contains a DIRECT call to
+    ``builder``.  AST-based (advice r10): the earlier regex body scan
+    matched builder tokens inside docstrings, so a consumer could pass
+    the pin by MENTIONING the tier it consumes transitively — and a
+    harmless docstring rewording would then break the derived set."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(module))
+    out = set()
+    for node in tree.body:
+        if not isinstance(node, ast.FunctionDef) or node.name == builder:
+            continue
+        for sub in ast.walk(node):
+            if (isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Name)
+                    and sub.func.id == builder):
+                out.add(node.name)
+                break
+    return out
+
+
+# Consumers that reach a tier THROUGH another plan function (a direct
+# plan-fn call), which the direct-call scan cannot see.  Explicit, not
+# docstring-derived (advice r10): knn_label_purity calls
+# knn_bruteforce; rerank_inference calls hybrid_rrf (which consumes
+# both retrieval tiers).
+_TRANSITIVE_TIER_CONSUMERS = {
+    "_shared_bm25_tier": {"rerank_inference"},
+    "_shared_dense_topk": {"knn_label_purity", "rerank_inference"},
+}
+
+
 def test_pair_tier_consumers_matches_source_and_registry_order():
     """pair_tier_consumers() feeds BENCH_EVIDENCE (cost attribution)
     and the extra-sample re-warm path; round 6 registered three new
     consumers without updating the then-static tuple.  Derive the true
-    consumer set from the plan source (functions whose body calls
-    _shared_pair_tier), pin the static _PAIR_TIER_CONSUMER_FNS to
-    exactly that set, and check the name tuple follows registry order
-    (which self-rotates per round since r8)."""
-    import inspect
-    import re
-
+    consumer set from the plan source (functions whose body directly
+    calls the tier builder, plus the explicit transitive table above),
+    pin the static _*_TIER_CONSUMER_FNS to exactly that set, and check
+    the name tuple follows registry order (which self-rotates per
+    round since r8)."""
     from flink_learning_practise_spark.plans import llm_pipeline as llm
 
-    src = inspect.getsource(llm)
-    callers = set()
-    for m in re.finditer(r"^def (\w+)\(", src, re.M):
-        nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
-        body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
-        if "_shared_pair_tier(" in body and m.group(1) != "_shared_pair_tier":
-            callers.add(m.group(1))
-    assert llm._PAIR_TIER_CONSUMER_FNS == callers, (
-        f"_PAIR_TIER_CONSUMER_FNS drifted: expected {sorted(callers)}"
-    )
     order = list(all_queries().items())
-    want = tuple(
-        name for name, q in order if q.fn.__name__ in callers
-    )
-    assert llm.pair_tier_consumers() == want, (
-        f"pair_tier_consumers() drifted: expected {want}"
-    )
-    # same contract for the BM25 top-N tier (r8)
-    bm25_callers = set()
-    for m in re.finditer(r"^def (\w+)\(", src, re.M):
-        nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
-        body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
-        if "_shared_bm25_tier(" in body and m.group(1) != "_shared_bm25_tier":
-            bm25_callers.add(m.group(1))
-    assert llm._BM25_TIER_CONSUMER_FNS == bm25_callers
-    want_bm25 = tuple(
-        name for name, q in order if q.fn.__name__ in bm25_callers
-    )
-    assert llm.bm25_tier_consumers() == want_bm25
-    # same contract for the dense top-K tier (r9)
-    dense_callers = set()
-    for m in re.finditer(r"^def (\w+)\(", src, re.M):
-        nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
-        body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
-        if "_shared_dense_topk(" in body and m.group(1) != "_shared_dense_topk":
-            dense_callers.add(m.group(1))
-    # knn_label_purity consumes the tier THROUGH knn_bruteforce (a
-    # direct plan-fn call, unlike every other consumer) — the source
-    # scan can't see that indirection, so add it explicitly
-    dense_callers.add("knn_label_purity")
-    assert llm._DENSE_TIER_CONSUMER_FNS == dense_callers
-    want_dense = tuple(
-        name for name, q in order if q.fn.__name__ in dense_callers
-    )
-    assert llm.dense_tier_consumers() == want_dense
-    # same contract for the LSH / IVF top-K tiers (r9)
     for builder, static, getter in (
+        ("_shared_pair_tier", llm._PAIR_TIER_CONSUMER_FNS,
+         llm.pair_tier_consumers),
+        ("_shared_bm25_tier", llm._BM25_TIER_CONSUMER_FNS,
+         llm.bm25_tier_consumers),
+        ("_shared_dense_topk", llm._DENSE_TIER_CONSUMER_FNS,
+         llm.dense_tier_consumers),
         ("_shared_lsh_topk", llm._LSH_TIER_CONSUMER_FNS,
          llm.lsh_tier_consumers),
         ("_shared_ivf_topk", llm._IVF_TIER_CONSUMER_FNS,
          llm.ivf_tier_consumers),
     ):
-        callers_t = set()
-        for m in re.finditer(r"^def (\w+)\(", src, re.M):
-            nxt = re.search(r"^def \w+\(", src[m.end():], re.M)
-            body = src[m.start(): m.end() + (nxt.start() if nxt else len(src))]
-            if f"{builder}(" in body and m.group(1) != builder:
-                callers_t.add(m.group(1))
-        assert static == callers_t, (builder, sorted(callers_t))
-        assert getter() == tuple(
-            name for name, q in order if q.fn.__name__ in callers_t
+        callers = _direct_callers(llm, builder)
+        callers |= _TRANSITIVE_TIER_CONSUMERS.get(builder, set())
+        assert static == callers, (
+            f"{builder} consumer set drifted: expected {sorted(callers)}"
+        )
+        want = tuple(
+            name for name, q in order if q.fn.__name__ in callers
+        )
+        assert getter() == want, (
+            f"{getter.__name__}() drifted: expected {want}"
         )
     assert set(llm.shared_tiers()) == {
         "ppjoin_pair_tier", "bm25_topn_tier", "dense_topk_tier",

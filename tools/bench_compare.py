@@ -112,8 +112,14 @@ def main() -> None:
     if args.envelope:
         prior = runs[: args.head if args.head >= 0 else len(runs) + args.head]
         base_q = min_envelope(prior)
-        base_total = sum(base_q.values())
-        base_label = f"min-envelope of {len(prior)} runs"
+        # total restricted to queries the HEAD run actually has (advice
+        # r10): the union-of-all-prior-queries sum counted since-removed
+        # or renamed queries and overstated the base in the header
+        base_total = sum(
+            v for q, v in base_q.items() if q in head["queries"]
+        )
+        base_label = (f"min-envelope of {len(prior)} runs "
+                      f"(head-queries only)")
         base_busy = None
         tb: dict = {}
         for rec in prior:
@@ -132,15 +138,34 @@ def main() -> None:
           f"(busy {base_busy}), "
           f"head total {head['total_sec']:.1f}s "
           f"(busy {head.get('cpu_busy_frac')})")
+    # probe-normalized totals (VERDICT r10 ask #1): bench.py scales
+    # each sample by its own pass's spark-probe ratio; quote the
+    # normalized head next to the raw one (and the best prior
+    # normalized total when available) so a slow-box run doesn't read
+    # as a code regression
+    head_norm = head.get("total_norm_sec")
+    head_idx = args.head if args.head >= 0 else len(runs) + args.head
+    prior_norms = [r.get("total_norm_sec") for r in runs[:head_idx]
+                   if r.get("total_norm_sec") is not None]
+    if head_norm is not None:
+        best_prior = (f", best prior norm {min(prior_norms):.1f}s"
+                      if prior_norms else "")
+        print(f"# probe-normalized head total {head_norm:.1f}s"
+              f"{best_prior}")
     # box-speed context (r10): a slower spark/disk probe explains a
-    # slower total without any plan change — check before blaming code
+    # slower total without any plan change — check before blaming code.
+    # Since r11 these are mins across the run's per-pass probe triples.
     calib = {k: head.get(k) for k in
              ("calib_py_sec", "calib_disk_sec", "calib_spark_sec")}
     if any(v is not None for v in calib.values()):
-        print(f"# head box probes: py {calib['calib_py_sec']}s "
+        print(f"# head box probes (min/pass): py {calib['calib_py_sec']}s "
               f"(ref ~1.07), disk {calib['calib_disk_sec']}s "
               f"(ref ~0.16), spark {calib['calib_spark_sec']}s "
               f"(ref ~0.76)")
+        ppp = head.get("probes_per_pass")
+        if ppp:
+            spark_pp = [p.get("spark") for p in ppp]
+            print(f"# head spark probe per pass: {spark_pp}")
     th = head.get("tier_build_sec") or {}
     for t in sorted(set(tb) | set(th)):
         print(f"# tier {t}: {tb.get(t)} -> {th.get(t)}")
