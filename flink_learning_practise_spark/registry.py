@@ -152,6 +152,16 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
+    # ---- round-11 registrations (VERDICT r10 asks #3/#4: the BPE
+    # encoder closes the tokenizer train→apply→audit loop by
+    # re-tokenizing the corpus under the trained #233 merge table
+    # (shared tier — the merges are learned once, applied map-side);
+    # IVF-PQ adds the memory-bound product-quantized ANN serving tier
+    # on top of the #43b coarse quantizer. They lead the window as
+    # never-driver-checked; the remaining slots rotate the r6-stale
+    # greens first (ask #2). ----
+    register("q_bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL)
+
     # ---- round-10 registrations (3 new, per VERDICT r9 ask #3: each
     # reuses an existing tier so marginal cost is small — semantic
     # decontamination rides the IVF assignment, BPE merge induction

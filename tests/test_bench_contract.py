@@ -107,6 +107,8 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
          llm.lsh_tier_consumers),
         ("_shared_ivf_topk", llm._IVF_TIER_CONSUMER_FNS,
          llm.ivf_tier_consumers),
+        ("_shared_bpe_merges", llm._BPE_TIER_CONSUMER_FNS,
+         llm.bpe_tier_consumers),
     ):
         callers = _direct_callers(llm, builder)
         callers |= _TRANSITIVE_TIER_CONSUMERS.get(builder, set())
@@ -121,7 +123,7 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
         )
     assert set(llm.shared_tiers()) == {
         "ppjoin_pair_tier", "bm25_topn_tier", "dense_topk_tier",
-        "lsh_topk_tier", "ivf_topk_tier",
+        "lsh_topk_tier", "ivf_topk_tier", "bpe_merges_tier",
     }
 
 

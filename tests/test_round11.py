@@ -181,6 +181,135 @@ def test_quiet_gate_budget_counts_sampling_windows(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# #233b BPE encode (VERDICT r10 ask #3): the engines apply the learned
+# merge table IN TRAINING ORDER, one anchored single-pass replace per
+# merge. That is claimed equivalent to the canonical priority-based
+# BPE encoder (repeatedly merge the lowest-rank pair present,
+# leftmost-first) — a trick the plan and oracle SHARE, so per the r10
+# rule it is property-tested here against an independent
+# implementation that never sees the replace formulation.
+
+
+def _canonical_bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encoder (Sennrich et al. 2016 apply-BPE): start from
+    characters; repeatedly find the EARLIEST-LEARNED merge whose pair
+    occurs in the current symbol sequence and merge its occurrences
+    leftmost-first, one at a time; stop when no merge applies."""
+    syms = list(word)
+    rank = {pair: i for i, pair in enumerate(merges)}
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            return syms
+        _, i = best
+        syms[i: i + 2] = [syms[i] + syms[i + 1]]
+
+
+def _sequential_anchored_encode(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """The engine formulation: spell the word two-space-separated, then
+    ONE left-to-right non-overlapping replace per merge, in training
+    order — exactly what the Spark literal replace chain and the
+    oracle's enc{r} CTE chain execute."""
+    s = " " + "  ".join(word) + " "
+    for l, r in merges:
+        s = s.replace(f" {l}  {r} ", f" {l}{r} ")
+    return s.split()
+
+
+def test_bpe_sequential_apply_equals_canonical_encoder():
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    # adversarial hand cases: same-symbol runs, chained merges whose
+    # outputs feed later merges, merges that can never fire
+    cases = [
+        ("abab", [("a", "b"), ("ab", "ab")]),
+        ("aaaa", [("a", "a"), ("aa", "aa")]),
+        ("aaaaa", [("a", "a"), ("aa", "a")]),
+        ("abcabc", [("b", "c"), ("a", "bc"), ("abc", "abc")]),
+        ("banana", [("a", "n"), ("an", "an"), ("b", "anan")]),
+        ("", [("a", "b")]),
+        ("x", [("a", "b")]),
+        ("abba", [("a", "b"), ("b", "a")]),
+    ]
+    for _ in range(400):
+        word = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 10)))
+        # build a VALID merge table the way training does: each merge's
+        # pair is over symbols that exist at that point
+        symbols = list("abc")
+        merges: list[tuple[str, str]] = []
+        for _m in range(rng.randrange(0, 5)):
+            l, r = rng.choice(symbols), rng.choice(symbols)
+            merges.append((l, r))
+            symbols.append(l + r)
+        cases.append((word, merges))
+    # exhaustive over short {a,b} words with every 2-merge valid table
+    two_merge_tables = []
+    for l1, r1 in itertools.product("ab", repeat=2):
+        syms = ["a", "b", l1 + r1]
+        for l2 in syms:
+            for r2 in syms:
+                two_merge_tables.append([(l1, r1), (l2, r2)])
+    for n in range(0, 6):
+        for w in itertools.product("ab", repeat=n):
+            word = "".join(w)
+            for tbl in two_merge_tables:
+                cases.append((word, tbl))
+    for word, merges in cases:
+        assert _sequential_anchored_encode(word, merges) == \
+            _canonical_bpe_encode(word, merges), (word, merges)
+
+
+def test_bpe_encode_contract(spark, sf_small):
+    """Invariants + a spot-check that the registered query's token
+    counts equal the canonical encoder's on the actual learned table."""
+    from flink_learning_practise_spark.operators import text as optext
+
+    qs = all_queries()
+    rows = qs["q_bpe_encode"].fn(spark, sf_small).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.n_tokens >= r.n_words  # >= one token per word
+        assert r.bpe_fertility >= 1.0
+    merges = [
+        (m.left_sym, m.right_sym)
+        for m in sorted(
+            llm.bpe_merges(spark, sf_small).collect(),
+            key=lambda m: m.merge_round,
+        )
+    ]
+    assert merges, "learned merge table is empty on real data"
+    # recompute one language's totals with the canonical encoder
+    docs = (
+        llm.load(spark, sf_small, "documents")
+        .select("lang", F_explode_words(optext))
+        .collect()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for row in docs:
+        toks = [w for w in row.ws if w != ""]
+        by_lang.setdefault(row.lang, []).append(
+            sum(len(_canonical_bpe_encode(w, merges)) for w in toks)
+        )
+    want = {lang: sum(v) for lang, v in by_lang.items()}
+    got = {r.lang: r.n_tokens for r in rows}
+    assert got == want, "registered encode diverges from canonical BPE"
+
+
+def F_explode_words(optext):
+    from pyspark.sql import functions as F
+
+    return optext.words(F.col("text")).alias("ws")
+
+
+# ---------------------------------------------------------------------------
 # r11 probe-normalization plumbing (VERDICT r10 ask #1)
 
 
