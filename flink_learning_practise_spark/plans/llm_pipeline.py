@@ -356,6 +356,147 @@ FROM ranked WHERE rank <= {KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# #235 IVF-PQ ANN (VERDICT r10 ask #4) — the memory-bound serving tier
+# on top of the #43b coarse quantizer (Jégou, Douze & Schmid 2011,
+# with the FAISS IndexRefineFlat exact-rescore stage): candidates come
+# from the SAME nprobe inverted lists, are ranked from m-subspace
+# product-quantization codes + an exact stored norm (48 bits + a
+# double per vector here vs 256 bytes of floats), and the top-REFINE
+# shortlist is rescored exactly — the standard layout when 100 TB of
+# float embeddings won't fit the serving fleet's memory. Codebooks are
+# the md5-ordered deterministic sample (the ivf_centroids discipline),
+# so the oracle re-derives codebooks, per-subspace code assignments,
+# query LUTs, the quantized candidate scores, the shortlist cut AND
+# the exact rescoring in SQL — encoding, probing and serving are all
+# value-checked end to end. Query LUT entries are micro-quantized so
+# the per-candidate subspace sum is exact-integer (engine-order-
+# independent by construction — the quantize-first rule).
+
+PQ_M = 8  # subspaces (EMB_DIM/PQ_M dims each)
+PQ_KSUB = 64  # codes per subspace → m·log2(ksub) = 48 bits/vector
+PQ_REFINE = 50  # exact-rescore shortlist depth (10× KNN_K)
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_ivfpq(
+        emb,
+        queries,
+        k=KNN_K,
+        nlist=IVF_NLIST,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        refine=PQ_REFINE,
+        dim=EMB_DIM,
+    )
+
+
+def _knn_ivfpq_sql() -> str:
+    sub = EMB_DIM // PQ_M
+    return f"""
+WITH {_IVF_ASSIGN_CTES},
+subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+pqsample AS (
+  SELECT embedding, c AS code_id FROM (
+    SELECT embedding,
+           CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS c
+    FROM norms
+  ) WHERE c <= {PQ_KSUB}
+),
+subcodes AS (
+  SELECT subs.s, p.code_id, p.embedding,
+         (SELECT SUM(CAST(p.embedding[subs.s * {sub} + i] AS DOUBLE)
+                     * CAST(p.embedding[subs.s * {sub} + i] AS DOUBLE))
+          FROM unnest(generate_series(1, {sub})) t(i)) AS n2
+  FROM pqsample p CROSS JOIN subs
+),
+encdist AS (
+  SELECT n.vec_id, sc.s, sc.code_id,
+         sc.n2 - 2 * (SELECT SUM(CAST(n.embedding[sc.s * {sub} + i] AS DOUBLE)
+                                 * CAST(sc.embedding[sc.s * {sub} + i] AS DOUBLE))
+                      FROM unnest(generate_series(1, {sub})) t(i)) AS dist
+  FROM norms n CROSS JOIN subcodes sc
+),
+enc AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT vec_id, s, code_id,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, code_id) AS rn
+    FROM encdist
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT n.vec_id AS query_id, sc.s, sc.code_id,
+         CAST(floor((SELECT SUM(CAST(n.embedding[sc.s * {sub} + i] AS DOUBLE)
+                                * CAST(sc.embedding[sc.s * {sub} + i] AS DOUBLE))
+                     FROM unnest(generate_series(1, {sub})) t(i))
+                    * 1000000 + 0.5) AS BIGINT) AS lut
+  FROM norms n CROSS JOIN subcodes sc
+  WHERE n.vec_id < {KNN_QUERY_MAX_ID}
+),
+probes AS (
+  SELECT vec_id AS query_id, c AS list_id FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM scores WHERE vec_id < {KNN_QUERY_MAX_ID}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+approx AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(l.lut) AS BIGINT) AS dot_micro
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN qlut l ON l.query_id = c.query_id AND l.s = e.s
+             AND l.code_id = e.code_id
+  GROUP BY 1, 2
+),
+pqscored AS (
+  SELECT a.query_id, a.neighbor_id,
+         floor((CAST(a.dot_micro AS DOUBLE) / 1000000.0
+                / (qn.nrm * cn.nrm)) * 1000000 + 0.5) / 1000000 AS cosine_pq
+  FROM approx a
+  JOIN norms qn ON qn.vec_id = a.query_id
+  JOIN norms cn ON cn.vec_id = a.neighbor_id
+),
+pqranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_pq DESC, neighbor_id) AS pq_rank
+  FROM pqscored
+),
+refined AS (
+  SELECT r.query_id, r.neighbor_id,
+         round(
+           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(generate_series(1, {EMB_DIM})) t(i))
+           / (a.nrm * b.nrm), 6) AS cosine
+  FROM pqranked r
+  JOIN norms a ON a.vec_id = r.query_id
+  JOIN norms b ON b.vec_id = r.neighbor_id
+  WHERE r.pq_rank <= {PQ_REFINE}
+),
+finalrank AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM refined
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM finalrank WHERE rank <= {KNN_K}
+"""
+
+
+KNN_IVFPQ_SQL = _knn_ivfpq_sql()
+
+
+# ---------------------------------------------------------------------------
 # #44 language ID
 
 

@@ -161,6 +161,7 @@ def _populate() -> None:
     # never-driver-checked; the remaining slots rotate the r6-stale
     # greens first (ask #2). ----
     register("q_bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL)
+    register("q_knn_ivfpq", llm.knn_ivfpq, llm.KNN_IVFPQ_SQL)
 
     # ---- round-10 registrations (3 new, per VERDICT r9 ask #3: each
     # reuses an existing tier so marginal cost is small — semantic

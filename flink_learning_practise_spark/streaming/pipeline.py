@@ -313,6 +313,80 @@ def stream_semantic_dedup(
     return survivors.drop("list_id", "cos_cent", "norm")
 
 
+def stream_semantic_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.4,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    centroids=None,
+) -> DataFrame:
+    """Streaming twin of #232 ``plans/llm_pipeline.decontaminate_
+    semantic`` (VERDICT r10 ask #5): flag incoming corpus documents
+    whose embedding is within cosine ≥ τ of any held-out BENCHMARK
+    vector, continuously — so eval-set leaks are caught at ingest
+    time, not at the next batch decontamination sweep.
+
+    Same stream-static shape as :func:`stream_semantic_dedup`, with
+    the static side the BENCHMARK suite: fully stateless on the
+    unbounded side (cluster assignment is a map-only expression
+    against inlined centroids; the leak check is a stream-static INNER
+    join on cluster id + the cosine threshold — candidates bounded by
+    cluster size, no watermark, no state). The benchmark side always
+    broadcasts: an eval suite is bounded by construction, never
+    corpus-proportional (the batch query's broadcast-policy
+    exemption). Pass the corpus-derived ``centroids`` to mirror a
+    batch assignment exactly; the default derives them from the
+    benchmark side alone (self-contained, but a different quantizer).
+
+    Both sides filter to full-``dim`` embeddings before the join —
+    the ragged-array guard the batch twin applies (advice r10).
+
+    Returns one row per (stream doc, leaked-against benchmark doc):
+    the stream row's id, ``bench_id``, shared ``list_id``, and the
+    rounded ``cosine`` — the batch query's output shape."""
+    from ..operators.similarity import (
+        assign_to_centroids,
+        dot_expr,
+        ivf_centroids,
+    )
+
+    full_dim = F.size(emb_col) == dim
+    vecs, norms = centroids or ivf_centroids(
+        benchmark, nlist, id_col, emb_col
+    )
+    bench = assign_to_centroids(
+        benchmark.filter(full_dim), vecs, norms, emb_col=emb_col, dim=dim,
+        keep_norm=True,
+    ).select(
+        F.col(id_col).alias("bench_id"),
+        F.col("list_id").alias("_blist"),
+        F.col(emb_col).alias("_bemb"),
+        F.col("norm").alias("_bnorm"),
+    )
+    strm = assign_to_centroids(
+        stream.filter(full_dim), vecs, norms, emb_col=emb_col, dim=dim,
+        keep_norm=True,
+    )
+    cos = F.round(
+        F.expr(dot_expr(emb_col, "_bemb")) / (F.col("norm") * F.col("_bnorm")),
+        6,
+    )
+    return (
+        strm.join(
+            # broadcast-policy-exempt: benchmark suites are bounded by
+            # construction (the batch twin's rule)
+            F.broadcast(bench),
+            F.col("list_id") == F.col("_blist"),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(tau))
+        .select(F.col(id_col), "bench_id", F.col("list_id"), "cosine")
+    )
+
+
 def run_until_drained(query: StreamingQuery) -> None:
     """Deterministic test helper: process everything currently
     available, then stop (bounded sources only)."""

@@ -114,6 +114,11 @@ ARROW_VECTORIZED = {
     # pool — the model stage IS the design (#85's rule), and it only
     # ever sees the join-pruned top-N, never the corpus (r10)
     "q_rerank_inference",
+    # PQ corpus encoding: one Arrow map pass (sequential-over-dims for
+    # bit parity, vectorized over rows) — at m·ksub·subdim = 4096
+    # codebook literals the JVM-expression form costs seconds of
+    # Catalyst latency per run (the r2 unrolled-dot lesson) (r11)
+    "q_knn_ivfpq",
 }
 
 

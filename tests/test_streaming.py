@@ -2551,3 +2551,61 @@ def test_streaming_dim_drift_flags_shifted_dim(spark, tmp_path):
     n_dims, worst, max_z, n_flagged = got[10]
     assert n_dims == 3 and worst == 2 and n_flagged == 1
     assert abs(max_z - 10.0) < 0.01  # +1 shift / sigma 0.1
+
+
+def test_stream_semantic_decontaminate_matches_batch(spark, sf_medium, tmp_path):
+    """#232s (VERDICT r10 ask #5): the streaming decontamination twin,
+    fed the real sf0.001 corpus as a two-drop file stream against the
+    batch twin's benchmark slice and quantizer, must flag EXACTLY the
+    pairs q_decontaminate_semantic reports — bit-for-bit, rounding and
+    tie policy included."""
+    import pyarrow.compute as pc  # noqa: F401
+    import pyarrow.parquet as pq
+
+    from flink_learning_practise_spark.datasets import load
+    from flink_learning_practise_spark.operators.similarity import ivf_centroids
+    from flink_learning_practise_spark.plans import llm_pipeline as llm
+    from flink_learning_practise_spark.registry import all_queries
+
+    batch_rows = {
+        (r.vec_id, r.bench_id, r.list_id, r.cosine)
+        for r in all_queries()["q_decontaminate_semantic"].fn(spark, sf_medium).collect()
+    }
+    assert batch_rows, "batch decontamination found no leaks at sf0.01"
+
+    emb = load(spark, sf_medium, "embeddings")
+    bench_static = emb.filter(F.col("vec_id") % llm.SEMDECON_MOD == 0)
+    cents = ivf_centroids(emb, llm.IVF_NLIST)
+
+    # corpus side as a TWO-drop parquet stream (continuous-ingest shape)
+    t = pq.read_table(os.path.join(sf_medium, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()
+    corpus = t.filter(
+        pc.field("vec_id").isin(  # no %-kernel in this pyarrow build
+            [v for v in ids if v % llm.SEMDECON_MOD != 0]
+        )
+    )
+    src_dir = str(tmp_path / "decon_in")
+    os.makedirs(src_dir, exist_ok=True)
+    half = corpus.num_rows // 2
+    pq.write_table(corpus.slice(0, half), os.path.join(src_dir, "p0.parquet"))
+
+    src = spark.readStream.schema(emb.schema).parquet(src_dir)
+    out = sp.stream_semantic_decontaminate(
+        src, bench_static, tau=llm.SEMDECON_TAU, nlist=llm.IVF_NLIST,
+        dim=llm.EMB_DIM, centroids=cents,
+    )
+    assert out.isStreaming
+    q = memory_sink(out, "decon_out", mode="append").start()
+    q.processAllAvailable()
+    pq.write_table(
+        corpus.slice(half), os.path.join(src_dir, "p1.parquet")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stream_rows = {
+        (r.vec_id, r.bench_id, r.list_id, r.cosine)
+        for r in spark.table("decon_out").collect()
+    }
+    assert stream_rows == batch_rows
