@@ -764,6 +764,8 @@ _PAIR_TIER_CONSUMER_FNS = frozenset({
     "dupgraph_assortativity",
     "dedup_ngram_jaccard",
     "dedup_threshold_sweep",
+    "split_leakage",
+    "dedup_survivors_quality",  # via dedup_clusters (transitive)
 })
 
 
@@ -5725,4 +5727,311 @@ ranked AS (
 )
 SELECT doc_id, rrf_rank, ce_rank, rrf_rank - ce_rank AS rank_shift, ce_score
 FROM ranked ORDER BY ce_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# #237 split-leakage audit: near-dup pairs that CROSS the #52
+# train/val/test split — the "your held-out loss is contaminated"
+# check a training pipeline runs after every re-split. Rides the
+# shared PPJoin pair tier (the pairs already exist; this is one small
+# join against the md5-bucket split assignment), so the audit costs
+# two hash joins on the near-dup pair set — bounded by duplicate
+# density, never corpus² — at any scale. Mean jaccard aggregates
+# through per-pair integer micros (quantize-first), so the cross-
+# engine double-sum order can't flip the hash.
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shared_pair_tier(spark, sf_dir)
+    splits = transforms.assign_split(
+        load(spark, sf_dir, "documents"), "doc_id", seed=SPLIT_SEED
+    ).select("doc_id", "split")
+    a = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    crossed = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("jm"),
+        )
+    )
+    return (
+        crossed.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("jm").alias("sj"),
+        )
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (
+                F.floor(
+                    F.col("sj").cast("double") / F.col("n_pairs") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mean_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5('{SPLIT_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+    FROM documents
+  )
+),
+crossed AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         CAST(floor(j.jaccard * 1000000 + 0.5) AS BIGINT) AS jm
+  FROM jac j
+  JOIN spl sa ON j.id_a = sa.doc_id
+  JOIN spl sb ON j.id_b = sb.doc_id
+  WHERE j.jaccard >= {JACCARD_THRESHOLD} AND sa.split <> sb.split
+)
+SELECT split_lo, split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       floor(CAST(SUM(jm) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS mean_jaccard
+FROM crossed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# #238 quality-aware dedup survivors: per duplicate CLUSTER (the #63
+# transitive components, not #53's pair-greedy rule) keep the document
+# with the highest #45 quality score (ties → smallest doc_id) — real
+# curation keeps the BEST copy, not the lowest-id copy. Rides the
+# shared pair tier through connected_components plus one map-side
+# quality-feature scan; the per-cluster argmax is a window over
+# cluster-sized groups (duplicate-cluster-bounded, never corpus-wide).
+
+
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"),
+                "quality_score")
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_SURVIVORS_QUALITY_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+cluster AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cluster c ON d.doc_id = c.doc_id
+),
+qnorm AS (
+  SELECT doc_id, {NORM_SQL} AS t, string_split({NORM_SQL}, ' ') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct,
+         CAST(len(regexp_extract_all(t, '{text.stopword_regex(text.LANG_STOPWORDS["en"])}')) AS DOUBLE) AS stop
+  FROM qnorm
+),
+q AS (
+  SELECT doc_id,
+         0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
+           + 0.3 * least((stop / n_words) * 5.0, 1.0) AS quality_score
+  FROM feats
+)
+SELECT cluster_id, survivor_id, quality_score FROM (
+  SELECT l.cluster_id, l.doc_id AS survivor_id, q.quality_score,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality_score DESC, l.doc_id) AS rn
+  FROM labeled l JOIN q ON q.doc_id = l.doc_id
+)
+WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# #239 benchmark vocabulary coverage: per source, the share of the
+# held-out benchmark's token TYPES that the source's own vocabulary
+# covers — the cheap "can this feed even express the eval suite"
+# screen run before fine-grained contamination checks (the inverse
+# concern of #72: too LITTLE overlap means a domain-mismatched feed).
+# Map-side token explode, two vocabulary-bounded distinct aggregates,
+# one join on token — never corpus-proportional state. Benchmark
+# convention: doc_id % 97 == 0, the #72/#232 held-out stand-in.
+
+
+def benchmark_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(text.words(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    bench_types = (
+        toks.filter(F.col("doc_id") % SEMDECON_MOD == 0)
+        .select("tok")
+        .distinct()
+    )
+    src_types = (
+        toks.filter(F.col("doc_id") % SEMDECON_MOD != 0)
+        .select("source", "tok")
+        .distinct()
+    )
+    n_bench = bench_types.count()  # one scalar — the denominator
+    covered = (
+        src_types.join(bench_types, "tok")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    )
+    return (
+        covered.select(
+            "source",
+            "n_covered",
+            F.lit(n_bench).cast("long").alias("n_bench_types"),
+            (
+                F.floor(
+                    F.col("n_covered").cast("double") * 1000000 / F.lit(n_bench)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+BENCHMARK_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, tok FROM (
+    SELECT doc_id, source,
+           unnest(string_split({NORM_SQL}, ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+bench_types AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id % {SEMDECON_MOD} = 0
+),
+src_types AS (
+  SELECT DISTINCT source, tok FROM toks WHERE doc_id % {SEMDECON_MOD} <> 0
+),
+n AS (SELECT COUNT(*) AS n_bench FROM bench_types)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_covered,
+       CAST(ANY_VALUE(n.n_bench) AS BIGINT) AS n_bench_types,
+       floor(CAST(COUNT(*) AS DOUBLE) * 1000000 / ANY_VALUE(n.n_bench) + 0.5)
+         / 1e6 AS coverage
+FROM src_types s
+JOIN bench_types b USING (tok)
+CROSS JOIN n
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# #240 cross-lingual near-duplicates: #41's embedding cosine pairs
+# restricted to pairs whose documents carry DIFFERENT lang tags —
+# translated/copied content that no shingle pass can see (zero token
+# overlap across languages) and that a multilingual corpus counts
+# twice if not caught. Rides the same blocked-GEMM pair scorer as
+# #41 plus two map-side dimension joins for the language tags
+# (vec_id ↔ doc_id, the #210 convention).
+
+
+def crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = similarity.cosine_pairs_vectorized(emb, EMBED_THRESHOLD)
+    la = langs.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")
+    )
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "lang_a", "lang_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+CROSSLINGUAL_DUPS_SQL = f"""
+WITH {NORM_CTE},
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({DOT_AB} / (a.nrm * b.nrm), 6) AS cosine
+  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+)
+SELECT s.id_a, s.id_b, da.lang AS lang_a, db.lang AS lang_b, s.cosine
+FROM scored s
+JOIN documents da ON da.doc_id = s.id_a
+JOIN documents db ON db.doc_id = s.id_b
+WHERE s.cosine >= {EMBED_THRESHOLD} AND da.lang <> db.lang
+ORDER BY s.id_a, s.id_b
 """

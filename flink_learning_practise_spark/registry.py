@@ -162,6 +162,25 @@ def _populate() -> None:
     # greens first (ask #2). ----
     register("q_bpe_encode", llm.bpe_encode, llm.BPE_ENCODE_SQL)
     register("q_knn_ivfpq", llm.knn_ivfpq, llm.KNN_IVFPQ_SQL)
+    # curation-audit enrichments (4): split-leakage (pair-tier rider),
+    # quality-aware survivors (clusters + #45 composition), benchmark
+    # vocabulary coverage, cross-lingual embedding near-dups
+    register("q_split_leakage", llm.split_leakage, llm.SPLIT_LEAKAGE_SQL)
+    register(
+        "q_dedup_survivors_quality",
+        llm.dedup_survivors_quality,
+        llm.DEDUP_SURVIVORS_QUALITY_SQL,
+    )
+    register(
+        "q_benchmark_vocab_coverage",
+        llm.benchmark_vocab_coverage,
+        llm.BENCHMARK_VOCAB_COVERAGE_SQL,
+    )
+    register(
+        "q_crosslingual_dups",
+        llm.crosslingual_dups,
+        llm.CROSSLINGUAL_DUPS_SQL,
+    )
 
     # ---- round-10 registrations (3 new, per VERDICT r9 ask #3: each
     # reuses an existing tier so marginal cost is small — semantic
