@@ -327,3 +327,69 @@ def test_probe_min_and_calib_ref_shape():
     assert bench._probe_min([], "py") is None
     assert set(bench.CALIB_REF) == {"py", "disk", "spark"}
     assert all(v > 0 for v in bench.CALIB_REF.values())
+
+
+# ---------------------------------------------------------------------------
+# r11 curation-audit registrations: cross-query consistency contracts
+# (the parity harness checks each against DuckDB; these pin the
+# relationships BETWEEN queries that parity can't see)
+
+
+def test_split_leakage_contract(spark, sf_small):
+    qs = all_queries()
+    rows = qs["q_split_leakage"].fn(spark, sf_small).collect()
+    splits = {"train", "val", "test"}
+    for r in rows:
+        assert r.split_lo in splits and r.split_hi in splits
+        assert r.split_lo < r.split_hi  # normalized pair order
+        assert r.n_pairs >= 1
+        # every counted pair is over the jaccard threshold, so the mean
+        # can't be below it (up to the micro rounding)
+        assert r.mean_jaccard >= llm.JACCARD_THRESHOLD - 1e-6
+        assert r.mean_jaccard <= 1.0
+
+
+def test_dedup_survivors_quality_contract(spark, sf_small):
+    qs = all_queries()
+    surv = qs["q_dedup_survivors_quality"].fn(spark, sf_small).collect()
+    clusters = qs["q_dedup_clusters"].fn(spark, sf_small).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    # exactly one survivor per cluster, and it is a cluster member
+    assert {r.cluster_id for r in surv} == set(by_cluster)
+    assert len(surv) == len(by_cluster)
+    for r in surv:
+        assert r.survivor_id in by_cluster[r.cluster_id]
+    # the survivor really is the quality argmax of its cluster
+    q = {r.doc_id: r.quality_score
+         for r in qs["q_quality_score"].fn(spark, sf_small).collect()}
+    for r in surv:
+        best = max(by_cluster[r.cluster_id],
+                   key=lambda d: (q[d], -d))
+        assert r.survivor_id == best, (r.cluster_id, r.survivor_id, best)
+
+
+def test_benchmark_vocab_coverage_contract(spark, sf_small):
+    rows = all_queries()["q_benchmark_vocab_coverage"].fn(
+        spark, sf_small
+    ).collect()
+    assert rows
+    denoms = {r.n_bench_types for r in rows}
+    assert len(denoms) == 1  # one shared benchmark vocabulary
+    for r in rows:
+        assert 0 <= r.n_covered <= r.n_bench_types
+        assert 0.0 <= r.coverage <= 1.0
+
+
+def test_crosslingual_dups_subset_of_embedding_pairs(spark, sf_small):
+    qs = all_queries()
+    cross = qs["q_crosslingual_dups"].fn(spark, sf_small).collect()
+    allpairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in qs["q_dedup_embedding"].fn(spark, sf_small).collect()
+    }
+    for r in cross:
+        assert r.lang_a != r.lang_b
+        assert r.cosine >= llm.EMBED_THRESHOLD
+        assert allpairs.get((r.id_a, r.id_b)) == r.cosine
