@@ -92,6 +92,9 @@ def test_broadcast_policy_no_hints_on_proportional_tables():
 # accidental Python leak
 ARROW_VECTORIZED = {
     "q_dedup_embedding",
+    # same blocked-GEMM pair scorer as q_dedup_embedding, restricted
+    # to cross-language pairs (r11)
+    "q_crosslingual_dups",
     "q_semantic_dedup",
     "q_model_score",
     "q_heavy_hitters",
