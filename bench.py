@@ -36,7 +36,8 @@ query together.  Instead:
    in ``skipped`` so bench_compare reports them as skipped, never
    "removed".
 3c. (round 11, VERDICT r10 ask #1) The three box-speed calibration
-   probes (md5 / fsync / 32-core Spark aggregate) run once PER PASS,
+   probes (md5 / fsync / 256-task Spark shuffle aggregate) run once
+   PER PASS,
    right after that pass's quiet gate — a single per-run sample could
    read "fast box" while the measured passes hit the slow window
    (r10: calib_spark 0.28 s on the round's slowest total).  Each
@@ -95,12 +96,11 @@ STDOUT_LINE_MAX = 1800
 # its fastest observed state — the anchors the per-pass normalization
 # scales against. These are CONSTANTS of the comparison, not of the
 # hardware: changing them rescales every normalized total identically,
-# so cross-round ratios are unaffected. NOTE the spark anchor is the
-# warm-JIT floor (min-of-3 sampling, r11): the r10 single-sample probe
-# read 0.76 s typically but 0.25-0.28 s once C2-compiled — the
-# bimodality was JIT state, not box speed, which is why probes are now
-# min-of-N per pass.
-CALIB_REF = {"py": 1.07, "disk": 0.13, "spark": 0.25}
+# so cross-round ratios are unaffected. The spark anchor is the best
+# observed value of the r11 256-task shuffle probe (see
+# spark_calibration — the old map-only probe was JIT-bimodal and
+# straggler-dominated, unusable as a normalizer).
+CALIB_REF = {"py": 1.07, "disk": 0.13, "spark": 1.09}
 
 
 def _probe_min(probes: list[dict], key: str) -> float | None:
@@ -190,7 +190,7 @@ def disk_calibration() -> float | None:
     """Seconds to write + fsync 64 MB to the Spark-local filesystem —
     the checkpoint/shuffle-spill path rides this device, and on a
     shared virtual disk a co-tenant's I/O shows up here long before it
-    shows in CPU counters. ~0.16 s at reference speed."""
+    shows in CPU counters. ~0.13 s at reference speed."""
     path = "/tmp/_bench_calib_disk"
     try:
         buf = os.urandom(1 << 20)
@@ -211,14 +211,22 @@ def disk_calibration() -> float | None:
 
 
 def spark_calibration(spark) -> float | None:
-    """Seconds for a fixed all-core JVM aggregate (range 50M × sum) —
-    the multi-core/JVM companion of :func:`cpu_calibration`, closer to
-    what actually slows the suite down. Run AFTER codegen warm-up."""
+    """Seconds for a fixed 256-task shuffle aggregate (range 50M,
+    groupBy id%997, 8 task waves) — the multi-core/JVM+shuffle
+    companion of :func:`cpu_calibration`. Redesigned in r11: the old
+    32-task map-only probe (range 50M × sum) had ~2× sample spread
+    (one straggler task set the wall, and C2 kept re-warming across
+    runs — r10 recorded 0.28 s and 1.35 s on the SAME box state),
+    useless as a normalizer. Many small tasks amortize stragglers and
+    the shuffle exercises the spill/disk path that actually drifted in
+    r10 (+74% spark, +60% disk, CPU flat): measured spread 0.29
+    across 8 samples vs 1.98 for the map-only form. Run AFTER codegen
+    warm-up; ~1.1 s at the box's best state."""
     try:
         t0 = time.perf_counter()
-        spark.range(0, 50_000_000, 1, 32).selectExpr(
-            "sum(id * 2) AS s"
-        ).collect()
+        spark.range(0, 50_000_000, 1, 256).selectExpr(
+            "id % 997 AS k", "id AS v"
+        ).groupBy("k").sum("v").collect()
         return round(time.perf_counter() - t0, 3)
     except Exception:  # pragma: no cover - best-effort  # noqa: BLE001
         return None
@@ -288,11 +296,10 @@ def main() -> None:
         """One box-speed reading of each probe (see the calibration
         docstrings). Run per PASS (VERDICT r10 ask #1): a single
         per-run sample can read "fast box" while the measured passes
-        hit the slow window. The spark probe is min-of-3 and disk
-        min-of-2 — the r10 single samples were bimodal (spark 1.35 s
-        then 0.25 s within one run: JIT state, not box speed), and a
-        normalizer needs the pass's demonstrated BEST capacity."""
-        spark_s = [spark_calibration(spark) for _ in range(3)]
+        hit the slow window. The spark probe is min-of-2 and disk
+        min-of-2 (fsync spikes) — a normalizer needs the pass's
+        demonstrated BEST capacity, not one draw."""
+        spark_s = [spark_calibration(spark) for _ in range(2)]
         disk_s = [disk_calibration() for _ in range(2)]
         spark_s = [v for v in spark_s if v is not None]
         disk_s = [v for v in disk_s if v is not None]
@@ -438,16 +445,22 @@ def main() -> None:
 
     # Probe-normalized timings (VERDICT r10 ask #1): scale every sample
     # by ITS OWN pass's spark-probe ratio (ref/observed) — the suite is
-    # Spark-bound, so the 32-core JVM probe is the speed proxy — then
-    # min across passes. The ratio is clamped to [0.25, 4] so a probe
-    # fluke can never dominate a normalized number.
+    # Spark-bound, so the shuffle probe is the speed proxy — then min
+    # across passes. The ratio is clamped to [0.5, 2]: short queries
+    # are dominated by fixed scheduling overhead that does NOT scale
+    # with box drift, so extrapolating a >2× probe slowdown onto every
+    # sample over-corrects (a 4× clamp produced normalized totals
+    # BELOW the all-time envelope). Beyond the clamp the per-pass
+    # probes in the evidence make the attribution case themselves;
+    # the normalized total is a diagnostic, the raw total + min-
+    # envelope stay the headline pair.
     def _ratio(pidx: int) -> float:
         probe = None
         if 0 <= pidx < len(probes_per_pass):
             probe = probes_per_pass[pidx].get("spark")
         if not probe or probe <= 0:
             return 1.0
-        return min(4.0, max(0.25, CALIB_REF["spark"] / probe))
+        return min(2.0, max(0.5, CALIB_REF["spark"] / probe))
 
     timings_norm = {
         n: round(min(t * _ratio(pidx)

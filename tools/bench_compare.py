@@ -160,8 +160,8 @@ def main() -> None:
     if any(v is not None for v in calib.values()):
         print(f"# head box probes (min/pass): py {calib['calib_py_sec']}s "
               f"(ref ~1.07), disk {calib['calib_disk_sec']}s "
-              f"(ref ~0.16), spark {calib['calib_spark_sec']}s "
-              f"(ref ~0.76)")
+              f"(ref ~0.13), spark {calib['calib_spark_sec']}s "
+              f"(ref ~1.09, r11 256-task shuffle probe)")
         ppp = head.get("probes_per_pass")
         if ppp:
             spark_pp = [p.get("spark") for p in ppp]
