@@ -387,6 +387,60 @@ def stream_semantic_decontaminate(
     )
 
 
+def stream_bpe_encode(
+    stream: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of #235 ``plans/llm_pipeline.bpe_encode``:
+    tokenize documents at INGEST time under a trained BPE merge table
+    — the apply step of the tokenizer loop run continuously, so token
+    counts/budgets are known the moment a document lands instead of at
+    the next batch audit.
+
+    Fully stateless and map-only: the merge table (≤ BPE_ROUNDS rows,
+    bounded by training) is inlined as the same literal anchored-
+    replace chain the batch plan uses — each word is spelled
+    two-space-separated and every merge applies as ONE left-to-right
+    replace in training order (property-tested ≡ the canonical
+    priority encoder in tests/test_round11.py). Adds ``n_words`` and
+    ``n_bpe_tokens`` per document; all original columns ride through.
+    At any scale this is a pure map over the stream — no watermark,
+    no state, no shuffle. Aggregation-free formulation: the per-word
+    encode runs INSIDE an array transform (explode + groupBy would
+    need streaming state) — one row in, one row out."""
+    spelled = (
+        "transform(filter(split(lower(trim(regexp_replace("
+        f"{text_col}, '\\\\s+', ' '))), ' '), x -> x != ''), "
+        "w -> concat(' ', regexp_replace(w, '(.)', '$1  ')))"
+    )
+    chain = spelled
+    for ls, rs in merges:
+        # symbols come from corpus words and may contain quotes —
+        # escape them for the inline SQL literals (the batch twin uses
+        # F.lit, which parameterizes)
+        lq, rq = ls.replace("'", "''"), rs.replace("'", "''")
+        chain = (
+            f"transform({chain}, s -> replace(s, ' {lq}  {rq} ', ' {lq}{rq} '))"
+        )
+    counts = (
+        f"transform({chain}, "
+        "s -> size(filter(split(trim(s), ' '), x -> x != '')))"
+    )
+    return stream.withColumn(
+        "n_words",
+        F.expr(
+            f"CAST(size(filter(split(lower(trim(regexp_replace({text_col}, "
+            "'\\\\s+', ' '))), ' '), x -> x != '')) AS LONG)"
+        ),
+    ).withColumn(
+        "n_bpe_tokens",
+        F.expr(
+            f"CAST(aggregate({counts}, 0L, (a, v) -> a + v) AS LONG)"
+        ),
+    )
+
+
 def run_until_drained(query: StreamingQuery) -> None:
     """Deterministic test helper: process everything currently
     available, then stop (bounded sources only)."""

@@ -2609,3 +2609,60 @@ def test_stream_semantic_decontaminate_matches_batch(spark, sf_medium, tmp_path)
         for r in spark.table("decon_out").collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stream_bpe_encode_matches_canonical(spark, sf_small, tmp_path):
+    """#235s: tokenizing a document stream under the TRAINED merge
+    table (stateless map, no state/shuffle) must count exactly the
+    tokens the canonical priority-based BPE encoder produces — checked
+    per document against an independent Python encoder over the real
+    sf0.001 merge table."""
+    import pyarrow.parquet as pq
+
+    from flink_learning_practise_spark.datasets import load
+    from flink_learning_practise_spark.plans import llm_pipeline as llm
+
+    merges = [
+        (m.left_sym, m.right_sym)
+        for m in sorted(
+            llm.bpe_merges(spark, sf_small).collect(),
+            key=lambda m: m.merge_round,
+        )
+    ]
+    assert merges
+
+    t = pq.read_table(os.path.join(sf_small, "documents.parquet"))
+    src_dir = str(tmp_path / "bpe_in")
+    os.makedirs(src_dir, exist_ok=True)
+    pq.write_table(t.slice(0, 40), os.path.join(src_dir, "p0.parquet"))
+
+    schema = load(spark, sf_small, "documents").schema
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    out = sp.stream_bpe_encode(src, merges)
+    assert out.isStreaming
+    q = memory_sink(
+        out.select("doc_id", "n_words", "n_bpe_tokens"), "bpe_enc_out",
+        mode="append",
+    ).start()
+    q.processAllAvailable()
+    pq.write_table(t.slice(40, 20), os.path.join(src_dir, "p1.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in spark.table("bpe_enc_out").collect()
+    }
+    assert len(got) == 60
+
+    # independent canonical encoder (tests/test_round11's reference)
+    from test_round11 import _canonical_bpe_encode
+
+    import re as _re
+
+    for row in t.slice(0, 60).to_pylist():
+        text = _re.sub(r"\s+", " ", row["text"]).strip().lower()
+        ws = [w for w in text.split(" ") if w != ""]
+        want_tokens = sum(
+            len(_canonical_bpe_encode(w, merges)) for w in ws
+        )
+        assert got[row["doc_id"]] == (len(ws), want_tokens), row["doc_id"]
