@@ -161,7 +161,7 @@ def main() -> None:
         print(f"# head box probes (min/pass): py {calib['calib_py_sec']}s "
               f"(ref ~1.07), disk {calib['calib_disk_sec']}s "
               f"(ref ~0.13), spark {calib['calib_spark_sec']}s "
-              f"(ref ~1.09, r11 256-task shuffle probe)")
+              f"(ref ~1.26 in-bench, r11 256-task shuffle probe)")
         ppp = head.get("probes_per_pass")
         if ppp:
             spark_pp = [p.get("spark") for p in ppp]
