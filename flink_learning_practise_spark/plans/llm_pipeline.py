@@ -766,6 +766,7 @@ _PAIR_TIER_CONSUMER_FNS = frozenset({
     "dedup_threshold_sweep",
     "split_leakage",
     "dedup_survivors_quality",  # via dedup_clusters (transitive)
+    "split_repair",  # via dedup_clusters (transitive)
 })
 
 
@@ -6034,4 +6035,88 @@ JOIN documents da ON da.doc_id = s.id_a
 JOIN documents db ON db.doc_id = s.id_b
 WHERE s.cosine >= {EMBED_THRESHOLD} AND da.lang <> db.lang
 ORDER BY s.id_a, s.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# #241 leakage-repairing split (the FIX for what #237 audits): every
+# document is reassigned to the split of its duplicate CLUSTER's
+# canonical member (minimum doc_id), so near-duplicate content can
+# never straddle train/val/test — cluster-consistent splitting, the
+# standard remedy once a split-leakage audit fires. Deterministic and
+# incremental-friendly: the canonical member's md5 bucket decides for
+# the whole cluster, so re-running after new ingests only moves docs
+# whose cluster gained an older canonical. Rides the shared pair tier
+# through the same connected components as #63; singleton clusters
+# keep their own assignment (split_fixed = split for ~99% of docs).
+
+
+def split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
+    splits = transforms.assign_split(
+        load(spark, sf_dir, "documents"), "doc_id", seed=SPLIT_SEED
+    ).select("doc_id", "split")
+    canon = splits.select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("split").alias("split_fixed"),
+    )
+    return (
+        clusters.join(splits, "doc_id")
+        .join(canon, "cluster_id")  # cluster_id IS the canonical doc_id
+        .select(
+            "doc_id",
+            "cluster_id",
+            "split",
+            "split_fixed",
+            (F.col("split") != F.col("split_fixed")).alias("moved"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_REPAIR_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+cluster AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cluster c ON d.doc_id = c.doc_id
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5('{SPLIT_SEED}' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+    FROM documents
+  )
+)
+SELECT l.doc_id, l.cluster_id, s.split, cs.split AS split_fixed,
+       s.split <> cs.split AS moved
+FROM labeled l
+JOIN spl s ON s.doc_id = l.doc_id
+JOIN spl cs ON cs.doc_id = l.cluster_id
+ORDER BY l.doc_id
 """

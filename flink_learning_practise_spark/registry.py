@@ -181,6 +181,7 @@ def _populate() -> None:
         llm.crosslingual_dups,
         llm.CROSSLINGUAL_DUPS_SQL,
     )
+    register("q_split_repair", llm.split_repair, llm.SPLIT_REPAIR_SQL)
 
     # ---- round-10 registrations (3 new, per VERDICT r9 ask #3: each
     # reuses an existing tier so marginal cost is small — semantic

@@ -81,9 +81,9 @@ def _direct_callers(module, builder: str) -> set[str]:
 _TRANSITIVE_TIER_CONSUMERS = {
     "_shared_bm25_tier": {"rerank_inference"},
     "_shared_dense_topk": {"knn_label_purity", "rerank_inference"},
-    # dedup_survivors_quality calls dedup_clusters (a direct plan-fn
-    # call), which consumes the pair tier
-    "_shared_pair_tier": {"dedup_survivors_quality"},
+    # dedup_survivors_quality and split_repair call dedup_clusters
+    # (a direct plan-fn call), which consumes the pair tier
+    "_shared_pair_tier": {"dedup_survivors_quality", "split_repair"},
 }
 
 

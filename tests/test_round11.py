@@ -393,3 +393,32 @@ def test_crosslingual_dups_subset_of_embedding_pairs(spark, sf_small):
         assert r.lang_a != r.lang_b
         assert r.cosine >= llm.EMBED_THRESHOLD
         assert allpairs.get((r.id_a, r.id_b)) == r.cosine
+
+
+def test_split_repair_eliminates_leakage(spark, sf_small):
+    """#241 is the FIX for what #237 audits: after reassigning every
+    doc to its cluster canonical's split, NO near-dup pair may cross
+    splits (pairs live inside clusters by construction), repaired
+    splits are cluster-constant, and untouched docs keep their
+    original assignment."""
+    qs = all_queries()
+    repair = qs["q_split_repair"].fn(spark, SF_SMALL).collect()
+    fixed = {r.doc_id: r.split_fixed for r in repair}
+    orig = {r.doc_id: r.split for r in repair}
+    by_cluster: dict[int, set] = {}
+    for r in repair:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split_fixed)
+        if not r.moved:
+            assert r.split == r.split_fixed
+    assert all(len(s) == 1 for s in by_cluster.values()), (
+        "repaired split is not cluster-constant"
+    )
+    # no near-dup pair crosses the REPAIRED split
+    pairs = llm._shared_pair_tier(spark, SF_SMALL).collect()
+    assert pairs, "no near-dup pairs at sf0.001 — contract untestable"
+    for p in pairs:
+        assert fixed[p.id_a] == fixed[p.id_b], (p.id_a, p.id_b)
+    # and the audit's finding is real: the ORIGINAL split leaked
+    assert any(orig[p.id_a] != orig[p.id_b] for p in pairs) == any(
+        r.moved for r in repair
+    )
