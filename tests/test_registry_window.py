@@ -116,3 +116,51 @@ def test_row_green_rule():
     assert _row_green({"err": "no_oracle", "spark_rows": 3})
     assert not _row_green({"err": "no_oracle", "spark_rows": 0})
     assert not _row_green({"err": "no_oracle"})
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 ↔ registry cross-check (VERDICT r11 ask #1). Round 11
+# shipped four driver-green capabilities (#237-#240) with no §2 row and
+# a header id-count three rounds stale — the coverage checklist the
+# whole review process keys on had drifted behind the code. These pins
+# make both drift classes a commit-time error.
+
+import re
+
+
+def _survey_section2() -> str:
+    with open(os.path.join(REPO_ROOT, "SURVEY.md")) as f:
+        txt = f.read()
+    return txt[txt.index("## §2"): txt.index("## §3")]
+
+
+def test_every_registry_key_has_a_survey_s2_row():
+    cited = set(re.findall(r"`(q_[a-z0-9_]+)`", _survey_section2()))
+    missing = sorted(set(all_queries()) - cited)
+    assert not missing, (
+        "registered queries without a SURVEY §2 citation (add the "
+        f"capability row before registering): {missing}"
+    )
+
+
+def test_survey_s2_cites_no_ghost_queries():
+    cited = set(re.findall(r"`(q_[a-z0-9_]+)`", _survey_section2()))
+    ghosts = sorted(cited - set(all_queries()))
+    assert not ghosts, (
+        f"SURVEY §2 cites queries() keys that are not registered: {ghosts}"
+    )
+
+
+def test_survey_s2_id_count_matches_tables():
+    sec = _survey_section2()
+    ids = re.findall(r"^\| (\d+[a-z]*) \|", sec, flags=re.M)
+    m = re.search(r"All (\d+) ids are unique", sec)
+    assert m, "SURVEY §2 header must state the id count"
+    assert len(ids) == len(set(ids)), (
+        f"duplicate §2 capability ids: "
+        f"{sorted({i for i in ids if ids.count(i) > 1})}"
+    )
+    assert int(m.group(1)) == len(ids), (
+        f"SURVEY §2 header claims {m.group(1)} ids but the tables hold "
+        f"{len(ids)} rows — update the header with the row count"
+    )
