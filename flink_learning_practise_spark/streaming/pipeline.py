@@ -416,10 +416,15 @@ def stream_bpe_encode(
     )
     chain = spelled
     for ls, rs in merges:
-        # symbols come from corpus words and may contain quotes —
-        # escape them for the inline SQL literals (the batch twin uses
-        # F.lit, which parameterizes)
-        lq, rq = ls.replace("'", "''"), rs.replace("'", "''")
+        # symbols come from corpus words and may contain quotes or
+        # backslashes — escape BOTH for the inline SQL literals, and
+        # backslashes FIRST so the quote escape's own chars aren't
+        # re-escaped (the batch twin uses F.lit, which parameterizes;
+        # advice r12: backslash-bearing symbols were mangled by Spark
+        # SQL literal escaping before this)
+        lq, rq = (
+            s.replace("\\", "\\\\").replace("'", "''") for s in (ls, rs)
+        )
         chain = (
             f"transform({chain}, s -> replace(s, ' {lq}  {rq} ', ' {lq}{rq} '))"
         )
