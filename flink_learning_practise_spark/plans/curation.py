@@ -21,7 +21,7 @@ from ..operators.curation import (
     GOPHER_MIN_WORDS,
     PII_PATTERNS,
 )
-from .llm_pipeline import NORM_SQL, SHINGLES_CTE
+from .llm_pipeline import JACCARD_THRESHOLD, NORM_SQL, SHINGLES_CTE
 
 # ---------------------------------------------------------------------------
 # #69 PII scrubbing (over the event stream's payload strings)
@@ -603,4 +603,450 @@ SELECT capacity,
 FROM per_pack
 GROUP BY 1
 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments for the cluster-aware curation audits (#242-#244):
+# the recursive connected-components chain over the near-dup pair graph
+# (the DEDUP_CLUSTERS_SQL derivation, verbatim) and the #45 quality
+# score — both referenced by several oracles below, factored so the
+# composed pipeline cannot drift from the standalone queries.
+
+_CLUSTER_CTES = f"""{SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(v, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+cluster AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cluster c ON d.doc_id = c.doc_id
+)"""
+
+
+def _quality_cte() -> str:
+    from ..operators import text
+
+    stop_re = text.stopword_regex(text.LANG_STOPWORDS["en"])
+    return f"""qnorm AS (
+  SELECT doc_id, {NORM_SQL} AS t, string_split({NORM_SQL}, ' ') AS w
+  FROM documents
+),
+qfeats AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct,
+         CAST(len(regexp_extract_all(t, '{stop_re}')) AS DOUBLE) AS stop
+  FROM qnorm
+),
+q AS (
+  SELECT doc_id,
+         0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(n_distinct AS DOUBLE) / n_words)
+           + 0.3 * least((stop / n_words) * 5.0, 1.0) AS quality_score
+  FROM qfeats
+)"""
+
+
+# the #241 repaired-split bucket, computed on an arbitrary id expression
+def _split_case(id_expr: str) -> str:
+    return (
+        "CASE WHEN ('0x' || substr(md5('" + SPLIT_SEED + "' || ':' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT % 100 < 96 "
+        "THEN 'train' WHEN ('0x' || substr(md5('" + SPLIT_SEED + "' || ':' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT % 100 < 98 "
+        "THEN 'val' ELSE 'test' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# #242 composed curation pipeline v2 (VERDICT r11 ask #4): the shipped
+# chain upgraded with the round-11 hygiene the standalone queries
+# proved matters — Gopher gates → QUALITY-AWARE survivors (#238: per
+# duplicate CLUSTER keep the highest-#45-quality member, not the
+# lowest id) → LEAKAGE-REPAIRED split (#241: the whole cluster takes
+# its canonical member's md5 bucket, so near-dup content can never
+# straddle train/val/test) → packing. Reference anchor: the
+# stage1→stage2 composed pipeline the reference teaches
+# (flink_project/utils/flink_kafka_to_mysql_utils.py end-to-end
+# builders); v1 (#75) stays registered as the exact-dedup baseline.
+#
+# Execution shape: gates + quality are ONE map-side projection chain
+# over a single corpus scan (quality_features extends the gated
+# lineage — no second scan, no join); the cluster labels ride the
+# shared memoized pair tier through #63's components; the survivor
+# argmax is a window over duplicate-cluster-sized groups; the repaired
+# split is a map-only bucket of cluster_id; packing shuffles once on
+# the split key. Everything downstream of the cluster tier is ONE
+# lazy Catalyst plan.
+
+
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text, transforms
+    from .llm_pipeline import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
+    kept = feats.filter(F.col("keep")).select("doc_id", "text")
+    quality = text.quality_features(kept, "text").select(
+        "doc_id", "text", "quality_score"
+    )
+    clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    surv = (
+        quality.join(clusters, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    # cluster_id IS the canonical member's doc_id, so bucketing on it
+    # is exactly #241's repaired assignment
+    surv = transforms.assign_split(surv, "cluster_id", seed=SPLIT_SEED)
+    return curation.pack_sequences(
+        surv, "doc_id", "text", "split", capacity=PACK_CAPACITY
+    )
+
+
+def _curation_pipeline_v2_sql() -> str:
+    return f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+gq AS ({GOPHER_QUALITY_SQL}),
+{_quality_cte()},
+kept AS (
+  SELECT d.doc_id, {NORM_SQL} AS t
+  FROM documents d JOIN gq ON d.doc_id = gq.doc_id AND gq.keep
+),
+surv AS (
+  SELECT doc_id, t, cluster_id FROM (
+    SELECT k.doc_id, k.t, l.cluster_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY q.quality_score DESC, k.doc_id) AS rn
+    FROM kept k
+    JOIN labeled l ON k.doc_id = l.doc_id
+    JOIN q ON q.doc_id = k.doc_id
+  ) WHERE rn = 1
+),
+spl AS (
+  SELECT doc_id, t, {_split_case("cluster_id")} AS split FROM surv
+),
+tok AS (SELECT split, doc_id, len(string_split(t, ' ')) AS tok FROM spl),
+packed AS (
+  SELECT split, doc_id, tok,
+         CAST(floor(
+           COALESCE(SUM(tok) OVER (
+             PARTITION BY split ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_CAPACITY}) AS BIGINT) AS pack_id
+  FROM tok
+)
+SELECT split, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY split, pack_id
+"""
+
+
+CURATION_PIPELINE_V2_SQL = _curation_pipeline_v2_sql()
+
+
+# ---------------------------------------------------------------------------
+# #243 repaired-split balance audit: what #241's repair DOES to the
+# split — per repaired split, size, share of corpus, how many docs
+# moved, and mean #45 quality. The check a data lead runs after any
+# cluster-consistent reassignment: repair must end leakage (proven by
+# #237's pytest) WITHOUT skewing the 96/2/2 deal or concentrating
+# quality in one split. Cluster labels ride the shared pair tier; the
+# rest is two map-only bucket assignments + one |splits|-bounded
+# aggregate; the corpus total is a single-row broadcast crossJoin in
+# the SAME lazy plan (the #239 discipline). Mean quality aggregates
+# per-doc integer micros (quantize-first) so engine sum order can't
+# flip the hash.
+
+
+def repaired_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text, transforms
+    from .llm_pipeline import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    quality = text.quality_features(docs, "text").select(
+        "doc_id", "quality_score"
+    )
+    clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
+    orig = transforms.assign_split(
+        clusters, "doc_id", seed=SPLIT_SEED
+    ).withColumnRenamed("split", "split_orig")
+    rep = transforms.assign_split(orig, "cluster_id", seed=SPLIT_SEED)
+    per = (
+        rep.join(quality, "doc_id")
+        .withColumn(
+            "_qm",
+            F.floor(F.col("quality_score") * 1000000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("split") != F.col("split_orig"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+            F.sum("_qm").alias("_sq"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").cast("long").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(total))  # single-row scalar; policy-exempt
+        .select(
+            "split",
+            "n_docs",
+            "n_moved",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double") * 1000000 / F.col("_tot")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("share"),
+            (
+                F.floor(
+                    F.col("_sq").cast("double") / F.col("n_docs") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mean_quality"),
+        )
+        .orderBy("split")
+    )
+
+
+REPAIRED_SPLIT_BALANCE_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+{_quality_cte()},
+assigned AS (
+  SELECT l.doc_id,
+         {_split_case("l.doc_id")} AS split_orig,
+         {_split_case("l.cluster_id")} AS split
+  FROM labeled l
+),
+per AS (
+  SELECT a.split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN a.split <> a.split_orig THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved,
+         SUM(CAST(floor(q.quality_score * 1000000 + 0.5) AS BIGINT)) AS sq
+  FROM assigned a JOIN q ON q.doc_id = a.doc_id
+  GROUP BY a.split
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM per)
+SELECT split, n_docs, n_moved,
+       floor(CAST(n_docs AS DOUBLE) * 1000000 / t + 0.5) / 1e6 AS share,
+       floor(CAST(sq AS DOUBLE) / n_docs + 0.5) / 1e6 AS mean_quality
+FROM per CROSS JOIN tot
+ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# #244 curation funnel (stage-loss accounting): docs and tokens
+# surviving each stage of the v2 chain — raw → Gopher-gated →
+# quality-aware survivors → decontaminated — with each stage's share
+# of the raw corpus. The one-page "what did curation cost per stage"
+# report a data lead reads before signing a training run.
+#
+# The decontamination stage uses #113's NEAR-DUP rule (jaccard ≥ τ
+# against the %NEARDUP_MOD benchmark split, bench members themselves
+# excluded), NOT #72's any-shared-shingle flag: measured on this
+# corpus, #72 flags >99% of survivors (one common trigram suffices),
+# so a funnel built on it would report decontamination as the stage
+# that deleted the corpus — exactly the over-trigger #113 was added to
+# fix. Stages are computed as ONE per-doc level column over the same
+# scan chain (no per-stage rescans), aggregated once to a single row
+# and exploded to 4 ordered rows; the near-dup candidate set is
+# bounded by benchmark docs sharing a shingle, joined UNHINTED (the
+# #113 broadcast-policy call).
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text
+    from .llm_pipeline import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
+    base = text.quality_features(feats, "text").select(
+        "doc_id",
+        "keep",
+        "quality_score",
+        F.size(F.split(curation.normalize(F.col("text")), " "))
+        .cast("long")
+        .alias("_tok"),
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    flagged = (
+        curation.decontaminate_neardup(
+            docs,
+            "doc_id",
+            "text",
+            F.col("doc_id") % NEARDUP_MOD == 0,
+            k=3,
+            threshold=NEARDUP_TAU,
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_flag", F.lit(True))
+    )
+    lvl = (
+        base.join(clusters, "doc_id")
+        .withColumn(
+            "_rn",
+            F.when(
+                F.col("keep"), F.row_number().over(w)
+            ),  # rank only gated docs: survivors are chosen among kept
+        )
+        .join(flagged, "doc_id", "left")  # unhinted: the #113 policy call
+        .withColumn(
+            "_lvl",
+            F.when(~F.col("keep"), 0)
+            .when(F.col("_rn") != 1, 1)
+            .when(
+                (F.col("doc_id") % NEARDUP_MOD == 0)
+                | F.col("_flag").isNotNull(),
+                2,
+            )
+            .otherwise(3),
+        )
+    )
+    one = lvl.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("_tok").cast("long").alias("t0"),
+        F.sum(F.when(F.col("_lvl") >= 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("_lvl") >= 1, F.col("_tok")).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(F.col("_lvl") >= 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("_lvl") >= 2, F.col("_tok")).otherwise(0)).cast("long").alias("t2"),
+        F.sum(F.when(F.col("_lvl") >= 3, 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("_lvl") >= 3, F.col("_tok")).otherwise(0)).cast("long").alias("t3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, name in enumerate(
+                ["0_raw", "1_gated", "2_survivors", "3_decontaminated"]
+            )
+        ]
+    )
+    return (
+        one.select(F.col("n0").alias("_raw"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_docs").alias("n_docs"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            (
+                F.floor(
+                    F.col("s.n_docs").cast("double") * 1000000 / F.col("_raw")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("doc_share"),
+        )
+        .orderBy("stage")
+    )
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+gq AS ({GOPHER_QUALITY_SQL}),
+{_quality_cte()},
+ndcand AS (
+  SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_common
+  FROM sh c JOIN sh b ON c.shingle = b.shingle
+  WHERE b.doc_id % {NEARDUP_MOD} = 0 AND c.doc_id % {NEARDUP_MOD} <> 0
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT DISTINCT ndcand.doc_id
+  FROM ndcand
+  JOIN sizes sa ON ndcand.doc_id = sa.doc_id
+  JOIN sizes sb ON ndcand.bench_id = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+        >= {NEARDUP_TAU}
+),
+ranked AS (
+  SELECT l.doc_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality_score DESC, l.doc_id) AS rn
+  FROM labeled l
+  JOIN gq ON gq.doc_id = l.doc_id AND gq.keep
+  JOIN q ON q.doc_id = l.doc_id
+),
+lvl AS (
+  SELECT d.doc_id,
+         len(string_split({NORM_SQL}, ' ')) AS tok,
+         CASE
+           WHEN NOT COALESCE(gq.keep, FALSE) THEN 0
+           WHEN COALESCE(r.rn, 0) <> 1 THEN 1
+           WHEN d.doc_id % {NEARDUP_MOD} = 0
+                OR EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+             THEN 2
+           ELSE 3
+         END AS lv
+  FROM documents d
+  LEFT JOIN gq ON gq.doc_id = d.doc_id
+  LEFT JOIN ranked r ON r.doc_id = d.doc_id
+),
+one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(tok) AS BIGINT) AS t0,
+         CAST(SUM(CASE WHEN lv >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN lv >= 1 THEN tok ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN lv >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN lv >= 2 THEN tok ELSE 0 END) AS BIGINT) AS t2,
+         CAST(SUM(CASE WHEN lv >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN lv >= 3 THEN tok ELSE 0 END) AS BIGINT) AS t3
+  FROM lvl
+)
+SELECT stage, n_docs, n_tokens,
+       floor(CAST(n_docs AS DOUBLE) * 1000000 / n0 + 0.5) / 1e6 AS doc_share
+FROM (
+  SELECT '0_raw' AS stage, n0 AS n_docs, t0 AS n_tokens, n0 FROM one
+  UNION ALL
+  SELECT '1_gated', n1, t1, n0 FROM one
+  UNION ALL
+  SELECT '2_survivors', n2, t2, n0 FROM one
+  UNION ALL
+  SELECT '3_decontaminated', n3, t3, n0 FROM one
+)
+ORDER BY stage
 """

@@ -152,6 +152,24 @@ def _populate() -> None:
     from .plans import order_stats as os_
     from .plans import tpch
 
+    # ---- round-12 registrations (3 new, under the ≤4 cap of VERDICT
+    # r11 ask #2 so 46 window slots rotate the r7-stale greens):
+    # the curation pipeline v2 composes the round-11 hygiene the
+    # standalone queries proved matters (#238 quality-aware survivors +
+    # #241 leakage-repaired split) into the shipped chain (ask #4); the
+    # split-balance and funnel audits are its acceptance reports. ----
+    register(
+        "q_curation_pipeline_v2",
+        cur.curation_pipeline_v2,
+        cur.CURATION_PIPELINE_V2_SQL,
+    )
+    register(
+        "q_repaired_split_balance",
+        cur.repaired_split_balance,
+        cur.REPAIRED_SPLIT_BALANCE_SQL,
+    )
+    register("q_curation_funnel", cur.curation_funnel, cur.CURATION_FUNNEL_SQL)
+
     # ---- round-11 registrations (VERDICT r10 asks #3/#4: the BPE
     # encoder closes the tokenizer train→apply→audit loop by
     # re-tokenizing the corpus under the trained #233 merge table
