@@ -767,6 +767,12 @@ _PAIR_TIER_CONSUMER_FNS = frozenset({
     "split_leakage",
     "dedup_survivors_quality",  # via dedup_clusters (transitive)
     "split_repair",  # via dedup_clusters (transitive)
+    # round-12 curation audits (plans/curation.py) — also transitive
+    # via dedup_clusters; cross-module, so the AST direct-call scan
+    # cannot see them (pinned in test_bench_contract's explicit table)
+    "curation_pipeline_v2",
+    "repaired_split_balance",
+    "curation_funnel",
 })
 
 

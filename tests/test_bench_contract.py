@@ -82,8 +82,16 @@ _TRANSITIVE_TIER_CONSUMERS = {
     "_shared_bm25_tier": {"rerank_inference"},
     "_shared_dense_topk": {"knn_label_purity", "rerank_inference"},
     # dedup_survivors_quality and split_repair call dedup_clusters
-    # (a direct plan-fn call), which consumes the pair tier
-    "_shared_pair_tier": {"dedup_survivors_quality", "split_repair"},
+    # (a direct plan-fn call), which consumes the pair tier; the three
+    # round-12 curation audits (plans/curation.py) do the same from
+    # ANOTHER module, which the single-module AST scan cannot see
+    "_shared_pair_tier": {
+        "dedup_survivors_quality",
+        "split_repair",
+        "curation_pipeline_v2",
+        "repaired_split_balance",
+        "curation_funnel",
+    },
 }
 
 
