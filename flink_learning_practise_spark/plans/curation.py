@@ -708,18 +708,30 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
-    kept = feats.filter(F.col("keep")).select("doc_id", "text")
-    quality = text.quality_features(kept, "text").select(
-        "doc_id", "text", "quality_score"
+    # The gate is NOT applied as a pre-window filter: a `.filter(keep)`
+    # here gets pushed into the scan, substituting the full keep
+    # expression tree (normalize/split/n-gram HOFs) ~30x into an
+    # interpreted Filter — the HOF lambdas disqualify the stage from
+    # whole-stage codegen, so every copy runs interpreted (measured 4x
+    # the whole query). Instead `keep` leads the survivor window's
+    # ordering and the gate is applied ABOVE the window, where
+    # predicate pushdown cannot descend (non-partition-key filter):
+    # features are computed exactly once, in one projection.
+    quality = text.quality_features(feats, "text").select(
+        "doc_id", "text", "keep", "quality_score"
     )
     clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+        F.desc("keep"), F.desc("quality_score"), F.asc("doc_id")
     )
     surv = (
         quality.join(clusters, "doc_id")
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        # rn==1 & keep ≡ best KEPT doc per cluster (clusters with no
+        # kept member yield a keep=false head row, filtered here) —
+        # exactly the old filter-then-rank survivor set.
+        .filter((F.col("_rn") == 1) & F.col("keep"))
+        .select("doc_id", "text", "cluster_id")
     )
     # cluster_id IS the canonical member's doc_id, so bucketing on it
     # is exactly #241's repaired assignment
