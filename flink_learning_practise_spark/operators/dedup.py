@@ -35,6 +35,17 @@ from pyspark.sql import functions as F
 from .text import normalize
 
 
+# Probe memo for widen(): ``df.rdd.getNumPartitions()`` costs ~80 ms
+# of driver-side physical planning per call, and widen() sits on ~40
+# operator paths that re-run every bench pass. The partition count of
+# a plan is deterministic given the session, the analyzed plan and the
+# target parallelism, so it is memoized on (applicationId,
+# analyzed-plan semanticHash, defaultParallelism). A stale entry (same
+# semantic plan over rewritten files) can only mis-decide the
+# REPARTITION step — a perf decision, never a row-level one.
+_WIDEN_MEMO: dict[tuple, int] = {}
+
+
 def widen(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input scan has fewer splits (e.g. one small parquet file locally).
@@ -47,8 +58,23 @@ def widen(df: DataFrame) -> DataFrame:
     unified."""
     if df.isStreaming:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    key = None
+    try:
+        key = (
+            sc.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            target,
+        )
+        n = _WIDEN_MEMO.get(key)
+    except Exception:  # noqa: BLE001 - internal probe; fall back to .rdd
+        n = None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _WIDEN_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
