@@ -5423,34 +5423,39 @@ def _bpe_merges_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # ≤ BPE_VOCAB rows by construction
     )
-    _arr = "filter(split(trim(syms), ' '), x -> x != '')"
-    _pairs_expr = (
-        f"explode(transform(slice({_arr}, 1, size({_arr}) - 1),"
-        f" (x, i) -> struct(x AS ls, {_arr}[i + 1] AS rs)))"
-    )
+    # The merge rounds run DRIVER-SIDE over the collected vocab: the
+    # tier is ≤ BPE_VOCAB (200) rows by construction at ANY corpus
+    # size (top-K of the distributed word count), so the collect is in
+    # the package's bounded class, and the former per-round Spark jobs
+    # (2 jobs + a lineage checkpoint × BPE_ROUNDS over ≤200 rows) were
+    # pure fixed overhead — ~3.5 s of the shared-tier build per bench
+    # pass for microseconds of actual work. Every Python step mirrors
+    # the retired Spark expression op-for-op (adjacent-pair zip over
+    # the trimmed/split/filtered symbol array ≡ the slice/transform
+    # expr; argmax by (-count, ls, rs) ≡ ORDER BY pair_count DESC, ls,
+    # rs LIMIT 1; str.replace ≡ F.replace — both leftmost
+    # non-overlapping, and Python/UTF8String orderings agree because
+    # UTF-8 byte order preserves code-point order), so the merge table
+    # is bit-identical; the SQL oracle derivation is untouched.
     out_rows: list[tuple] = []
-    cur = vocab
+    cur = [(r.syms, int(r.cnt)) for r in vocab.collect()]  # bounded ≤ BPE_VOCAB
     for rnd in range(1, BPE_ROUNDS + 1):
-        best = (
-            cur.select(F.expr(_pairs_expr).alias("p"), "cnt")
-            .select("p.ls", "p.rs", "cnt")
-            .groupBy("ls", "rs")
-            .agg(F.sum("cnt").cast("long").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "ls", "rs")
-            .limit(1)
-            .collect()  # bounded: ONE argmax row per round
-        )
-        if not best:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in cur:
+            arr = [x for x in syms.strip().split(" ") if x != ""]
+            for pair in zip(arr, arr[1:]):
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
             break
-        ls, rs, c = best[0].ls, best[0].rs, int(best[0].pair_count)
+        (ls, rs), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         out_rows.append((rnd, ls, rs, ls + rs, c))
         # anchored single-pass greedy merge (see the design note above)
-        cur = cur.select(
-            F.replace(
-                F.col("syms"), F.lit(f" {ls}  {rs} "), F.lit(f" {ls}{rs} ")
-            ).alias("syms"),
-            "cnt",
-        ).localCheckpoint(eager=False)  # truncate per-round lineage
+        cur = [
+            (syms.replace(f" {ls}  {rs} ", f" {ls}{rs} "), cnt)
+            for syms, cnt in cur
+        ]
     return spark.createDataFrame(
         out_rows,
         "merge_round int, left_sym string, right_sym string, "
