@@ -456,6 +456,13 @@ def decontaminate_neardup(
     from .text import normalize
 
     def sized_shingles(frame: DataFrame, out_id: str, n_col: str) -> DataFrame:
+        # The join key is the 8-byte xxhash64 of the shingle, not the
+        # 20-40 byte shingle string: the equi-join only needs to DECIDE
+        # which shingles collide (guide: shuffle keys/metadata, not
+        # payloads), and n_common counts matching rows either way. A
+        # cross-shingle hash collision inside one (doc, bench) pair is
+        # the only divergence class (~n_pairs/2^64 — the same accepted
+        # class as the md5 digests the exact-dedup tier shuffles).
         return (
             widen(frame)
             .select(
@@ -464,8 +471,9 @@ def decontaminate_neardup(
             )
             .withColumn(n_col, F.size("_arr"))
             .select(
-                out_id, n_col, F.explode_outer("_arr").alias("shingle")
+                out_id, n_col, F.explode_outer("_arr").alias("_shingle")
             )
+            .select(out_id, n_col, F.xxhash64("_shingle").alias("shingle"))
         )
 
     bench_sized = sized_shingles(df.filter(benchmark_pred), "bench_id", "nb")

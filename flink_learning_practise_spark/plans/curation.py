@@ -921,8 +921,15 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_tok"),
     )
     clusters = dedup_clusters(spark, sf_dir)
+    # keep leads the ordering (the v2 trick): kept docs occupy the head
+    # ranks of every cluster, so a kept doc's rank-among-all equals its
+    # rank-among-kept — exactly the oracle's kept-only row_number. The
+    # former (quality, doc_id)-only ordering diverged whenever a
+    # NON-kept doc outranked a kept one inside a cluster (the masked
+    # _rn then shifted kept ranks) — a latent divergence class not
+    # exercised by the driver SFs, closed here for robustness.
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+        F.desc("keep"), F.desc("quality_score"), F.asc("doc_id")
     )
     flagged = (
         curation.decontaminate_neardup(

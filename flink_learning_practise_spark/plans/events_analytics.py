@@ -2283,11 +2283,24 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampadd(MICROSECOND, -1, CAST(date_add(day, 1) AS TIMESTAMP))"),
         ).alias("c_end"),
     )
+    # Both boundary rows are emitted in ONE pass via explode(array(..)):
+    # the former unionByName(select(start), select(end)) made Catalyst
+    # compute the whole sessionization subtree (scan -> window shuffle
+    # -> session agg -> day explode) TWICE — one copy per union branch
+    # (no cross-branch CSE). Row set is identical: each clipped
+    # session-day contributes exactly one (_s=1, c_start) and one
+    # (_s=0, c_end) row in both formulations.
     bounds = (
-        days.select(F.col("day"), F.col("c_start").alias("t"), F.lit(1).alias("_s"))
-        .unionByName(
-            days.select(F.col("day"), F.col("c_end").alias("t"), F.lit(0).alias("_s"))
+        days.select(
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(F.col("c_start").alias("t"), F.lit(1).alias("_s")),
+                    F.struct(F.col("c_end").alias("t"), F.lit(0).alias("_s")),
+                )
+            ).alias("_b"),
         )
+        .select("day", F.col("_b.t").alias("t"), F.col("_b._s").alias("_s"))
         .groupBy("day", "t")
         .agg(
             F.sum("_s").alias("n_start"),
