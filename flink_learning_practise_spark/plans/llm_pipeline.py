@@ -758,21 +758,17 @@ _PAIR_TIER_CONSUMER_FNS = frozenset({
     "triangle_census",
     "dupgraph_degrees",
     "dedup_survivors",
-    "dedup_clusters",
     "lpa_communities",
     "kcore_dupgraph",
     "dupgraph_assortativity",
     "dedup_ngram_jaccard",
     "dedup_threshold_sweep",
     "split_leakage",
-    "dedup_survivors_quality",  # via dedup_clusters (transitive)
-    "split_repair",  # via dedup_clusters (transitive)
-    # round-12 curation audits (plans/curation.py) — also transitive
-    # via dedup_clusters; cross-module, so the AST direct-call scan
-    # cannot see them (pinned in test_bench_contract's explicit table)
-    "curation_pipeline_v2",
-    "repaired_split_balance",
-    "curation_funnel",
+    # the CC-label tier builder derives from the pair tier; its query
+    # consumers (dedup_clusters & co.) are listed under
+    # _CLUSTER_TIER_CONSUMER_FNS instead — a cold pair memo implies a
+    # cold cluster memo, so bench's skip logic still covers them
+    "_shared_cluster_tier",
 })
 
 
@@ -977,7 +973,10 @@ def shared_tiers() -> dict[str, tuple]:
     samples are warm-memo and the build cost is attributed explicitly
     instead of landing on whichever consumer runs first."""
     return {
+        # pair tier FIRST: the cluster tier derives from it, so its
+        # build line times only the CC iteration, not the pair build
         "ppjoin_pair_tier": (_shared_pair_tier, pair_tier_consumers()),
+        "cc_labels_tier": (_shared_cluster_tier, cluster_tier_consumers()),
         "bm25_topn_tier": (_shared_bm25_tier, bm25_tier_consumers()),
         "dense_topk_tier": (_shared_dense_topk, dense_tier_consumers()),
         "lsh_topk_tier": (_shared_lsh_topk, lsh_tier_consumers()),
@@ -994,11 +993,68 @@ def reset_shared_caches() -> None:
     memo otherwise excluded the dominant build from every
     post-first-invocation sample)."""
     _PAIR_TIER_MEMO.clear()
+    _CLUSTER_TIER_MEMO.clear()
     _BM25_TIER_MEMO.clear()
     _DENSE_TIER_MEMO.clear()
     _LSH_TIER_MEMO.clear()
     _IVF_TIER_MEMO.clear()
     _BPE_TIER_MEMO.clear()
+
+
+_CLUSTER_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_cluster_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connected-component labels (vertex, component) over the
+    shared pair tier, computed ONCE per (session, sf_dir) — round-12
+    measurement: SEVEN queries (dedup_clusters, dedup_cluster_stats,
+    dedup_survivors_quality, split_repair, and the three curation
+    audits) each re-ran the full iterative CC loop (edge checkpoint +
+    per-round join/aggregate/convergence-collect jobs) over the SAME
+    edge set per bench pass. connected_components already returns an
+    eagerly localCheckpointed, vertex-count-bounded frame, so the memo
+    just holds that reference. Same lifecycle as the other memos:
+    weak per-session key, 2-sf_dir cap, oldest evicted; cleared by
+    :func:`reset_shared_caches` so bench re-pays + times the build
+    once per pass as its own evidence line."""
+    from ..operators import graph
+
+    per_sess = _CLUSTER_TIER_MEMO.setdefault(spark, {})
+    if sf_dir not in per_sess:
+        while len(per_sess) >= 2:
+            per_sess.pop(next(iter(per_sess)))
+        pairs = _shared_pair_tier(spark, sf_dir)
+        per_sess[sf_dir] = graph.connected_components(
+            pairs, src="id_a", dst="id_b"
+        )
+    return per_sess[sf_dir]
+
+
+_CLUSTER_TIER_CONSUMER_FNS = frozenset({
+    "dedup_clusters",
+    "dedup_cluster_stats",
+    # transitive via dedup_clusters (cross-module for the curation trio)
+    "dedup_survivors_quality",
+    "split_repair",
+    "curation_pipeline_v2",
+    "repaired_split_balance",
+    "curation_funnel",
+})
+
+
+def cluster_tier_consumers() -> tuple[str, ...]:
+    """Registered query names that consume the shared CC-label tier,
+    in CURRENT registry order (same contract as
+    :func:`pair_tier_consumers`)."""
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _CLUSTER_TIER_CONSUMER_FNS
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,11 +1063,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves). Unlike the greedy pair-wise survivor rule (#53), the
     cluster id is TRANSITIVE: a~b and b~c put a, b, c in one cluster
     even when a and c are not directly similar."""
-    from ..operators import graph
-
     docs = load(spark, sf_dir, "documents")
-    pairs = _shared_pair_tier(spark, sf_dir)
-    cc = graph.connected_components(pairs, src="id_a", dst="id_b")
+    cc = _shared_cluster_tier(spark, sf_dir)
     return (
         docs.select("doc_id")
         .join(cc, docs["doc_id"] == cc["vertex"], "left")
@@ -1851,10 +1904,8 @@ FROM documents
 
 
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import graph
-
     pairs_j = _shared_pair_tier(spark, sf_dir)
-    cc = graph.connected_components(pairs_j, src="id_a", dst="id_b")
+    cc = _shared_cluster_tier(spark, sf_dir)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     edge_stats = (
         pairs_j.join(cc, pairs_j["id_a"] == cc["vertex"])

@@ -85,7 +85,11 @@ _TRANSITIVE_TIER_CONSUMERS = {
     # (a direct plan-fn call), which consumes the pair tier; the three
     # round-12 curation audits (plans/curation.py) do the same from
     # ANOTHER module, which the single-module AST scan cannot see
-    "_shared_pair_tier": {
+    # dedup_survivors_quality and split_repair call dedup_clusters (a
+    # direct plan-fn call), which consumes the CC-label tier; the three
+    # round-12 curation audits (plans/curation.py) do the same from
+    # ANOTHER module, which the single-module AST scan cannot see
+    "_shared_cluster_tier": {
         "dedup_survivors_quality",
         "split_repair",
         "curation_pipeline_v2",
@@ -110,6 +114,8 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
     for builder, static, getter in (
         ("_shared_pair_tier", llm._PAIR_TIER_CONSUMER_FNS,
          llm.pair_tier_consumers),
+        ("_shared_cluster_tier", llm._CLUSTER_TIER_CONSUMER_FNS,
+         llm.cluster_tier_consumers),
         ("_shared_bm25_tier", llm._BM25_TIER_CONSUMER_FNS,
          llm.bm25_tier_consumers),
         ("_shared_dense_topk", llm._DENSE_TIER_CONSUMER_FNS,
@@ -133,8 +139,9 @@ def test_pair_tier_consumers_matches_source_and_registry_order():
             f"{getter.__name__}() drifted: expected {want}"
         )
     assert set(llm.shared_tiers()) == {
-        "ppjoin_pair_tier", "bm25_topn_tier", "dense_topk_tier",
-        "lsh_topk_tier", "ivf_topk_tier", "bpe_merges_tier",
+        "ppjoin_pair_tier", "cc_labels_tier", "bm25_topn_tier",
+        "dense_topk_tier", "lsh_topk_tier", "ivf_topk_tier",
+        "bpe_merges_tier",
     }
 
 
