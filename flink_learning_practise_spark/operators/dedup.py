@@ -146,7 +146,7 @@ def ngram_jaccard_pairs(
 
     PPJoin-style prefix filtering (Chaudhuri et al. ICDE'06 SSJoin;
     Xiao et al. WWW'08): only each doc's PREFIX — its first
-    ``n - ceil(τ·n) + 1`` shingles under a global md5 order — enters
+    ``n - ceil(τ·n) + 1`` shingles under a global xxhash64 order — enters
     the inverted index. Two sets with Jaccard ≥ τ must overlap by
     ≥ ceil(τ·max(n_a, n_b)), so their prefixes provably intersect
     (prefix-filtering principle) — candidate generation is EXACT, and
@@ -164,7 +164,7 @@ def ngram_jaccard_pairs(
     pair whose prefix-intersection consists ENTIRELY of hot shingles is
     missed — note this is broader than "shares only hot shingles": a
     high-jaccard pair sharing many cold shingles survives only if at
-    least one cold shared shingle lands in both md5-ordered prefixes
+    least one cold shared shingle lands in both hash-ordered prefixes
     (the usual case, since hash order is independent of hotness).
     Verified pairs always carry EXACT jaccard (verification reads the
     full arrays). With the
@@ -185,13 +185,18 @@ def ngram_jaccard_pairs(
             shingle_array(normalize(F.col(text_col)), k).alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))
-        # global md5 shingle order for the prefix (any fixed total
-        # order is correct; hash order spreads hot-prefix skew)
+        # global xxhash64 shingle order for the prefix (any fixed total
+        # order is correct — candidate generation is exact for EVERY
+        # fixed order and verification reads the full arrays — so pick
+        # the cheap one: xxhash64 is a non-crypto 8-byte hash and the
+        # sort comparator compares longs, not 32-char hex strings; hash
+        # order still spreads hot-prefix skew). Ties (s alongside h)
+        # keep the order total even under a hash collision.
         .withColumn(
             "_pref",
             F.expr(
                 f"slice(transform(array_sort(transform(_sh, s -> "
-                f"struct(md5(s) AS h, s AS s))), x -> x.s), 1, "
+                f"struct(xxhash64(s) AS h, s AS s))), x -> x.s), 1, "
                 f"greatest(_n - {ceil_tau} + 1, 1))"
             ),
         )
@@ -268,7 +273,7 @@ def containment_pairs(
     Scale shape (SSJoin ProbeCount family, Chaudhuri et al. ICDE'06):
     only the PROBE side's prefix enters the join. |A∩B| >= ceil(tau·n_a)
     means A's first n_a − ceil(tau·n_a) + 1 shingles under the global
-    md5 order must intersect B's postings — if the intersection missed
+    xxhash64 order must intersect B's postings — if the intersection missed
     the whole prefix it would fit inside A's suffix of ceil(tau·n_a)−1
     shingles, a contradiction — so candidate generation is EXACT while
     the probe stream stays ~(1−tau) of the full explode. The index side
@@ -291,10 +296,12 @@ def containment_pairs(
     )
     probe = (
         base.withColumn(
+            # xxhash64 prefix order, same rationale as ngram_jaccard_pairs:
+            # any fixed total order is exact, longs sort cheaper than hex
             "_pref",
             F.expr(
                 f"slice(transform(array_sort(transform(_sh, s -> "
-                f"struct(md5(s) AS h, s AS s))), x -> x.s), 1, "
+                f"struct(xxhash64(s) AS h, s AS s))), x -> x.s), 1, "
                 f"greatest(_n - {ceil_tau} + 1, 1))"
             ),
         )
