@@ -191,7 +191,13 @@ def ngram_jaccard_pairs(
         # the cheap one: xxhash64 is a non-crypto 8-byte hash and the
         # sort comparator compares longs, not 32-char hex strings; hash
         # order still spreads hot-prefix skew). Ties (s alongside h)
-        # keep the order total even under a hash collision.
+        # keep the order total even under a hash collision. The prefix
+        # entries stay STRINGS here (unlike containment_pairs' hashed
+        # probe): every prefix row carries the doc's full `_sh` array
+        # for inline verification, so the join key is a small fraction
+        # of the shuffled row — hashing it saves little, and a measured
+        # 6-pass A/B at sf0.1 had the string form consistently ~0.4 s
+        # faster on the tier build.
         .withColumn(
             "_pref",
             F.expr(
@@ -296,12 +302,14 @@ def containment_pairs(
     )
     probe = (
         base.withColumn(
-            # xxhash64 prefix order, same rationale as ngram_jaccard_pairs:
-            # any fixed total order is exact, longs sort cheaper than hex
+            # xxhash64 prefix order + hashed prefix entries, same
+            # rationale as ngram_jaccard_pairs: any fixed total order is
+            # exact, longs shuffle/sort cheaper than strings, and the
+            # exact verification below absorbs hash-collision candidates
             "_pref",
             F.expr(
                 f"slice(transform(array_sort(transform(_sh, s -> "
-                f"struct(xxhash64(s) AS h, s AS s))), x -> x.s), 1, "
+                f"struct(xxhash64(s) AS h, s AS s))), x -> x.h), 1, "
                 f"greatest(_n - {ceil_tau} + 1, 1))"
             ),
         )
@@ -315,7 +323,16 @@ def containment_pairs(
     index = base.select(
         F.col(id_col).alias("id_b"),
         F.col("_n").alias("n_b"),
-        F.explode_outer("_sh").alias("shingle"),
+        F.explode_outer("_sh").alias("_s"),
+    ).select(
+        "id_b",
+        "n_b",
+        # postings keyed by the 8-byte shingle hash, matching the
+        # probe prefix: collisions only add candidates, and every
+        # candidate re-verifies on the full string arrays below. The
+        # hash is a flat post-explode projection (whole-stage codegen),
+        # not a per-element HOF lambda (those run interpreted).
+        F.xxhash64("_s").alias("shingle"),
     ).repartition("shingle")
     hot = (
         index.groupBy("shingle")
