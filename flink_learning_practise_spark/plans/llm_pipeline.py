@@ -2081,29 +2081,39 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: two pruned passes, deliberately NOT one shared
-    (doc, token) aggregate — the doc-length tier needs every token but
-    only 2 narrow columns, while the tf tier filters to the |Q| query
-    terms BEFORE its shuffle (Catalyst pushes the term filter beneath
-    the aggregate, which also means a "shared" aggregate would not be
-    reused — the pushed filter makes the subtrees differ). df/idf and
-    avgdl are |Q|-row / single-row broadcast frames. No per-query
-    corpus rescan — a query batch would join its term set the same
-    way."""
+    """Scale shape (round-12 rework, guide §2.4): ONE tokenization of
+    the corpus. The old form exploded every token twice (a dl pass —
+    explode + token-level shuffle — and a tf pass) and joined tf back
+    to dl; but dl is a PER-DOC scalar (`size` of the non-empty token
+    array), so it is now a map-side projection computed next to the
+    token array, checkpointed once, and CARRIED through the tf explode
+    — the dl shuffle and the tf×dl join disappear outright (plan: 7 →
+    4 shuffles on the build). The tf tier still filters to the |Q|
+    query terms BEFORE its shuffle; df/idf and avgdl are |Q|-row /
+    single-row broadcast frames. No per-query corpus rescan — a query
+    batch would join its term set the same way. The checkpoint is the
+    (doc_id, dl, tokens) frame — corpus-sized, the same staging-table
+    class as containment's shingle base."""
     docs = load(spark, sf_dir, "documents")
     from ..operators.dedup import widen
     from ..operators.text import normalize
 
-    toks = (
+    base = (
         widen(docs)
         .select(
             "doc_id",
-            F.explode(F.split(normalize(F.col("text")), " ")).alias("token"),
+            F.filter(
+                F.split(normalize(F.col("text")), " "),
+                lambda t: t != F.lit(""),
+            ).alias("_w"),
         )
-        .filter(F.col("token") != "")
+        .withColumn("dl", F.size("_w").cast("long"))
+        .localCheckpoint(eager=False)
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_avg = dl.agg(
+    # dl > 0: the old token-level dl aggregate (and the oracle's dl CTE)
+    # never saw a doc whose text normalizes to zero tokens — N and avgdl
+    # are defined over docs with at least one token
+    n_avg = base.filter(F.col("dl") > 0).agg(
         F.count(F.lit(1)).alias("_N"),
         (F.sum(F.col("dl").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
             "_avgdl"
@@ -2111,25 +2121,35 @@ def _bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = F.array(*[F.lit(t) for t in BM25_TERMS])
     tf = (
-        toks.filter(F.array_contains(terms, F.col("token")))
+        base.select("doc_id", "dl", F.explode("_w").alias("token"))
+        .filter(F.array_contains(terms, F.col("token")))
         .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        # dl is constant per doc_id; max() just carries it through the
+        # aggregate so no join back to the doc-length tier is needed
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.crossJoin(F.broadcast(n_avg)).select(
-        "token",
-        F.round(
-            F.log(
-                1.0
-                + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-            9,
-        ).alias("idf"),
-        "_avgdl",
+    # df as a WINDOW over the (small) tf frame, not a second aggregate:
+    # a groupBy-derived df_t frame re-computes the whole tf subtree
+    # (explode + shuffle) as a separate plan branch — Catalyst does no
+    # cross-branch CSE — while the window rides tf's own token-keyed
+    # exchange. tf is bounded by docs-containing-query-terms × |Q|.
+    from pyspark.sql import Window as _W
+
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("token"))
     )
     contrib = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "token")  # broadcast-policy-exempt: |Q| rows
+        with_df.crossJoin(F.broadcast(n_avg))  # single-row scalars; exempt
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                9,
+            ),
+        )
         .withColumn(
             "_c",
             F.round(
