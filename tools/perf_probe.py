@@ -80,10 +80,14 @@ def main() -> None:
         if any(n in cons for n in names)
     }
     samples: dict[str, list[float]] = {n: [] for n in names}
+    tier_samples: dict[str, list[float]] = {t: [] for t in needed_tiers}
     for p in range(args.passes + 1):
         reset_shared_caches()
         for _t, (builder, _c) in needed_tiers.items():
+            tb0 = time.perf_counter()
             builder(spark, sf_dir)
+            if p > 0:
+                tier_samples[_t].append(time.perf_counter() - tb0)
         for n in names:
             spark.sparkContext.setJobDescription(f"probe:{n}")
             t = run_once(n)
@@ -102,13 +106,18 @@ def main() -> None:
 
     print(f"{'min':>8} {'spread':>7}  query   (passes={args.passes}, sf={sf_dir})")
     total = 0.0
+    for t, s in tier_samples.items():
+        mn = min(s)
+        total += mn
+        spread = (max(s) - mn) / max(mn, 1e-9)
+        print(f"{mn:8.3f} {spread:7.2f}  [tier] {t}  {[round(x, 3) for x in s]}")
     for n in names:
         s = samples[n]
         mn = min(s)
         total += mn
         spread = (max(s) - mn) / max(mn, 1e-9)
         print(f"{mn:8.3f} {spread:7.2f}  {n}  {[round(x, 3) for x in s]}")
-    print(f"{total:8.3f}          TOTAL")
+    print(f"{total:8.3f}          TOTAL (incl. tier builds)")
     spark.stop()
 
 
