@@ -1,13 +1,17 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"n_queries": N, "sf": ...}.  Per-query timings live ONLY in the
-``BENCH_EVIDENCE.json`` sidecar: rounds 3 AND 4 both produced
-``parsed: null`` bench records because the stdout line carried the full
-per-query dict (~3.4 KB at 117 queries) and overflowed the driver's
-2,000-char tail capture.  ``tests/test_bench_contract.py`` pins the
-serialized stdout line under 1,800 bytes at the live registry size so
-this cannot regress a third time.
+"n_queries": N, "queries": {name: sec, ...}, "sf": ...}.  The
+``queries`` map (3-decimal per-query mins) joined the line in round 13:
+the driver's PERF comparison reads the stdout line only, so without it
+per-query speedups came back empty every round (PERF_r12.json
+``per_query: {}``) — and the r13 round brief names ``queries`` as part
+of the expected contract.  History note: rounds 3 AND 4 produced
+``parsed: null`` bench records because the then-driver tail-captured
+only ~2,000 chars; the current pin (``tests/test_bench_contract.py``,
+STDOUT_LINE_MAX) bounds the line at the live registry size instead of
+excluding the map.  Full-precision per-query samples still live in the
+``BENCH_EVIDENCE.json`` sidecar.
 
 Contention-robust design (round-3, per VERDICT r02): a single best-of-N
 loop per query cannot distinguish "code got slower" from "box was busy",
@@ -88,9 +92,13 @@ SPREAD_RERUN = 0.5  # extra sample when (max-min)/min exceeds this
 QUIET_BUSY = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_BUSY", "0.10"))
 QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "90"))
 
-# Hard cap on the serialized stdout line (driver tail-captures ~2,000
-# chars); test_bench_contract.py asserts compact_line() stays under it.
-STDOUT_LINE_MAX = 1800
+# Hard cap on the serialized stdout line; test_bench_contract.py
+# asserts compact_line() stays under it at the live registry size.
+# Raised 1800 → 16000 in round 13 when the driver contract added the
+# per-query ``queries`` map to the line (VERDICT r12 ask #2) — the cap
+# now bounds runaway growth (e.g. unrounded floats) rather than the
+# old 2,000-char tail capture.
+STDOUT_LINE_MAX = 16000
 
 # Reference box-speed probe values (seconds), measured on this box at
 # its fastest observed state — the anchors the per-pass normalization
@@ -119,12 +127,19 @@ def compact_line(timings: dict[str, float], sf: float | None,
                  n_errors: int = 0, extra_sec: float = 0.0) -> dict:
     """The ONLY payload bench prints to stdout.
 
-    Deliberately excludes the per-query dict — that is what overflowed
-    the driver's tail capture in rounds 3 and 4 (``parsed: null``).
-    Everything per-query lives in BENCH_EVIDENCE.json. ``extra_sec``
-    charges suite-level costs that belong to no single query (the
-    shared pair-tier checkpoint build) into the total so the headline
-    number stays honest while per-query mins stay warm-memo.
+    Round-13 driver contract change (VERDICT r12 ask #2, and the r13
+    round brief spells the expected line as ``{"metric", "value",
+    "unit", "queries", "sf"}``): the per-query seconds now RIDE the
+    stdout line as a ``queries`` map, so the driver's PERF comparison
+    can compute per-query deltas/geomeans instead of coming back empty
+    (PERF_r12.json: ``per_query: {}``, geomean null). Values are
+    rounded to 3 decimals to bound the line (~7 KB at 250 queries —
+    pinned under STDOUT_LINE_MAX by test_bench_contract). This is an
+    ADDITION only: every pre-existing field keeps its meaning, and the
+    full-precision per-query data still lives in BENCH_EVIDENCE.json.
+    ``extra_sec`` charges suite-level costs that belong to no single
+    query (the shared tier checkpoint builds) into the total so the
+    headline number stays honest while per-query mins stay warm-memo.
     """
     return {
         "metric": "query_wall_time_total",
@@ -132,6 +147,7 @@ def compact_line(timings: dict[str, float], sf: float | None,
         "unit": "sec",
         "n_queries": len(timings),
         "n_errors": n_errors,
+        "queries": {n: round(t, 3) for n, t in sorted(timings.items())},
         "sf": sf,
     }
 
@@ -286,6 +302,24 @@ def main() -> None:
     # around the JSON line.  Bench needs no WARNs: query failures are
     # caught and recorded in the evidence sidecar explicitly.
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence ONLY the DAGScheduler's "attempted to access non-existent
+    # accumulator" ERROR flood (VERDICT r12 ask #7): when a pass's
+    # reset_shared_caches() drops a localCheckpointed tier, the
+    # ContextCleaner unregisters its SQL-metric accumulators while
+    # straggler task completions are still in flight, and each late
+    # completion logs a full stack trace — harmless (0 query errors;
+    # failures surface as exceptions bench catches and records), but
+    # dozens of them bury the stdout-adjacent JSON line and would mask
+    # a REAL error in the driver's tail capture. Bench-session-only,
+    # scoped to that one logger; best-effort across log4j2 API drift.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:  # noqa: BLE001 - logging config is cosmetic
+        pass
 
     qs = all_queries()
     # Warm the Python/Arrow worker pool once for the mapInPandas paths.

@@ -248,14 +248,30 @@ def decontaminate(
     works — a source label, an id rule), BEFORE shingling: the
     exploded frame only carries (id, shingle).
     """
-    from .dedup import doc_shingles
+    from .dedup import doc_shingle_frame
 
+    return decontaminate_from_shingles(
+        doc_shingle_frame(df, id_col, text_col, k), id_col, benchmark_pred
+    )
+
+
+def decontaminate_from_shingles(
+    sh: DataFrame, id_col: str, benchmark_pred: Column
+) -> DataFrame:
+    """:func:`decontaminate` over a pre-shingled ``(id, _sh, ...)``
+    frame (:func:`~.dedup.doc_shingle_frame` / the shared checkpointed
+    shingle tier); ``benchmark_pred`` must reference only columns
+    present on ``sh``. Both split sides read the SAME materialized
+    shingles instead of re-running the interpreted shingling chain
+    once per side."""
     bench_sh = (
-        doc_shingles(df.filter(benchmark_pred), id_col, text_col, k)
-        .select("shingle")
+        sh.filter(benchmark_pred)
+        .select(F.explode_outer("_sh").alias("shingle"))
         .distinct()
     )
-    corpus_sh = doc_shingles(df.filter(~benchmark_pred), id_col, text_col, k)
+    corpus_sh = sh.filter(~benchmark_pred).select(
+        F.col(id_col), F.explode_outer("_sh").alias("shingle")
+    )
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
@@ -452,8 +468,27 @@ def decontaminate_neardup(
 
     Returns (id, bench_id, jaccard) for every flagged pair.
     """
-    from .dedup import shingle_array, widen
-    from .text import normalize
+    from .dedup import doc_shingle_frame
+
+    return decontaminate_neardup_from_shingles(
+        doc_shingle_frame(df, id_col, text_col, k), id_col,
+        benchmark_pred, threshold=threshold,
+    )
+
+
+def decontaminate_neardup_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    benchmark_pred: Column,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`decontaminate_neardup` over a pre-shingled
+    ``(id, _sh, _n)`` frame (:func:`~.dedup.doc_shingle_frame` / the
+    shared checkpointed shingle tier). ``benchmark_pred`` must reference
+    only columns present on ``sh`` (the registered query's
+    ``doc_id %`` rule qualifies); both split sides then read the SAME
+    materialized shingles instead of re-running the interpreted
+    shingling chain per side."""
 
     def sized_shingles(frame: DataFrame, out_id: str, n_col: str) -> DataFrame:
         # The join key is the 8-byte xxhash64 of the shingle, not the
@@ -464,20 +499,17 @@ def decontaminate_neardup(
         # the only divergence class (~n_pairs/2^64 — the same accepted
         # class as the md5 digests the exact-dedup tier shuffles).
         return (
-            widen(frame)
+            frame
             .select(
                 F.col(id_col).alias(out_id),
-                shingle_array(normalize(F.col(text_col)), k).alias("_arr"),
-            )
-            .withColumn(n_col, F.size("_arr"))
-            .select(
-                out_id, n_col, F.explode_outer("_arr").alias("_shingle")
+                F.col("_n").alias(n_col),
+                F.explode_outer("_sh").alias("_shingle"),
             )
             .select(out_id, n_col, F.xxhash64("_shingle").alias("shingle"))
         )
 
-    bench_sized = sized_shingles(df.filter(benchmark_pred), "bench_id", "nb")
-    corpus_sized = sized_shingles(df.filter(~benchmark_pred), id_col, "na")
+    bench_sized = sized_shingles(sh.filter(benchmark_pred), "bench_id", "nb")
+    corpus_sized = sized_shingles(sh.filter(~benchmark_pred), id_col, "na")
     joined = corpus_sized.join(bench_sized, "shingle")
     return (
         joined.groupBy(id_col, "bench_id")

